@@ -1,0 +1,208 @@
+"""Host-side index construction (reference analog: `salmon index` —
+src/index/BuildSalmonIndex.cpp + external pufferfish fixFasta/TwoPaCo/SSHash;
+see SURVEY.md §2.3/§3.1).
+
+Instead of a compacted de Bruijn graph + MPHF, the TPU index is:
+  canonical k-mer -> CSR occurrence list of (transcript, position, orient)
+with a bounded-probe hash table for device lookup. This trades some memory
+for a branch-free gather-only query path (the property the TPU needs).
+
+Decoy sequences (reference: --decoys / firstDecoyIndex semantics,
+ReadExperiment.inl:156-158) are appended after valid targets and share the
+same table; mapping-time decoy logic keys off txp_id >= first_decoy_index.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+from salmon_tpu.constants import DEFAULTS
+from salmon_tpu.index.hashtable import KmerHashTable, build_hash_table
+from salmon_tpu.io.fasta import load_transcripts
+from salmon_tpu.utils.dna import canonical_kmers, kmers_of
+
+INDEX_FORMAT_VERSION = 1
+
+
+@dataclasses.dataclass
+class TranscriptomeIndex:
+    """The full on-host index; device planes are materialized by the mapper."""
+    k: int
+    names: list
+    lengths: np.ndarray           # (T,) int32 post-polyA-clip lengths
+    complete_lengths: np.ndarray  # (T,) int32 original lengths
+    first_decoy_index: int        # T_valid; decoys occupy [T_valid, T)
+    # unique canonical k-mers, sorted ascending (uint64)
+    kmers: np.ndarray
+    # CSR over unique k-mers
+    occ_offsets: np.ndarray       # (n_kmers + 1,) int64
+    occ_txp: np.ndarray           # (n_occs,) int32
+    occ_pos: np.ndarray           # (n_occs,) int32
+    occ_fwd: np.ndarray           # (n_occs,) bool — txp k-mer equals canonical
+    table: KmerHashTable
+    # 2-bit-packed transcript sequences, concatenated (for DP extension / GC)
+    seq_codes: np.ndarray         # (total_len,) uint8 codes
+    seq_offsets: np.ndarray       # (T + 1,) int64
+    info: dict
+
+    @property
+    def num_targets(self) -> int:
+        return len(self.names)
+
+    @property
+    def num_valid_targets(self) -> int:
+        return self.first_decoy_index
+
+    def transcript_codes(self, i: int) -> np.ndarray:
+        return self.seq_codes[self.seq_offsets[i]:self.seq_offsets[i + 1]]
+
+
+def build_index(
+    transcripts_path: str,
+    k: int = DEFAULTS.kmer_len,
+    decoys_path: Optional[str] = None,
+    decoy_names_path: Optional[str] = None,
+    gencode: bool = False,
+    keep_duplicates: bool = True,
+    noclip_polya: bool = False,
+) -> TranscriptomeIndex:
+    """Build the index from a transcript FASTA (+ optional decoy FASTA).
+
+    Reference CLI contract: k odd and <= 31 (BuildSalmonIndex.cpp:70-100).
+    `decoy_names_path` mimics `-d decoys.txt` with a combined FASTA: names
+    listed there are treated as decoys (they must come last).
+    """
+    if k % 2 == 0 or k > 31 or k < 5:
+        raise ValueError(f"k must be odd and in [5, 31], got {k}")
+
+    records, info = load_transcripts(
+        transcripts_path, gencode=gencode, keep_duplicates=keep_duplicates,
+        noclip_polya=noclip_polya)
+    decoy_names: set = set()
+    if decoy_names_path:
+        with open(decoy_names_path) as fh:
+            decoy_names = {ln.strip() for ln in fh if ln.strip()}
+    # order: valid targets first, then decoys (reference firstDecoyIndex)
+    valid = [r for r in records if r.name not in decoy_names]
+    decoy = [r for r in records if r.name in decoy_names]
+    if decoys_path:
+        drecs, _ = load_transcripts(decoys_path, gencode=gencode,
+                                    noclip_polya=noclip_polya)
+        decoy.extend(drecs)
+    records = valid + decoy
+    first_decoy_index = len(valid)
+
+    names = [r.name for r in records]
+    lengths = np.array([r.seq_codes.shape[0] for r in records],
+                       dtype=np.int32)
+    complete_lengths = np.array([r.complete_length for r in records],
+                                dtype=np.int32)
+
+    # --- enumerate (canonical kmer, txp, pos, fwd) tuples ----------------
+    all_kmers, all_txp, all_pos, all_fwd = [], [], [], []
+    for tid, rec in enumerate(records):
+        km, valid_mask = kmers_of(rec.seq_codes, k)
+        if km.shape[0] == 0:
+            continue
+        canon, fwd = canonical_kmers(km, k)
+        canon = canon[valid_mask]
+        fwd = fwd[valid_mask]
+        pos = np.nonzero(valid_mask)[0].astype(np.int32)
+        all_kmers.append(canon)
+        all_txp.append(np.full(canon.shape[0], tid, dtype=np.int32))
+        all_pos.append(pos)
+        all_fwd.append(fwd)
+
+    if all_kmers:
+        km = np.concatenate(all_kmers)
+        tx = np.concatenate(all_txp)
+        po = np.concatenate(all_pos)
+        fw = np.concatenate(all_fwd)
+    else:
+        km = np.zeros(0, dtype=np.uint64)
+        tx = po = np.zeros(0, dtype=np.int32)
+        fw = np.zeros(0, dtype=bool)
+
+    # sort occurrences by k-mer (stable keeps (txp,pos) order within a k-mer)
+    order = np.argsort(km, kind="stable")
+    km, tx, po, fw = km[order], tx[order], po[order], fw[order]
+    uniq, starts = np.unique(km, return_index=True)
+    offsets = np.concatenate([starts.astype(np.int64),
+                              np.array([km.shape[0]], dtype=np.int64)])
+
+    table = build_hash_table(uniq)
+
+    seq_offsets = np.zeros(len(records) + 1, dtype=np.int64)
+    seq_offsets[1:] = np.cumsum(lengths.astype(np.int64))
+    seq_codes = (np.concatenate([r.seq_codes for r in records])
+                 if records else np.zeros(0, dtype=np.uint8))
+
+    info.update({
+        "index_format_version": INDEX_FORMAT_VERSION,
+        "k": k,
+        "num_targets": len(records),
+        "num_decoys": len(records) - first_decoy_index,
+        "num_kmers": int(uniq.shape[0]),
+        "num_occurrences": int(km.shape[0]),
+        "keep_duplicates": keep_duplicates,
+    })
+    return TranscriptomeIndex(
+        k=k, names=names, lengths=lengths,
+        complete_lengths=complete_lengths,
+        first_decoy_index=first_decoy_index,
+        kmers=uniq, occ_offsets=offsets, occ_txp=tx, occ_pos=po, occ_fwd=fw,
+        table=table, seq_codes=seq_codes, seq_offsets=seq_offsets, info=info)
+
+
+def save_index(idx: TranscriptomeIndex, out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    np.savez_compressed(
+        os.path.join(out_dir, "index.npz"),
+        lengths=idx.lengths, complete_lengths=idx.complete_lengths,
+        kmers=idx.kmers, occ_offsets=idx.occ_offsets, occ_txp=idx.occ_txp,
+        occ_pos=idx.occ_pos, occ_fwd=idx.occ_fwd,
+        table_hi=idx.table.table_hi, table_lo=idx.table.table_lo,
+        table_payload=idx.table.table_payload,
+        seq_codes=idx.seq_codes, seq_offsets=idx.seq_offsets)
+    meta = dict(idx.info)
+    meta.update({
+        "k": idx.k,
+        "first_decoy_index": idx.first_decoy_index,
+        "table_n_slots": idx.table.n_slots,
+        "table_max_probes": idx.table.max_probes,
+    })
+    with open(os.path.join(out_dir, "info.json"), "w") as fh:
+        json.dump(meta, fh, indent=2, default=str)
+    with open(os.path.join(out_dir, "ref_names.txt"), "w") as fh:
+        fh.write("\n".join(idx.names) + ("\n" if idx.names else ""))
+
+
+def load_index(index_dir: str) -> TranscriptomeIndex:
+    with open(os.path.join(index_dir, "info.json")) as fh:
+        meta = json.load(fh)
+    if meta.get("index_format_version") != INDEX_FORMAT_VERSION:
+        raise ValueError(
+            f"index at {index_dir} has format version "
+            f"{meta.get('index_format_version')}, expected "
+            f"{INDEX_FORMAT_VERSION}; please rebuild")
+    with open(os.path.join(index_dir, "ref_names.txt")) as fh:
+        names = [ln.rstrip("\n") for ln in fh if ln.rstrip("\n")]
+    z = np.load(os.path.join(index_dir, "index.npz"))
+    table = KmerHashTable(
+        table_hi=z["table_hi"], table_lo=z["table_lo"],
+        table_payload=z["table_payload"],
+        n_slots=int(meta["table_n_slots"]),
+        max_probes=int(meta["table_max_probes"]))
+    return TranscriptomeIndex(
+        k=int(meta["k"]), names=names, lengths=z["lengths"],
+        complete_lengths=z["complete_lengths"],
+        first_decoy_index=int(meta["first_decoy_index"]),
+        kmers=z["kmers"], occ_offsets=z["occ_offsets"],
+        occ_txp=z["occ_txp"], occ_pos=z["occ_pos"], occ_fwd=z["occ_fwd"],
+        table=table, seq_codes=z["seq_codes"], seq_offsets=z["seq_offsets"],
+        info=meta)

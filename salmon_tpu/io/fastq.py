@@ -1,0 +1,154 @@
+"""Host FASTQ streaming into fixed-shape encoded batches.
+
+Reference analog: the FQFeeder FastxParser producer threads feeding
+5k-50k-read chunks to workers (src/quant/SalmonQuantify.cpp:2418-2443,
+computeReadMiniBatchSize :157-184). Here the producer yields padded
+(R, L) uint8 code tensors ready for host->device transfer; raggedness is
+resolved on the host so the device program is fixed-shape.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import gzip
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+from salmon_tpu.utils.dna import encode_seq
+
+
+@dataclasses.dataclass
+class ReadChunk:
+    """One fixed-shape chunk of encoded reads (padded with invalid=4)."""
+    codes: np.ndarray            # (R, L) uint8
+    lengths: np.ndarray          # (R,) int32; 0 for padding rows
+    n_valid: int                 # number of real reads in this chunk
+    names: Optional[list] = None
+
+
+@dataclasses.dataclass
+class PairedChunk:
+    left: ReadChunk
+    right: ReadChunk
+
+    @property
+    def n_valid(self) -> int:
+        return self.left.n_valid
+
+
+def _open_maybe_gz(path: str):
+    if str(path).endswith(".gz"):
+        return gzip.open(path, "rb")
+    return open(path, "rb")
+
+
+def _iter_fastq_seqs(path: str, want_names: bool = False):
+    """Yield seq bytes (or (name, seq)) from a FASTQ/FASTA file."""
+    with _open_maybe_gz(path) as fh:
+        first = fh.read(1)
+        fh.seek(0)
+        if first == b">":  # FASTA reads
+            name, chunks = None, []
+            for line in fh:
+                line = line.rstrip()
+                if line.startswith(b">"):
+                    if name is not None:
+                        seq = b"".join(chunks)
+                        yield (name, seq) if want_names else seq
+                    name = line[1:].split()[0]
+                    chunks = []
+                else:
+                    chunks.append(line)
+            if name is not None:
+                seq = b"".join(chunks)
+                yield (name, seq) if want_names else seq
+            return
+        while True:
+            hdr = fh.readline()
+            if not hdr:
+                return
+            seq = fh.readline().rstrip()
+            fh.readline()  # '+'
+            fh.readline()  # quals
+            if want_names:
+                yield hdr[1:].rstrip().split()[0], seq
+            else:
+                yield seq
+
+
+def pack_seqs(seqs: Sequence[bytes], batch_size: int, max_len: int
+              ) -> tuple[np.ndarray, np.ndarray]:
+    """Pack a list of byte sequences into a padded (R, L) code array."""
+    n = len(seqs)
+    lens = np.fromiter((min(len(s), max_len) for s in seqs), dtype=np.int32,
+                       count=n)
+    out = np.full((batch_size, max_len), 4, dtype=np.uint8)
+    if n:
+        flat = encode_seq(b"".join(s[:max_len] for s in seqs))
+        mask = np.arange(max_len, dtype=np.int32)[None, :] < lens[:, None]
+        full_mask = np.zeros((batch_size, max_len), dtype=bool)
+        full_mask[:n] = mask
+        out[full_mask] = flat
+    full_lens = np.zeros(batch_size, dtype=np.int32)
+    full_lens[:n] = lens
+    return out, full_lens
+
+
+def iter_single_chunks(paths: Sequence[str], batch_size: int, max_len: int,
+                       want_names: bool = False) -> Iterator[ReadChunk]:
+    """Stream single-end reads as fixed-shape chunks."""
+    seqs: list[bytes] = []
+    names: list[bytes] = []
+    for path in paths:
+        for rec in _iter_fastq_seqs(path, want_names=want_names):
+            if want_names:
+                nm, s = rec
+                names.append(nm)
+            else:
+                s = rec
+            seqs.append(s)
+            if len(seqs) == batch_size:
+                codes, lens = pack_seqs(seqs, batch_size, max_len)
+                yield ReadChunk(codes, lens, batch_size,
+                                names if want_names else None)
+                seqs, names = [], []
+    if seqs:
+        codes, lens = pack_seqs(seqs, batch_size, max_len)
+        yield ReadChunk(codes, lens, len(seqs), names if want_names else None)
+
+
+def iter_paired_chunks(paths1: Sequence[str], paths2: Sequence[str],
+                       batch_size: int, max_len: int,
+                       want_names: bool = False) -> Iterator[PairedChunk]:
+    """Stream paired-end reads as fixed-shape chunk pairs."""
+    if len(paths1) != len(paths2):
+        raise ValueError("paired-end file lists must have equal length")
+    s1: list[bytes] = []
+    s2: list[bytes] = []
+    names: list[bytes] = []
+    for p1, p2 in zip(paths1, paths2):
+        it1 = _iter_fastq_seqs(p1, want_names=want_names)
+        it2 = _iter_fastq_seqs(p2)
+        for rec, b in zip(it1, it2):
+            if want_names:
+                nm, a = rec
+                names.append(nm)
+            else:
+                a = rec
+            s1.append(a)
+            s2.append(b)
+            if len(s1) == batch_size:
+                c1, l1 = pack_seqs(s1, batch_size, max_len)
+                c2, l2 = pack_seqs(s2, batch_size, max_len)
+                yield PairedChunk(
+                    ReadChunk(c1, l1, batch_size,
+                              names if want_names else None),
+                    ReadChunk(c2, l2, batch_size))
+                s1, s2, names = [], [], []
+    if s1:
+        c1, l1 = pack_seqs(s1, batch_size, max_len)
+        c2, l2 = pack_seqs(s2, batch_size, max_len)
+        yield PairedChunk(
+            ReadChunk(c1, l1, len(s1), names if want_names else None),
+            ReadChunk(c2, l2, len(s1)))

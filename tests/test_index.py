@@ -1,0 +1,82 @@
+import numpy as np
+import pytest
+
+from salmon_tpu.index.builder import build_index, load_index, save_index
+from salmon_tpu.index.hashtable import build_hash_table, lookup_host
+from salmon_tpu.utils.dna import canonical_kmers, encode_seq, kmers_of
+from tests.conftest import SAMPLE_TRANSCRIPTS
+
+
+def test_hash_table_roundtrip(rng):
+    keys = rng.integers(0, 1 << 62, size=5000).astype(np.uint64)
+    keys = np.unique(keys)
+    tab = build_hash_table(keys)
+    got = lookup_host(tab, keys)
+    assert (got == np.arange(keys.shape[0])).all()
+    # absent keys miss
+    absent = rng.integers(0, 1 << 62, size=1000).astype(np.uint64)
+    absent = np.setdiff1d(absent, keys)
+    got = lookup_host(tab, absent)
+    assert (got == -1).all()
+
+
+def test_hash_table_probe_bound(rng):
+    keys = np.unique(rng.integers(0, 1 << 62, size=200_000).astype(np.uint64))
+    tab = build_hash_table(keys)
+    assert tab.max_probes <= 64  # bounded probing at load factor 0.5
+
+
+@pytest.fixture(scope="module")
+def small_index(sample_data_dir):
+    return build_index(SAMPLE_TRANSCRIPTS, k=31)
+
+
+def test_index_every_kmer_resolves(small_index):
+    """SURVEY.md §7 build-order step 2 gate: every transcript k-mer resolves
+    to the correct (txp, pos, orient) set."""
+    idx = small_index
+    k = idx.k
+    tids = [0, 7, 14]
+    for tid in tids:
+        codes = idx.transcript_codes(tid)
+        km, valid = kmers_of(codes, k)
+        canon, fwd = canonical_kmers(km, k)
+        rows = lookup_host(idx.table, canon)
+        assert (rows[valid] >= 0).all()
+        for p in np.nonzero(valid)[0][::17]:  # sample positions
+            r = rows[p]
+            lo, hi_ = idx.occ_offsets[r], idx.occ_offsets[r + 1]
+            occ_t = idx.occ_txp[lo:hi_]
+            occ_p = idx.occ_pos[lo:hi_]
+            occ_f = idx.occ_fwd[lo:hi_]
+            hit = (occ_t == tid) & (occ_p == p)
+            assert hit.any(), (tid, p)
+            assert (occ_f[hit] == fwd[p]).all()
+
+
+def test_index_save_load_roundtrip(small_index, tmp_path):
+    d = str(tmp_path / "idx")
+    save_index(small_index, d)
+    idx2 = load_index(d)
+    assert idx2.k == small_index.k
+    assert idx2.names == small_index.names
+    np.testing.assert_array_equal(idx2.kmers, small_index.kmers)
+    np.testing.assert_array_equal(idx2.occ_txp, small_index.occ_txp)
+    np.testing.assert_array_equal(idx2.table.table_hi,
+                                  small_index.table.table_hi)
+
+
+def test_index_rejects_even_k(sample_data_dir):
+    with pytest.raises(ValueError):
+        build_index(SAMPLE_TRANSCRIPTS, k=30)
+
+
+def test_decoy_partition(tmp_path):
+    fa = tmp_path / "t.fa"
+    fa.write_text(">t1\nACGTACGTACGTACGTACGT\n>t2\nTTTTGGGGCCCCAAAATTTT\n")
+    dec = tmp_path / "d.fa"
+    dec.write_text(">chr1\nACGTACGTACGTACGTACGTTTTT\n")
+    idx = build_index(str(fa), k=11, decoys_path=str(dec))
+    assert idx.num_targets == 3
+    assert idx.first_decoy_index == 2
+    assert idx.names[-1] == "chr1"
