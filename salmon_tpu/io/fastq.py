@@ -77,6 +77,18 @@ def _iter_fastq_seqs(path: str, want_names: bool = False):
                 yield seq
 
 
+#: length buckets so jit recompiles at most a handful of times for a run
+LEN_BUCKETS = (64, 96, 128, 160, 192, 256, 384, 512, 1024)
+
+
+def bucket_len(n: int, cap: int) -> int:
+    """Smallest bucketed length >= n (capped); keeps jit shape count low."""
+    for b in LEN_BUCKETS:
+        if b >= min(n, cap):
+            return min(b, cap)
+    return cap
+
+
 def pack_seqs(seqs: Sequence[bytes], batch_size: int, max_len: int
               ) -> tuple[np.ndarray, np.ndarray]:
     """Pack a list of byte sequences into a padded (R, L) code array."""
@@ -109,12 +121,14 @@ def iter_single_chunks(paths: Sequence[str], batch_size: int, max_len: int,
                 s = rec
             seqs.append(s)
             if len(seqs) == batch_size:
-                codes, lens = pack_seqs(seqs, batch_size, max_len)
+                L = bucket_len(max(len(x) for x in seqs), max_len)
+                codes, lens = pack_seqs(seqs, batch_size, L)
                 yield ReadChunk(codes, lens, batch_size,
                                 names if want_names else None)
                 seqs, names = [], []
     if seqs:
-        codes, lens = pack_seqs(seqs, batch_size, max_len)
+        L = bucket_len(max(len(x) for x in seqs), max_len)
+        codes, lens = pack_seqs(seqs, batch_size, L)
         yield ReadChunk(codes, lens, len(seqs), names if want_names else None)
 
 
@@ -139,16 +153,20 @@ def iter_paired_chunks(paths1: Sequence[str], paths2: Sequence[str],
             s1.append(a)
             s2.append(b)
             if len(s1) == batch_size:
-                c1, l1 = pack_seqs(s1, batch_size, max_len)
-                c2, l2 = pack_seqs(s2, batch_size, max_len)
+                L = bucket_len(max(max(len(x) for x in s1),
+                                   max(len(x) for x in s2)), max_len)
+                c1, l1 = pack_seqs(s1, batch_size, L)
+                c2, l2 = pack_seqs(s2, batch_size, L)
                 yield PairedChunk(
                     ReadChunk(c1, l1, batch_size,
                               names if want_names else None),
                     ReadChunk(c2, l2, batch_size))
                 s1, s2, names = [], [], []
     if s1:
-        c1, l1 = pack_seqs(s1, batch_size, max_len)
-        c2, l2 = pack_seqs(s2, batch_size, max_len)
+        L = bucket_len(max(max(len(x) for x in s1),
+                           max(len(x) for x in s2)), max_len)
+        c1, l1 = pack_seqs(s1, batch_size, L)
+        c2, l2 = pack_seqs(s2, batch_size, L)
         yield PairedChunk(
             ReadChunk(c1, l1, len(s1), names if want_names else None),
             ReadChunk(c2, l2, len(s1)))

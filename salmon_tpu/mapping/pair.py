@@ -1,0 +1,151 @@
+"""Mate pairing and library-format compatibility on device.
+
+TPU re-expression of pufferfish's joinReadsAndFilter (consumed at
+src/quant/SalmonQuantify.cpp:1339-1341) + the observed-format / compat
+machinery (src/util/SalmonUtils.cpp:531-576 hitType, :271-298
+compatibleHit): all T x T candidate combinations per fragment are evaluated
+in one batched tensor op, reduced to the top T2 joined hits.
+
+Orphan semantics follow the reference: orphaned ends are only considered
+for a fragment when it has no concordant (paired) mapping at all
+(MergeResult HAD_NONE -> orphans; SalmonQuantify.cpp:1344-1420).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# mate-status codes for joined hits
+MS_PAIRED = 0
+MS_LEFT_ORPHAN = 1
+MS_RIGHT_ORPHAN = 2
+
+# observed paired orientation codes (must match utils.libformat OBS_*)
+OBS_ISF, OBS_OSF, OBS_ISR, OBS_OSR, OBS_MSF, OBS_MSR = range(6)
+
+
+def observed_paired_code(s1, fw1, s2, fw2):
+    """Vectorized observed library-format code (reference hitType,
+    SalmonUtils.cpp:531-576)."""
+    opp = fw1 != fw2
+    code = jnp.where(
+        opp & fw1, jnp.where(s1 <= s2, OBS_ISF, OBS_OSF),
+        jnp.where(opp, jnp.where(s2 <= s1, OBS_ISR, OBS_OSR),
+                  jnp.where(fw1, OBS_MSF, OBS_MSR)))
+    return code.astype(jnp.int32)
+
+
+def join_pairs(cand_l: dict, cand_r: dict, start_l, start_r,
+               len_l, len_r, max_pair_cands: int, fld_max: int,
+               allow_dovetail: bool = False):
+    """Join left/right candidate sets into fragment-level hits.
+
+    Args:
+      cand_l/cand_r: dicts from score_candidates (txp, is_fw, score, valid),
+        each (R, T).
+      start_l/start_r: (R, T) inferred read-start positions on the txp.
+      len_l/len_r: (R,) read lengths.
+      max_pair_cands: T2 hits kept per fragment.
+      fld_max: maximum plausible fragment length.
+
+    Returns dict of (R, T2): txp, score, frag_len, pos (fragment leftmost),
+    obs_code, valid, plus (R,) `has_pair`.
+    """
+    R, T = cand_l["txp"].shape
+
+    txp_eq = cand_l["txp"][:, :, None] == cand_r["txp"][:, None, :]
+    both = cand_l["valid"][:, :, None] & cand_r["valid"][:, None, :]
+
+    s1 = start_l[:, :, None]
+    s2 = start_r[:, None, :]
+    fw1 = cand_l["is_fw"][:, :, None]
+    fw2 = cand_r["is_fw"][:, None, :]
+    e1 = s1 + len_l[:, None, None]
+    e2 = s2 + len_r[:, None, None]
+
+    frag_start = jnp.minimum(s1, s2)
+    frag_end = jnp.maximum(e1, e2)
+    frag_len = frag_end - frag_start
+
+    # dovetail: mate starts before its partner in an inward pair
+    # (reference: MappingConstraintPolicy.noDovetail, default true)
+    dovetail = jnp.where(fw1 & ~fw2, s2 < s1,
+                         jnp.where(fw2 & ~fw1, s1 < s2, False))
+    geom_ok = (frag_len > 0) & (frag_len <= fld_max)
+    if not allow_dovetail:
+        geom_ok = geom_ok & ~dovetail
+
+    ok = txp_eq & both & geom_ok
+    obs = observed_paired_code(s1, fw1, s2, fw2)
+    pair_score = (cand_l["score"][:, :, None]
+                  + cand_r["score"][:, None, :])
+    pair_score = jnp.where(ok, pair_score, 0)
+
+    flat = lambda a: a.reshape(R, T * T)
+    score_f = flat(pair_score)
+    top_score, top_idx = jax.lax.top_k(score_f, max_pair_cands)
+    g = lambda a: jnp.take_along_axis(flat(a), top_idx, axis=1)
+
+    txp_b = jnp.broadcast_to(cand_l["txp"][:, :, None], (R, T, T))
+    valid_out = top_score > 0
+    has_pair = valid_out.any(axis=1)
+    return {
+        "txp": g(txp_b),
+        "score": top_score,
+        "frag_len": g(jnp.broadcast_to(frag_len, (R, T, T))),
+        "pos": g(jnp.broadcast_to(frag_start, (R, T, T))),
+        "obs_code": g(jnp.broadcast_to(obs, (R, T, T))),
+        "fw": g(jnp.broadcast_to(fw1, (R, T, T))),
+        "valid": valid_out,
+        "has_pair": has_pair,
+    }
+
+
+def orphan_hits(cand: dict, start, mate_status: int, max_pair_cands: int):
+    """Format one end's candidates as orphan fragment hits (used when the
+    fragment has no concordant pair)."""
+    T2 = max_pair_cands
+    score, idx = jax.lax.top_k(
+        jnp.where(cand["valid"], cand["score"], 0), T2)
+    g = lambda a: jnp.take_along_axis(a, idx, axis=1)
+    return {
+        "txp": g(cand["txp"]),
+        "score": score,
+        "frag_len": jnp.zeros_like(score),
+        "pos": g(start),
+        "obs_code": jnp.full_like(score, -1),
+        "fw": g(cand["is_fw"]),
+        "valid": score > 0,
+        "mate_status": mate_status,
+    }
+
+
+def merge_paired_with_orphans(paired: dict, orph_l: dict, orph_r: dict,
+                              discard_orphans: bool):
+    """Fragment-level selection: paired hits when any exist, else the
+    better orphan set (reference MergeResult semantics).
+
+    Returns joined dict of (R, T2) plus mate_status (R,).
+    """
+    has_pair = paired["has_pair"]
+    l_best = jnp.where(orph_l["valid"], orph_l["score"], 0).max(axis=1)
+    r_best = jnp.where(orph_r["valid"], orph_r["score"], 0).max(axis=1)
+    use_left = l_best >= r_best
+    if discard_orphans:
+        sel_orph = {k: jnp.zeros_like(v) for k, v in orph_l.items()
+                    if k != "mate_status"}
+        sel_orph["valid"] = jnp.zeros_like(orph_l["valid"])
+        ms_orph = jnp.zeros_like(l_best)
+    else:
+        sel_orph = {
+            k: jnp.where(use_left[:, None], orph_l[k], orph_r[k])
+            for k in ("txp", "score", "frag_len", "pos", "obs_code", "fw",
+                      "valid")}
+        ms_orph = jnp.where(use_left, MS_LEFT_ORPHAN, MS_RIGHT_ORPHAN)
+
+    out = {}
+    for k in ("txp", "score", "frag_len", "pos", "obs_code", "fw", "valid"):
+        out[k] = jnp.where(has_pair[:, None], paired[k], sel_orph[k])
+    out["mate_status"] = jnp.where(has_pair, MS_PAIRED, ms_orph)
+    return out

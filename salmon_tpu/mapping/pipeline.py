@@ -1,0 +1,365 @@
+"""The jitted per-batch mapping pipeline (the reference's per-read hot loop,
+src/quant/SalmonQuantify.cpp:1199-1845 processReads + processMiniBatch,
+re-expressed as one fixed-shape tensor program).
+
+Stages (all under a single jit):
+  1. canonical k-mer extraction            (mapping.kmers)
+  2. bounded-probe hash lookup             (mapping.lookup)
+  3. occurrence expansion + run scoring    (mapping.score)
+  4. mate pairing / orphan fallback        (mapping.pair)
+  5. decoy-aware score filtering           (reference: MappingScoreInfo /
+     filterAndCollectAlignments, SalmonMappingUtils.hpp:82-405)
+  6. aux-probability weighting + eq-class tensor emission
+     (reference: processMiniBatch, SalmonQuantify.cpp:599-857)
+
+Outputs are fixed-shape per-batch tensors; equivalence classes are merged
+across batches by the host accumulator (inference.eqclasses) and across
+devices by psum (parallel.quant_step).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from salmon_tpu.constants import DEFAULTS, SalmonDefaults
+from salmon_tpu.index.builder import TranscriptomeIndex
+from salmon_tpu.mapping import pair as pair_mod
+from salmon_tpu.mapping.kmers import extract_kmers
+from salmon_tpu.mapping.lookup import hash_lookup
+from salmon_tpu.mapping.pair import (MS_LEFT_ORPHAN, MS_PAIRED,
+                                     MS_RIGHT_ORPHAN, join_pairs,
+                                     merge_paired_with_orphans, orphan_hits)
+from salmon_tpu.mapping.score import (candidate_read_start,
+                                      expand_occurrences, score_candidates)
+from salmon_tpu.utils import libformat
+
+INVALID_TXP = jnp.int32(0x7FFFFFFF)
+
+
+@dataclasses.dataclass(frozen=True)
+class MapperConfig:
+    """Static (compile-time) shape and policy configuration."""
+    k: int
+    n_slots: int
+    max_probes: int
+    first_decoy_index: int
+    num_txps: int
+    occ_cap: int = DEFAULTS.occ_cap
+    max_cands: int = DEFAULTS.max_cands
+    max_pair_cands: int = DEFAULTS.max_pair_cands
+    max_occs_per_hit: int = DEFAULTS.max_occs_per_hit
+    fld_max: int = DEFAULTS.max_frag_length
+    consensus_fraction: float = 1.0 - DEFAULTS.consensus_slack
+    score_exp: float = DEFAULTS.score_exp
+    decoy_threshold: float = DEFAULTS.decoy_threshold
+    min_aln_prob: float = DEFAULTS.min_aln_prob
+    hard_filter: bool = DEFAULTS.hard_filter
+    incompat_prior: float = DEFAULTS.incompat_prior
+    allow_dovetail: bool = DEFAULTS.allow_dovetail
+    discard_orphans: bool = DEFAULTS.discard_orphans
+    range_bins: int = DEFAULTS.range_factorization_bins
+    # coverage score -> pseudo-alignment-score scale (match bonus per base;
+    # reference ksw2 ma=2, SalmonDefaults.hpp:32)
+    match_score: int = DEFAULTS.match_score
+
+    @staticmethod
+    def from_index(idx: TranscriptomeIndex, opts: SalmonDefaults = DEFAULTS,
+                   **overrides) -> "MapperConfig":
+        cfg = dict(
+            k=idx.k, n_slots=idx.table.n_slots,
+            max_probes=idx.table.max_probes,
+            first_decoy_index=idx.first_decoy_index,
+            num_txps=idx.num_targets,
+            occ_cap=opts.occ_cap, max_cands=opts.max_cands,
+            max_pair_cands=opts.max_pair_cands,
+            max_occs_per_hit=opts.max_occs_per_hit,
+            fld_max=opts.max_frag_length,
+            consensus_fraction=1.0 - opts.consensus_slack,
+            score_exp=opts.score_exp,
+            decoy_threshold=opts.decoy_threshold,
+            min_aln_prob=opts.min_aln_prob,
+            hard_filter=opts.hard_filter,
+            incompat_prior=opts.incompat_prior,
+            allow_dovetail=opts.allow_dovetail,
+            discard_orphans=opts.discard_orphans,
+            range_bins=opts.range_factorization_bins,
+            match_score=opts.match_score,
+        )
+        cfg.update(overrides)
+        return MapperConfig(**cfg)
+
+
+def device_index_arrays(idx: TranscriptomeIndex) -> dict:
+    """Materialize the index as a dict of device-transferable arrays."""
+    occ_start = idx.occ_offsets[:-1].astype(np.int32)
+    occ_count = np.diff(idx.occ_offsets).astype(np.int32)
+    return {
+        "table_hi": jnp.asarray(idx.table.table_hi),
+        "table_lo": jnp.asarray(idx.table.table_lo),
+        "table_payload": jnp.asarray(idx.table.table_payload),
+        "occ_start": jnp.asarray(occ_start),
+        "occ_count": jnp.asarray(occ_count),
+        "occ_txp": jnp.asarray(idx.occ_txp),
+        "occ_pos": jnp.asarray(idx.occ_pos),
+        "occ_fwd": jnp.asarray(idx.occ_fwd.astype(np.uint8)),
+        "txp_lens": jnp.asarray(idx.lengths.astype(np.int32)),
+    }
+
+
+def _map_one_end(codes, lengths, dev, cfg: MapperConfig):
+    """Stages 1-3 for one read end -> candidate dict + start positions."""
+    km = extract_kmers(codes, lengths, cfg.k)
+    row, found = hash_lookup(
+        km["hi"], km["lo"], dev["table_hi"], dev["table_lo"],
+        dev["table_payload"], cfg.n_slots, cfg.max_probes)
+    key, rpos, diag, ovalid = expand_occurrences(
+        km, row, found, dev["occ_start"], dev["occ_count"],
+        dev["occ_txp"], dev["occ_pos"], dev["occ_fwd"],
+        cfg.occ_cap, cfg.max_occs_per_hit)
+    R = codes.shape[0]
+    n = key.shape[1] * key.shape[2]
+    cand = score_candidates(
+        key.reshape(R, n), rpos.reshape(R, n), diag.reshape(R, n),
+        cfg.max_cands)
+    start = candidate_read_start(cand, lengths, cfg.k)
+    return cand, start
+
+
+def _filter_and_weight(joined: dict, fld_logpmf, compat_paired,
+                       compat_orphan, lengths_sum, cfg: MapperConfig):
+    """Stages 5-6: decoy-aware filtering and aux-probability weights.
+
+    joined: dict of (R, T2) from pair-merging, plus (R,) mate_status.
+    fld_logpmf: (fld_max + 1,) current fragment-length log-pmf.
+    compat_paired: (6,) bool table; compat_orphan: (2, 2) bool table.
+    Returns (eq_txp, eq_weight, frag_ok, aln_valid, extras...).
+    """
+    txp = joined["txp"]
+    score = joined["score"]
+    valid = joined["valid"]
+    ms = joined["mate_status"]
+
+    is_decoy = valid & (txp >= cfg.first_decoy_index)
+    real = valid & ~is_decoy
+
+    # pseudo alignment score: coverage kmers scaled by per-base match bonus
+    s = score.astype(jnp.float32) * float(cfg.match_score)
+    NEG = jnp.float32(-1e30)
+    best_real = jnp.max(jnp.where(real, s, NEG), axis=1, keepdims=True)
+    best_decoy = jnp.max(jnp.where(is_decoy, s, NEG), axis=1, keepdims=True)
+
+    # decoy soft filter (SalmonMappingUtils.hpp filterAndCollectAlignments):
+    # keep real hits with score >= decoyThreshold * bestDecoyScore
+    decoy_thresh = jnp.where(best_decoy > NEG / 2,
+                             cfg.decoy_threshold * best_decoy, NEG)
+    keep = real & (s >= decoy_thresh)
+
+    # estAlnProb = exp(-scoreExp * (best - score)); drop < minAlnProb
+    aln_logprob = -cfg.score_exp * (best_real - s)
+    keep = keep & (aln_logprob >= jnp.log(cfg.min_aln_prob))
+    if cfg.hard_filter:
+        keep = keep & (s >= best_real)
+
+    # consensus fraction on coverage scores (pre-DP hit filter analog)
+    keep = keep & (score.astype(jnp.float32)
+                   >= cfg.consensus_fraction
+                   * jnp.max(jnp.where(real, score, 0), axis=1,
+                             keepdims=True).astype(jnp.float32))
+
+    # --- aux probabilities (processMiniBatch, SalmonQuantify.cpp:599-803)
+    flen = jnp.clip(joined["frag_len"], 0, cfg.fld_max)
+    log_flen_prob = jnp.where(
+        ms[:, None] == MS_PAIRED,
+        jnp.take(fld_logpmf, flen, mode="clip"),
+        0.0)
+
+    obs = joined["obs_code"]
+    paired_compat = jnp.take(compat_paired, jnp.clip(obs, 0, 5))
+    orph_row = jnp.where(ms == MS_LEFT_ORPHAN, 0, 1)[:, None]
+    orph_col = jnp.where(joined["fw"], 0, 1)
+    orph_compat = compat_orphan[orph_row, orph_col]
+    compat = jnp.where(ms[:, None] == MS_PAIRED, paired_compat, orph_compat)
+    log_compat = jnp.where(
+        compat, 0.0,
+        jnp.log(cfg.incompat_prior) if cfg.incompat_prior > 0 else NEG)
+
+    logw = aln_logprob + log_flen_prob + log_compat
+    keep = keep & (logw > NEG / 2)
+    # re-normalize per fragment for numerical sanity
+    logw_max = jnp.max(jnp.where(keep, logw, NEG), axis=1, keepdims=True)
+    w = jnp.where(keep, jnp.exp(logw - jnp.where(logw_max > NEG / 2,
+                                                 logw_max, 0.0)), 0.0)
+
+    # --- collapse per-transcript (sum weights of multi-hits to same txp)
+    txp_key = jnp.where(keep, txp, INVALID_TXP)
+    txp_s, w_s, flen_s, pos_s = jax.lax.sort(
+        (txp_key, w, joined["frag_len"], joined["pos"]),
+        dimension=1, num_keys=1, is_stable=False)
+    R, T2 = txp_s.shape
+    prev = jnp.concatenate(
+        [jnp.full((R, 1), -1, jnp.int32), txp_s[:, :-1]], axis=1)
+    nxt = jnp.concatenate(
+        [txp_s[:, 1:], jnp.full((R, 1), INVALID_TXP)], axis=1)
+    v = txp_s != INVALID_TXP
+    rs = v & (txp_s != prev)
+    re = v & (txp_s != nxt)
+    cw = jnp.cumsum(w_s, axis=1)
+    idx = jnp.broadcast_to(jnp.arange(T2, dtype=jnp.int32)[None, :], (R, T2))
+    sidx = jax.lax.cummax(jnp.where(rs, idx, 0), axis=1)
+    cw_start = jnp.take_along_axis(cw, sidx, axis=1)
+    w_start = jnp.take_along_axis(w_s, sidx, axis=1)
+    run_w = cw - cw_start + w_start  # summed weight over the run, at end
+
+    eq_txp = jnp.where(re, txp_s, INVALID_TXP)
+    eq_w = jnp.where(re, run_w, 0.0)
+    # compact labels to the left, ascending txp (re-sort by masked txp)
+    eq_txp, eq_w, flen_o, pos_o = jax.lax.sort(
+        (eq_txp, eq_w, flen_s, pos_s), dimension=1, num_keys=1,
+        is_stable=False)
+    aln_valid = eq_txp != INVALID_TXP
+    frag_ok = aln_valid.any(axis=1)
+
+    # normalized per-fragment posteriors + range-factorization bins
+    # (reference: SalmonQuantify.cpp:845-853 — bin = floor(auxProb *
+    # (sqrt(groupSize) + B)), appended to the class label)
+    wsum = jnp.sum(eq_w, axis=1, keepdims=True)
+    wn = jnp.where(wsum > 0, eq_w / jnp.maximum(wsum, 1e-30), 0.0)
+    n_valid = jnp.sum(aln_valid, axis=1, keepdims=True).astype(jnp.float32)
+    range_count = jnp.sqrt(n_valid) + float(cfg.range_bins)
+    eq_bins = jnp.where(aln_valid & (cfg.range_bins > 0),
+                        (wn * range_count).astype(jnp.int32), -1)
+    return eq_txp, eq_w, frag_ok, aln_valid, wn, eq_bins
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def map_paired_batch(batch: dict, dev: dict, cfg: MapperConfig,
+                     fld_logpmf=None, compat_paired=None,
+                     compat_orphan=None):
+    """Map one paired-end batch end-to-end.
+
+    batch: dict with codes_l/lengths_l/codes_r/lengths_r.
+    Returns dict with eq-class tensors, FLD histogram contribution and
+    counters (all fixed-shape).
+    """
+    cand_l, start_l = _map_one_end(
+        batch["codes_l"], batch["lengths_l"], dev, cfg)
+    cand_r, start_r = _map_one_end(
+        batch["codes_r"], batch["lengths_r"], dev, cfg)
+
+    paired = join_pairs(cand_l, cand_r, start_l, start_r,
+                        batch["lengths_l"], batch["lengths_r"],
+                        cfg.max_pair_cands, cfg.fld_max,
+                        cfg.allow_dovetail)
+    orph_l = orphan_hits(cand_l, start_l, MS_LEFT_ORPHAN, cfg.max_pair_cands)
+    orph_r = orphan_hits(cand_r, start_r, MS_RIGHT_ORPHAN,
+                         cfg.max_pair_cands)
+    joined = merge_paired_with_orphans(paired, orph_l, orph_r,
+                                       cfg.discard_orphans)
+
+    real_row = batch["lengths_l"] > 0  # padding rows never count
+    eq_txp, eq_w, frag_ok, aln_valid, wn, eq_bins = _filter_and_weight(
+        joined, fld_logpmf, compat_paired, compat_orphan,
+        batch["lengths_l"] + batch["lengths_r"], cfg)
+    frag_ok = frag_ok & real_row
+    aln_valid = aln_valid & real_row[:, None]
+    eq_txp = jnp.where(aln_valid, eq_txp, INVALID_TXP)
+    eq_w = jnp.where(aln_valid, eq_w, 0.0)
+    eq_bins = jnp.where(aln_valid, eq_bins, -1)
+
+    # online per-transcript mass (EM initialization; reference analog:
+    # Transcript::addMass over the online SVI pass)
+    txp_mass = jnp.zeros(cfg.num_txps, jnp.float32).at[
+        jnp.clip(eq_txp, 0, cfg.num_txps - 1)].add(
+        jnp.where(aln_valid, wn, 0.0))
+
+    # --- FLD observation: posterior-weighted fragment lengths of paired
+    # mappings (reference samples FLD pre-burn-in with aln posteriors,
+    # SalmonQuantify.cpp:974-982). Using the best paired hit's length.
+    is_paired = (joined["mate_status"] == MS_PAIRED) & frag_ok
+    best_i = jnp.argmax(joined["score"], axis=1)
+    best_flen = jnp.take_along_axis(joined["frag_len"], best_i[:, None],
+                                    axis=1)[:, 0]
+    fld_hist = jnp.zeros(cfg.fld_max + 1, jnp.float32).at[
+        jnp.clip(best_flen, 0, cfg.fld_max)].add(
+        jnp.where(is_paired, 1.0, 0.0))
+
+    # --- observed library-format counts (lib_format_counts.json)
+    obs_best = jnp.take_along_axis(joined["obs_code"], best_i[:, None],
+                                   axis=1)[:, 0]
+    fmt_hist = jnp.zeros(6, jnp.int32).at[jnp.clip(obs_best, 0, 5)].add(
+        jnp.where(is_paired, 1, 0))
+
+    n_real = jnp.sum(real_row.astype(jnp.int32))
+    return {
+        "eq_txp": eq_txp,
+        "eq_weight": eq_w,
+        "eq_bins": eq_bins,
+        "frag_ok": frag_ok,
+        "txp_mass": txp_mass,
+        "num_processed": n_real,
+        "num_mapped": jnp.sum(frag_ok.astype(jnp.int32)),
+        "num_paired": jnp.sum(is_paired.astype(jnp.int32)),
+        "num_orphans": jnp.sum(
+            (frag_ok & (joined["mate_status"] != MS_PAIRED)).astype(
+                jnp.int32)),
+        "fld_hist": fld_hist,
+        "fmt_hist": fmt_hist,
+    }
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def map_single_batch(batch: dict, dev: dict, cfg: MapperConfig,
+                     fld_logpmf=None, compat_single=None):
+    """Map one single-end batch (reference: processReads single-end
+    overload, SalmonQuantify.cpp:1881-2325)."""
+    cand, start = _map_one_end(batch["codes"], batch["lengths"], dev, cfg)
+    hits = orphan_hits(cand, start, MS_PAIRED, cfg.max_pair_cands)
+    # single-end compat: table over observed (fw, rc)
+    joined = dict(hits)
+    joined["mate_status"] = jnp.full(
+        cand["txp"].shape[0], MS_PAIRED, jnp.int32)
+    # reuse paired machinery with a compat table derived from fw flag:
+    # obs_code 0 for fw, 1 for rc; build a 6-wide table padded with False.
+    obs = jnp.where(joined["fw"], 0, 1)
+    joined["obs_code"] = obs
+    compat6 = jnp.concatenate(
+        [compat_single, jnp.zeros(4, dtype=bool)])
+    joined["frag_len"] = jnp.zeros_like(joined["score"])
+    real_row = batch["lengths"] > 0
+    eq_txp, eq_w, frag_ok, aln_valid, wn, eq_bins = _filter_and_weight(
+        joined, fld_logpmf, compat6,
+        jnp.ones((2, 2), dtype=bool), batch["lengths"], cfg)
+    frag_ok = frag_ok & real_row
+    aln_valid = aln_valid & real_row[:, None]
+    eq_txp = jnp.where(aln_valid, eq_txp, INVALID_TXP)
+    eq_w = jnp.where(aln_valid, eq_w, 0.0)
+    eq_bins = jnp.where(aln_valid, eq_bins, -1)
+    txp_mass = jnp.zeros(cfg.num_txps, jnp.float32).at[
+        jnp.clip(eq_txp, 0, cfg.num_txps - 1)].add(
+        jnp.where(aln_valid, wn, 0.0))
+
+    n_real = jnp.sum(real_row.astype(jnp.int32))
+    fw_best = jnp.take_along_axis(
+        joined["fw"], jnp.argmax(joined["score"], axis=1)[:, None],
+        axis=1)[:, 0]
+    fmt_hist = jnp.zeros(6, jnp.int32).at[
+        jnp.where(fw_best, 0, 1)].add(jnp.where(frag_ok, 1, 0))
+    return {
+        "eq_txp": eq_txp,
+        "eq_weight": eq_w,
+        "eq_bins": eq_bins,
+        "frag_ok": frag_ok,
+        "txp_mass": txp_mass,
+        "num_processed": n_real,
+        "num_mapped": jnp.sum(frag_ok.astype(jnp.int32)),
+        "num_paired": jnp.int32(0),
+        "num_orphans": jnp.int32(0),
+        "fld_hist": jnp.zeros(cfg.fld_max + 1, jnp.float32),
+        "fmt_hist": fmt_hist,
+    }

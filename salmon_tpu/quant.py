@@ -1,0 +1,297 @@
+"""End-to-end quantification orchestration.
+
+Reference flow (SURVEY.md §3.2): salmonQuantify -> quantifyLibrary ->
+processReads workers -> eq classes -> CollapsedEMOptimizer::optimize ->
+GZipWriter outputs. Here: stream fixed-shape chunks -> jitted map batch ->
+host eq-class/FLD/counter accumulation -> effective lengths -> jitted
+EM/VBEM -> writers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from salmon_tpu.constants import DEFAULTS, SalmonDefaults
+from salmon_tpu.index.builder import TranscriptomeIndex, load_index
+from salmon_tpu.inference import em as em_mod
+from salmon_tpu.inference.eqclasses import EquivalenceClassAccumulator
+from salmon_tpu.io import writers
+from salmon_tpu.io.fastq import iter_paired_chunks, iter_single_chunks
+from salmon_tpu.mapping.pipeline import (MapperConfig, device_index_arrays,
+                                         map_paired_batch, map_single_batch)
+from salmon_tpu.models.efflen import effective_lengths
+from salmon_tpu.models.fld import FragmentLengthDistribution
+from salmon_tpu.utils import libformat
+
+logger = logging.getLogger("salmon_tpu")
+
+
+@dataclasses.dataclass
+class QuantResult:
+    names: list
+    counts: np.ndarray
+    eff_lens: np.ndarray
+    tpm: np.ndarray
+    num_processed: int
+    num_mapped: int
+    num_paired: int
+    num_orphans: int
+    em_info: dict
+    fmt_counts: dict
+    eq_classes: object = None
+    fld: object = None
+    lib_format: str = ""
+
+
+class InsufficientAssignedFragments(RuntimeError):
+    """Reference: SalmonExceptions / minAssignedFrags gate."""
+
+
+def _detect_library_format(fmt_hist: np.ndarray, paired: bool,
+                           num_mapped: int) -> str:
+    """Auto-detect '-l A' from the first chunk's observed orientation
+    histogram (reference: LibraryTypeDetector.hpp:32-163)."""
+    names = libformat.format_names_paired()
+    if not paired:
+        fw, rc = int(fmt_hist[0]), int(fmt_hist[1])
+        tot = fw + rc
+        if tot == 0:
+            return "U"
+        ratio = fw / tot
+        return "SF" if ratio > 0.95 else ("SR" if ratio < 0.05 else "U")
+    counts = {names[i]: int(fmt_hist[i]) for i in range(6)}
+    tot = sum(counts.values())
+    if tot == 0:
+        return "IU"
+    # pick dominant orientation class (I/O/M), then strandedness
+    o_tot = {"I": counts["ISF"] + counts["ISR"],
+             "O": counts["OSF"] + counts["OSR"],
+             "M": counts["MSF"] + counts["MSR"]}
+    o = max(o_tot, key=o_tot.get)
+    sf = counts[o + "SF"] if o != "M" else counts["MSF"]
+    sr = counts[o + "SR"] if o != "M" else counts["MSR"]
+    st = sf + sr
+    if st == 0:
+        return o + "U"
+    ratio = sf / st
+    if ratio > 0.95:
+        return o + "SF"
+    if ratio < 0.05:
+        return o + "SR"
+    return o + "U"
+
+
+def quantify(
+    index: TranscriptomeIndex | str,
+    lib_format: str,
+    reads1: Sequence[str],
+    reads2: Optional[Sequence[str]] = None,
+    opts: SalmonDefaults = DEFAULTS,
+    progress: bool = True,
+) -> QuantResult:
+    """Mapping-based quantification (reference: salmonQuantify,
+    src/quant/SalmonQuantify.cpp:2777)."""
+    t0 = time.time()
+    if isinstance(index, str):
+        index = load_index(index)
+    paired = reads2 is not None
+    cfg = MapperConfig.from_index(index, opts)
+    dev = device_index_arrays(index)
+
+    fld = FragmentLengthDistribution(
+        max_val=opts.max_frag_length, prior_mu=opts.frag_len_prior_mean,
+        prior_sigma=opts.frag_len_prior_sd)
+
+    acc = EquivalenceClassAccumulator()
+    online_mass = np.zeros(index.num_targets, dtype=np.float64)
+    totals = {"num_processed": 0, "num_mapped": 0, "num_paired": 0,
+              "num_orphans": 0}
+    fmt_hist_total = np.zeros(6, dtype=np.int64)
+
+    auto_detect = lib_format.strip().upper() == "A"
+    expected = (libformat.parse_library_format("IU" if paired else "U")
+                if auto_detect else libformat.parse_library_format(lib_format))
+    resolved_format = None if auto_detect else lib_format.strip().upper()
+
+    def compat_arrays(fmt: libformat.LibraryFormat):
+        return (jnp.asarray(libformat.paired_compat_table(fmt)),
+                jnp.asarray(libformat.orphan_compat_table(fmt)),
+                jnp.asarray(libformat.single_compat_table(fmt)))
+
+    cp, co, cs = compat_arrays(expected)
+
+    if paired:
+        chunks = iter_paired_chunks(reads1, reads2, opts.reads_per_batch,
+                                    opts.max_read_len)
+    else:
+        chunks = iter_single_chunks(reads1, opts.reads_per_batch,
+                                    opts.max_read_len)
+
+    n_batches = 0
+    for chunk in chunks:
+        fld_logpmf = jnp.asarray(fld.log_pmf(), jnp.float32)
+        if paired:
+            batch = {
+                "codes_l": jnp.asarray(chunk.left.codes),
+                "lengths_l": jnp.asarray(chunk.left.lengths),
+                "codes_r": jnp.asarray(chunk.right.codes),
+                "lengths_r": jnp.asarray(chunk.right.lengths),
+            }
+            out = map_paired_batch(batch, dev, cfg, fld_logpmf, cp, co)
+        else:
+            batch = {
+                "codes": jnp.asarray(chunk.codes),
+                "lengths": jnp.asarray(chunk.lengths),
+            }
+            out = map_single_batch(batch, dev, cfg, fld_logpmf, cs)
+
+        if resolved_format is None:
+            resolved_format = _detect_library_format(
+                np.asarray(out["fmt_hist"]), paired,
+                int(out["num_mapped"]))
+            logger.info("auto-detected library format: %s", resolved_format)
+            expected = libformat.parse_library_format(resolved_format)
+            cp, co, cs = compat_arrays(expected)
+            # remap the first chunk under the detected format
+            if paired:
+                out = map_paired_batch(batch, dev, cfg, fld_logpmf, cp, co)
+            else:
+                out = map_single_batch(batch, dev, cfg, fld_logpmf, cs)
+
+        acc.add_batch(np.asarray(out["eq_txp"]),
+                      np.asarray(out["eq_weight"]),
+                      np.asarray(out["eq_bins"])
+                      if cfg.range_bins > 0 else None)
+        fld.add_observations(np.asarray(out["fld_hist"], dtype=np.float64))
+        online_mass += np.asarray(out["txp_mass"], dtype=np.float64)
+        for k in totals:
+            totals[k] += int(out[k])
+        fmt_hist_total += np.asarray(out["fmt_hist"], dtype=np.int64)
+        if totals["num_processed"] >= opts.num_burnin_frags:
+            fld.freeze()
+        n_batches += 1
+        if progress and n_batches % 25 == 0:
+            el = time.time() - t0
+            logger.info("processed %d fragments (%.0f frags/s), mapped %.2f%%",
+                        totals["num_processed"],
+                        totals["num_processed"] / max(el, 1e-9),
+                        100.0 * totals["num_mapped"]
+                        / max(totals["num_processed"], 1))
+
+    map_seconds = time.time() - t0
+    if totals["num_mapped"] < opts.min_assigned_frags:
+        raise InsufficientAssignedFragments(
+            f"salmon_tpu was only able to assign {totals['num_mapped']} "
+            f"fragments (min required: {opts.min_assigned_frags})")
+
+    eq = acc.finish()
+    # decoys never enter eq classes (filtered on device), but keep shapes for
+    # valid targets only in the EM (reference dropDecoyTranscripts)
+    n_valid = index.num_valid_targets
+    # single-end keeps the prior FLD (no paired observations), which the
+    # reference likewise uses for its length correction
+    fld_pmf = fld.pmf()
+    eff = effective_lengths(
+        index.lengths[:n_valid], fld_pmf,
+        no_length_correction=opts.no_length_correction,
+        no_effective_length_correction=opts.no_effective_length_correction)
+
+    emc = em_mod.EMConfig(
+        use_vbem=opts.use_vb_opt and not opts.use_em,
+        vb_prior=opts.vb_prior,
+        per_transcript_prior=opts.per_transcript_prior,
+        rel_diff_tolerance=opts.relative_diff_tolerance,
+        max_iterations=opts.max_em_iterations,
+        min_iterations=opts.min_required_iterations)
+    t_em = time.time()
+    res = em_mod.optimize(eq, n_valid, eff,
+                          online_mass=online_mass[:n_valid],
+                          total_mapped=float(totals["num_mapped"]),
+                          config=emc, init_uniform=opts.init_uniform)
+    em_seconds = time.time() - t_em
+    res["map_seconds"] = map_seconds
+    res["em_seconds"] = em_seconds
+    res["em_iters_per_s"] = res["iterations"] / max(em_seconds, 1e-9)
+
+    counts = res["alphas"]
+    tpm = writers.compute_tpm(counts, eff)
+    fmt_counts = {nm: int(fmt_hist_total[i]) for i, nm in
+                  enumerate(libformat.format_names_paired())} if paired \
+        else {nm: int(fmt_hist_total[i]) for i, nm in
+              enumerate(libformat.format_names_single())}
+    return QuantResult(
+        names=index.names[:n_valid], counts=counts, eff_lens=eff, tpm=tpm,
+        num_processed=totals["num_processed"],
+        num_mapped=totals["num_mapped"],
+        num_paired=totals["num_paired"],
+        num_orphans=totals["num_orphans"],
+        em_info=res, fmt_counts=fmt_counts, eq_classes=eq, fld=fld,
+        lib_format=resolved_format or lib_format)
+
+
+def write_outputs(result: QuantResult, index: TranscriptomeIndex,
+                  out_dir: str, opts: SalmonDefaults = DEFAULTS,
+                  cmd_args: Optional[dict] = None,
+                  dump_eq: bool = False) -> None:
+    """Write the full output directory (reference:
+    stageFinalizeMappingOutputs, MappingPipelineStages.cpp:37-203)."""
+    n_valid = index.num_valid_targets
+    writers.write_quant_sf(out_dir, result.names,
+                           index.complete_lengths[:n_valid],
+                           result.eff_lens, result.counts,
+                           sig_digits=opts.sig_digits)
+    writers.write_cmd_info(out_dir, cmd_args or {})
+    num_compat = sum(result.fmt_counts.get(k, 0) for k in
+                     (result.lib_format,)) if result.lib_format in \
+        result.fmt_counts else result.num_mapped
+    writers.write_lib_format_counts(
+        out_dir, result.lib_format, result.fmt_counts, num_compat,
+        result.num_processed, result.num_mapped)
+    aux = "aux_info"
+    pm = (100.0 * result.num_mapped / result.num_processed
+          if result.num_processed else 0.0)
+    writers.write_meta_info(out_dir, aux, {
+        "opt_type": "vb" if (opts.use_vb_opt and not opts.use_em) else "em",
+        "num_libraries": 1,
+        "library_types": [result.lib_format],
+        "frag_dist_length": opts.max_frag_length + 1,
+        "seq_bias_correct": opts.seq_bias_correct,
+        "gc_bias_correct": opts.gc_bias_correct,
+        "num_bias_bins": 4096,
+        "mapping_type": "mapping",
+        "keep_duplicates": index.info.get("keep_duplicates", True),
+        "num_valid_targets": n_valid,
+        "num_decoy_targets": index.num_targets - n_valid,
+        "num_eq_classes": result.eq_classes.num_classes
+        if result.eq_classes is not None else 0,
+        "serialized_eq_classes": dump_eq,
+        "eq_class_properties": ["range_factorized"]
+        if opts.range_factorization_bins > 0 else [],
+        "length_classes": [],
+        "index_seq_hash": index.info.get("SeqHash256", ""),
+        "index_name_hash": index.info.get("NameHash256", ""),
+        "num_processed": result.num_processed,
+        "num_mapped": result.num_mapped,
+        "num_decoy_fragments": 0,
+        "num_dovetail_fragments": 0,
+        "num_fragments_filtered_vm": 0,
+        "num_alignments_below_threshold_for_mapped_fragments_vm": 0,
+        "percent_mapped": pm,
+        "call": "quant",
+        "num_em_iterations": result.em_info.get("iterations", 0),
+        "em_converged": result.em_info.get("converged", False),
+        "fld_summary": result.fld.summary() if result.fld else {},
+    })
+    if result.fld is not None:
+        writers.write_fld(out_dir, aux, result.fld.pmf())
+    if result.eq_classes is not None:
+        writers.write_ambig_info(out_dir, aux, n_valid, result.eq_classes)
+        if dump_eq:
+            writers.write_eq_classes(out_dir, aux, result.names,
+                                     result.eq_classes, dump_weights=True)
