@@ -1,0 +1,412 @@
+"""Command-line interface.
+
+Reference: src/cli/Salmon.cpp:161-327 (subcommand table + dual-mode quant
+dispatch) and src/cli/ProgramOptionsGenerator.cpp (flag surface). The flag
+names match the reference exactly so existing pipelines can switch by
+replacing `salmon` with `python -m salmon_tpu` (or the `salmon-tpu`
+console script).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+from salmon_tpu import __version__
+
+logger = logging.getLogger("salmon_tpu")
+
+
+def _setup_logging(out_dir: str | None = None) -> None:
+    """jointLog analog: console + logs/salmon_quant.log
+    (reference processQuantOptions, QuantOptionsUtils.cpp:304-354)."""
+    handlers = [logging.StreamHandler(sys.stderr)]
+    if out_dir:
+        log_dir = os.path.join(out_dir, "logs")
+        os.makedirs(log_dir, exist_ok=True)
+        handlers.append(logging.FileHandler(
+            os.path.join(log_dir, "salmon_quant.log")))
+    logging.basicConfig(
+        level=logging.INFO,
+        format="[%(asctime)s] [%(name)s] [%(levelname)s] %(message)s",
+        handlers=handlers, force=True)
+
+
+def _add_index_parser(sub):
+    p = sub.add_parser("index", help="create a salmon index")
+    p.add_argument("-t", "--transcripts", required=True)
+    p.add_argument("-i", "--index", required=True)
+    p.add_argument("-k", "--kmerLen", type=int, default=31)
+    p.add_argument("-d", "--decoys", default=None,
+                   help="file listing decoy sequence names")
+    p.add_argument("--gencode", action="store_true")
+    p.add_argument("--features", action="store_true",
+                   help="(accepted; feature-barcode input unsupported)")
+    p.add_argument("--keepDuplicates", action="store_true")
+    p.add_argument("-p", "--threads", type=int, default=2)
+    p.add_argument("--filterSize", type=int, default=-1,
+                   help="(accepted; no Bloom pre-filter in this index)")
+    p.add_argument("--tmpdir", default=None)
+    p.add_argument("--no-clip", dest="noClip", action="store_true",
+                   help="do not clip poly-A tails")
+    p.add_argument("-m", "--minimizerLen", type=int, default=19,
+                   help="(accepted; this index is not minimizer-based)")
+    return p
+
+
+def _add_quant_shared(p):
+    """Flags shared between mapping and alignment quant modes."""
+    p.add_argument("-l", "--libType", default="A")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("-p", "--threads", type=int, default=8)
+    p.add_argument("--seqBias", action="store_true")
+    p.add_argument("--gcBias", action="store_true")
+    p.add_argument("--posBias", action="store_true")
+    p.add_argument("--incompatPrior", type=float, default=0.0)
+    p.add_argument("-g", "--geneMap", default=None)
+    p.add_argument("--meta", action="store_true")
+    p.add_argument("--dumpEq", action="store_true")
+    p.add_argument("-d", "--dumpEqWeights", action="store_true")
+    p.add_argument("--minAssignedFrags", type=int, default=10)
+    p.add_argument("--useEM", action="store_true")
+    p.add_argument("--useVBOpt", action="store_true", default=True)
+    p.add_argument("--noLengthCorrection", action="store_true")
+    p.add_argument("--noEffectiveLengthCorrection", action="store_true")
+    p.add_argument("--noFragLengthDist", action="store_true")
+    p.add_argument("--noSingleFragProb", action="store_true")
+    p.add_argument("--rangeFactorizationBins", type=int, default=4)
+    p.add_argument("--numBootstraps", type=int, default=0)
+    p.add_argument("--numGibbsSamples", type=int, default=0)
+    p.add_argument("--thinningFactor", type=int, default=16)
+    p.add_argument("--noGammaDraw", action="store_true")
+    p.add_argument("--bootstrapReproject", action="store_true")
+    p.add_argument("--vbPrior", type=float, default=1e-2)
+    p.add_argument("--perTranscriptPrior", action="store_true",
+                   default=True)
+    p.add_argument("--perNucleotidePrior", action="store_true")
+    p.add_argument("--sigDigits", type=int, default=3)
+    p.add_argument("--initUniform", action="store_true")
+    p.add_argument("--fldMax", type=int, default=1000)
+    p.add_argument("--fldMean", type=float, default=250.0)
+    p.add_argument("--fldSD", type=float, default=25.0)
+    p.add_argument("--forgettingFactor", type=float, default=0.65)
+    p.add_argument("--numBurninFrags", type=int, default=5_000_000)
+    p.add_argument("--numPreAuxModelSamples", type=int, default=5000)
+    p.add_argument("--dontExtrapolateCounts", action="store_true")
+    p.add_argument("--seed", type=int, default=271828,
+                   help="RNG seed for Gibbs/bootstrap draws")
+    p.add_argument("--no-version-check", action="store_true")
+    p.add_argument("-q", "--quiet", action="store_true")
+
+
+def _add_quant_parser(sub):
+    p = sub.add_parser(
+        "quant", help="quantify a sample",
+        description="Mapping-based mode: -i index + -1/-2 or -r reads. "
+        "Alignment-based mode: -a alignments + -t targets. "
+        "Eq-class mode: -e eq_classes directory.")
+    # mapping-mode input
+    p.add_argument("-i", "--index", default=None)
+    p.add_argument("-1", "--mates1", nargs="+", default=None)
+    p.add_argument("-2", "--mates2", nargs="+", default=None)
+    p.add_argument("-r", "--unmatedReads", nargs="+", default=None)
+    # alignment-mode input
+    p.add_argument("-a", "--alignments", nargs="+", default=None)
+    p.add_argument("-t", "--targets", default=None)
+    p.add_argument("-e", "--eqclasses", default=None)
+    p.add_argument("--ont", action="store_true")
+    p.add_argument("--sampleOut", action="store_true")
+    p.add_argument("--sampleUnaligned", action="store_true")
+    p.add_argument("--noErrorModel", action="store_true")
+    p.add_argument("--numErrorBins", type=int, default=6)
+    p.add_argument("--mappingCacheMemoryLimit", type=int, default=2000000)
+    # mapping-specific
+    p.add_argument("--validateMappings", action="store_true", default=True)
+    p.add_argument("--minScoreFraction", type=float, default=0.65)
+    p.add_argument("--consensusSlack", type=float, default=0.35)
+    p.add_argument("--preMergeChainSubThresh", type=float, default=0.75)
+    p.add_argument("--postMergeChainSubThresh", type=float, default=0.9)
+    p.add_argument("--orphanChainSubThresh", type=float, default=0.95)
+    p.add_argument("--scoreExp", type=float, default=1.0)
+    p.add_argument("--ma", "--matchScore", dest="matchScore", type=int,
+                   default=2)
+    p.add_argument("--mp", "--mismatchPenalty", dest="mismatchPenalty",
+                   type=int, default=-4)
+    p.add_argument("--go", "--gapOpenPenalty", dest="gapOpenPenalty",
+                   type=int, default=6)
+    p.add_argument("--ge", "--gapExtendPenalty", dest="gapExtendPenalty",
+                   type=int, default=2)
+    p.add_argument("--bandwidth", type=int, default=15)
+    p.add_argument("--mismatchSeedSkip", type=int, default=3)
+    p.add_argument("--disableChainingHeuristic", action="store_true")
+    p.add_argument("--decoyThreshold", type=float, default=1.0)
+    p.add_argument("--minAlnProb", type=float, default=1e-5)
+    p.add_argument("--maxReadOcc", type=int, default=200)
+    p.add_argument("--maxOccsPerHit", type=int, default=1000)
+    p.add_argument("--hardFilter", action="store_true")
+    p.add_argument("--softclip", action="store_true")
+    p.add_argument("--softclipOverhangs", action="store_true")
+    p.add_argument("--fullLengthAlignment", action="store_true")
+    p.add_argument("--allowDovetail", action="store_true")
+    p.add_argument("--discardOrphans", action="store_true")
+    p.add_argument("--recoverOrphans", action="store_true")
+    p.add_argument("--mimicBT2", action="store_true")
+    p.add_argument("--mimicStrictBT2", action="store_true")
+    p.add_argument("--hitFilterPolicy", default="AFTER",
+                   choices=["AFTER", "BEFORE", "BOTH", "NONE"])
+    p.add_argument("--writeMappings", nargs="?", const="-", default=None)
+    p.add_argument("--writeQualities", action="store_true")
+    p.add_argument("--writeUnmappedNames", action="store_true")
+    p.add_argument("--writeOrphanLinks", action="store_true")
+    p.add_argument("--skipQuant", action="store_true")
+    p.add_argument("--reduceGCMemory", action="store_true")
+    p.add_argument("--biasSpeedSamp", type=int, default=5)
+    p.add_argument("--numBiasSamples", type=int, default=2_000_000)
+    p.add_argument("--numAuxModelSamples", type=int, default=5_000_000)
+    p.add_argument("--auxTargetFile", default=None)
+    p.add_argument("--minAlnProbSE", type=float, default=None,
+                   help=argparse.SUPPRESS)
+    _add_quant_shared(p)
+    return p
+
+
+def _add_quantmerge_parser(sub):
+    p = sub.add_parser("quantmerge",
+                       help="merge multiple quantifications into a matrix")
+    p.add_argument("--quants", nargs="+", required=True)
+    p.add_argument("--names", nargs="+", default=None)
+    p.add_argument("-c", "--column", default="TPM",
+                   choices=["len", "elen", "tpm", "numreads",
+                            "TPM", "NumReads"])
+    p.add_argument("--genes", action="store_true")
+    p.add_argument("--missing", default="NA")
+    p.add_argument("-o", "--output", required=True)
+    return p
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="salmon-tpu",
+        description="salmon_tpu v%s — TPU-native transcript quantification "
+        "(selective alignment + collapsed VBEM)" % __version__)
+    ap.add_argument("-v", "--version", action="version",
+                    version=f"salmon_tpu {__version__}")
+    sub = ap.add_subparsers(dest="command")
+    _add_index_parser(sub)
+    _add_quant_parser(sub)
+    _add_quantmerge_parser(sub)
+    sub.add_parser("alevin", help="(removed upstream; stub)")
+    sub.add_parser("swim", help="perform super-secret operation")
+    return ap
+
+
+def cmd_index(args) -> int:
+    from salmon_tpu.index.builder import build_index, save_index
+
+    _setup_logging()
+    logger.info("building index from %s (k=%d)", args.transcripts,
+                args.kmerLen)
+    idx = build_index(
+        args.transcripts, k=args.kmerLen,
+        decoy_names_path=args.decoys, gencode=args.gencode,
+        keep_duplicates=args.keepDuplicates, noclip_polya=args.noClip)
+    save_index(idx, args.index)
+    logger.info("index written to %s (%d targets, %d decoys, %d k-mers)",
+                args.index, idx.num_valid_targets,
+                idx.num_targets - idx.num_valid_targets,
+                idx.kmers.shape[0])
+    return 0
+
+
+def _opts_from_args(args):
+    from salmon_tpu.constants import SalmonDefaults
+    o = SalmonDefaults()
+    o.seq_bias_correct = args.seqBias
+    o.gc_bias_correct = args.gcBias
+    o.pos_bias_correct = args.posBias
+    o.incompat_prior = args.incompatPrior
+    o.use_em = args.useEM
+    o.use_vb_opt = not args.useEM
+    o.vb_prior = args.vbPrior
+    o.per_transcript_prior = args.perTranscriptPrior
+    o.per_nucleotide_prior = args.perNucleotidePrior
+    o.range_factorization_bins = args.rangeFactorizationBins
+    o.num_bootstraps = args.numBootstraps
+    o.num_gibbs_samples = args.numGibbsSamples
+    o.thinning_factor = args.thinningFactor
+    o.no_gamma_draw = args.noGammaDraw
+    o.bootstrap_reproject = args.bootstrapReproject
+    o.sig_digits = args.sigDigits
+    o.init_uniform = args.initUniform
+    o.max_frag_length = args.fldMax
+    o.frag_len_prior_mean = args.fldMean
+    o.frag_len_prior_sd = args.fldSD
+    o.forgetting_factor = args.forgettingFactor
+    o.num_burnin_frags = args.numBurninFrags
+    o.min_assigned_frags = args.minAssignedFrags
+    o.no_length_correction = args.noLengthCorrection
+    o.no_effective_length_correction = args.noEffectiveLengthCorrection
+    o.no_frag_length_dist = args.noFragLengthDist
+    o.no_single_frag_prob = args.noSingleFragProb
+    o.dont_extrapolate_counts = args.dontExtrapolateCounts
+    if getattr(args, "minScoreFraction", None) is not None:
+        o.min_score_fraction = args.minScoreFraction
+        o.consensus_slack = args.consensusSlack
+        o.score_exp = args.scoreExp
+        o.match_score = args.matchScore
+        o.mismatch_penalty = args.mismatchPenalty
+        o.gap_open_penalty = args.gapOpenPenalty
+        o.gap_extend_penalty = args.gapExtendPenalty
+        o.dp_bandwidth = args.bandwidth
+        o.decoy_threshold = args.decoyThreshold
+        o.min_aln_prob = args.minAlnProb
+        o.max_read_occs = args.maxReadOcc
+        o.max_occs_per_hit = args.maxOccsPerHit
+        o.hard_filter = args.hardFilter
+        o.softclip = args.softclip
+        o.softclip_overhangs = args.softclipOverhangs
+        o.full_length_alignment = args.fullLengthAlignment
+        o.allow_dovetail = args.allowDovetail
+        o.discard_orphans = args.discardOrphans
+        o.recover_orphans = args.recoverOrphans
+        o.mismatch_seed_skip = args.mismatchSeedSkip
+        o.hit_filter_policy = args.hitFilterPolicy
+    return o
+
+
+def cmd_quant(args) -> int:
+    _setup_logging(args.output)
+    cmd_args = {k: v for k, v in vars(args).items()
+                if v is not None and k != "command"}
+
+    if args.eqclasses:
+        from salmon_tpu.alignment.eqmode import quantify_eqclasses
+        return quantify_eqclasses(args, _opts_from_args(args), cmd_args)
+    if args.alignments:
+        from salmon_tpu.alignment.quant import quantify_alignments
+        return quantify_alignments(args, _opts_from_args(args), cmd_args)
+
+    if not args.index:
+        logger.error("mapping-based mode requires -i/--index")
+        return 1
+    if not (args.mates1 and args.mates2) and not args.unmatedReads:
+        logger.error("provide -1/-2 (paired) or -r (single-end) reads")
+        return 1
+
+    from salmon_tpu.index.builder import load_index
+    from salmon_tpu.quant import (InsufficientAssignedFragments, quantify,
+                                  write_outputs)
+    from salmon_tpu.io import writers
+
+    opts = _opts_from_args(args)
+    index = load_index(args.index)
+    try:
+        result = quantify(
+            index, args.libType,
+            args.mates1 or args.unmatedReads, args.mates2, opts=opts,
+            progress=not args.quiet)
+    except InsufficientAssignedFragments as e:
+        logger.error(str(e))
+        n = index.num_valid_targets
+        writers.write_empty_outputs(args.output, "aux_info",
+                                    index.names[:n],
+                                    index.complete_lengths[:n])
+        return 1
+    write_outputs(result, index, args.output, opts=opts,
+                  cmd_args=cmd_args,
+                  dump_eq=args.dumpEq or args.dumpEqWeights)
+    if args.geneMap:
+        from salmon_tpu.utils.genemap import aggregate_quant_sf
+        aggregate_quant_sf(os.path.join(args.output, "quant.sf"),
+                           args.geneMap)
+    logger.info("quantification written to %s", args.output)
+    return 0
+
+
+def cmd_quantmerge(args) -> int:
+    """Reference: src/commands/SalmonQuantMerge.cpp:219."""
+    from salmon_tpu.io.writers import read_quant_sf
+
+    _setup_logging()
+    col_map = {"len": "Length", "elen": "EffectiveLength", "tpm": "TPM",
+               "TPM": "TPM", "numreads": "NumReads",
+               "NumReads": "NumReads"}
+    col = col_map[args.column]
+    names = args.names or [os.path.basename(os.path.normpath(q))
+                           for q in args.quants]
+    if len(names) != len(args.quants):
+        logger.error("--names length must match --quants")
+        return 1
+    fname = "quant.genes.sf" if args.genes else "quant.sf"
+    tables = []
+    for q in args.quants:
+        path = os.path.join(q, fname)
+        if not os.path.exists(path):
+            logger.error("missing %s", path)
+            return 1
+        tables.append(read_quant_sf(path))
+    all_targets: list[str] = []
+    seen = set()
+    for t in tables:
+        for nm in t["Name"]:
+            if nm not in seen:
+                seen.add(nm)
+                all_targets.append(nm)
+    per_sample = [dict(zip(t["Name"], t[col])) for t in tables]
+    with open(args.output, "w") as fh:
+        fh.write("Name\t" + "\t".join(names) + "\n")
+        for tgt in all_targets:
+            row = [tgt]
+            for s in per_sample:
+                v = s.get(tgt)
+                row.append(args.missing if v is None else f"{v:g}")
+            fh.write("\t".join(row) + "\n")
+    logger.info("merged %d samples x %d targets -> %s", len(tables),
+                len(all_targets), args.output)
+    return 0
+
+
+def cmd_alevin() -> int:
+    """Reference: src/commands/AlevinRemoved.cpp:7-18."""
+    sys.stderr.write(
+        "The single-cell processing functionality (alevin) was removed "
+        "upstream in this refactor line and is not part of salmon_tpu.\n"
+        "Please use alevin-fry (https://github.com/COMBINE-lab/alevin-fry) "
+        "for single-cell quantification.\n")
+    return 1
+
+
+def cmd_swim() -> int:
+    sys.stdout.write(r"""
+    _____       .__
+   /  ___
+   \___ \_____  |  |  _____   ____   ____      TPU
+  /____  \__  \ |  |  /     \ /  _ \ /    \    ~~~~~>
+ /       \/ __ \|  |_|  Y Y  (  <_> )   |  \   ><(((°>
+/______  (____  /____/__|_|  /\____/|___|  /
+       \/     \/           \/            \/
+""")
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = build_parser()
+    args = ap.parse_args(argv)
+    if args.command == "index":
+        return cmd_index(args)
+    if args.command == "quant":
+        return cmd_quant(args)
+    if args.command == "quantmerge":
+        return cmd_quantmerge(args)
+    if args.command == "alevin":
+        return cmd_alevin()
+    if args.command == "swim":
+        return cmd_swim()
+    ap.print_help()
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -237,10 +237,9 @@ def _filter_and_weight(joined: dict, fld_logpmf, compat_paired,
     return eq_txp, eq_w, frag_ok, aln_valid, wn, eq_bins
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def map_paired_batch(batch: dict, dev: dict, cfg: MapperConfig,
-                     fld_logpmf=None, compat_paired=None,
-                     compat_orphan=None):
+def map_paired_batch_impl(batch: dict, dev: dict, cfg: MapperConfig,
+                          fld_logpmf=None, compat_paired=None,
+                          compat_orphan=None):
     """Map one paired-end batch end-to-end.
 
     batch: dict with codes_l/lengths_l/codes_r/lengths_r.
@@ -313,9 +312,8 @@ def map_paired_batch(batch: dict, dev: dict, cfg: MapperConfig,
     }
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def map_single_batch(batch: dict, dev: dict, cfg: MapperConfig,
-                     fld_logpmf=None, compat_single=None):
+def map_single_batch_impl(batch: dict, dev: dict, cfg: MapperConfig,
+                          fld_logpmf=None, compat_single=None):
     """Map one single-end batch (reference: processReads single-end
     overload, SalmonQuantify.cpp:1881-2325)."""
     cand, start = _map_one_end(batch["codes"], batch["lengths"], dev, cfg)
@@ -363,3 +361,10 @@ def map_single_batch(batch: dict, dev: dict, cfg: MapperConfig,
         "fld_hist": jnp.zeros(cfg.fld_max + 1, jnp.float32),
         "fmt_hist": fmt_hist,
     }
+
+
+# jitted single-device entry points (cfg is static)
+map_paired_batch = functools.partial(jax.jit, static_argnums=(2,))(
+    map_paired_batch_impl)
+map_single_batch = functools.partial(jax.jit, static_argnums=(2,))(
+    map_single_batch_impl)

@@ -5,11 +5,20 @@ Must set env vars before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU for tests (the ambient env may point at a real TPU); the
+# virtual 8-device mesh exercises all sharding paths
+if not os.environ.get("SALMON_TPU_TEST_DEVICE"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+if not os.environ.get("SALMON_TPU_TEST_DEVICE"):
+    # belt-and-braces: the axon TPU plugin can win over the env var
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
