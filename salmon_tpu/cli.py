@@ -316,7 +316,8 @@ def cmd_quant(args) -> int:
         return 1
     write_outputs(result, index, args.output, opts=opts,
                   cmd_args=cmd_args,
-                  dump_eq=args.dumpEq or args.dumpEqWeights)
+                  dump_eq=args.dumpEq or args.dumpEqWeights,
+                  seed=args.seed)
     if args.geneMap:
         from salmon_tpu.utils.genemap import aggregate_quant_sf
         aggregate_quant_sf(os.path.join(args.output, "quant.sf"),

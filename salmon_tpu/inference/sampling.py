@@ -1,0 +1,267 @@
+"""Posterior sampling: Gibbs chains and bootstrap replicates.
+
+Reference: src/inference/CollapsedGibbsSampler.cpp (Turro-style
+non-collapsed sampler, sampleRoundNonCollapsedMultithreaded_ :93-180,
+sample :318-520) and CollapsedEMOptimizer.cpp doBootstrap (:398-530) /
+gatherBootstraps (:555-689).
+
+TPU design: equivalence classes are padded to a dense (C, S) member matrix
+(S = max class size, bounded by the mapper's T2 cap). A multinomial
+redistribution of each class's count over its members is computed for ALL
+classes at once with a conditional-binomial scan over the S member slots
+(each step: one vectorized jax.random.binomial draw). Gibbs chains run as
+a lax.scan over samples (thinningFactor internal rounds each); bootstrap
+replicates vmap over the same dense update (SURVEY.md §2.11 item 6).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from salmon_tpu.constants import DEFAULTS
+from salmon_tpu.inference.em import MIN_EQ_WEIGHT, DIGAMMA_MIN
+from salmon_tpu.inference.eqclasses import PackedEqClasses
+
+GIBBS_BETA = 0.1  # reference: beta in sampleRoundNonCollapsedMultithreaded_
+
+
+def dense_classes(eq: PackedEqClasses, num_txps: int):
+    """Pad CSR classes to dense (C, S) numpy arrays.
+
+    Returns dict with labels (C, S) int32, aux (C, S) f32 (class-normalized
+    aux weights), mask (C, S) bool, counts (C,) f32.
+    """
+    C = eq.num_classes
+    S = max(1, int(eq.class_sizes.max())) if C else 1
+    labels = np.zeros((C, S), dtype=np.int32)
+    aux = np.zeros((C, S), dtype=np.float32)
+    mask = np.zeros((C, S), dtype=bool)
+    for j in range(C):
+        lo, hi = eq.offsets[j], eq.offsets[j + 1]
+        n = hi - lo
+        labels[j, :n] = eq.labels[lo:hi]
+        aux[j, :n] = eq.weights[lo:hi]
+        mask[j, :n] = True
+    return {
+        "labels": jnp.asarray(labels),
+        "aux": jnp.asarray(aux),
+        "mask": jnp.asarray(mask),
+        "counts": jnp.asarray(eq.counts.astype(np.float32)),
+    }, S
+
+
+def multinomial_rows(key, n, probs, mask):
+    """Draw Multinomial(n_j, probs_j) for every row j at once.
+
+    Conditional-binomial method: slot i gets
+    Binomial(remaining_j, p_i / tail_p_j). probs need not be normalized.
+    n: (C,) float counts; probs/mask: (C, S). Returns (C, S) float32.
+    """
+    C, S = probs.shape
+    p = jnp.where(mask, probs, 0.0)
+    tail = jnp.cumsum(p[:, ::-1], axis=1)[:, ::-1]  # sum of p[:, i:]
+
+    def body(i, carry):
+        remaining, out, key = carry
+        key, sub = jax.random.split(key)
+        pi = p[:, i]
+        ti = tail[:, i]
+        frac = jnp.where(ti > MIN_EQ_WEIGHT, pi / jnp.maximum(ti, 1e-30),
+                         1.0)
+        frac = jnp.clip(frac, 0.0, 1.0)
+        is_last = (i == S - 1) | (ti - pi <= MIN_EQ_WEIGHT)
+        draw = jax.random.binomial(sub, remaining.astype(jnp.float32),
+                                   frac).astype(jnp.float32)
+        draw = jnp.where(is_last, remaining, draw)
+        draw = jnp.where(mask[:, i], draw, 0.0)
+        out = out.at[:, i].set(draw)
+        remaining = remaining - draw
+        return remaining, out, key
+
+    remaining0 = n.astype(jnp.float32)
+    out0 = jnp.zeros((C, S), jnp.float32)
+    _, out, _ = jax.lax.fori_loop(0, S, body, (remaining0, out0, key))
+    return out
+
+
+def _gibbs_round(key, txp_count, dcls, prior, eff_lens, num_txps: int,
+                 no_gamma_draw: bool):
+    """One internal Gibbs round: mu draw + multinomial reassignment."""
+    k_mu, k_mult = jax.random.split(key)
+    ci = txp_count + prior
+    if no_gamma_draw:
+        mu = ci / jnp.maximum(eff_lens, 1.0)
+    else:
+        # Gamma(ci, scale=1/(beta + effLen))
+        g = jax.random.gamma(k_mu, jnp.maximum(ci, 1e-6))
+        mu = g / (GIBBS_BETA + eff_lens)
+
+    probs = (1000.0 * jnp.take(mu, dcls["labels"], mode="clip")
+             * dcls["aux"])
+    # degenerate-denominator fallbacks (reference :103-130): 1/effLen, then
+    # uniform
+    denom = jnp.sum(jnp.where(dcls["mask"], probs, 0.0), axis=1,
+                    keepdims=True)
+    el_fallback = 1.0 / jnp.maximum(
+        jnp.take(eff_lens, dcls["labels"], mode="clip"), 1.0)
+    probs = jnp.where(denom > MIN_EQ_WEIGHT, probs, el_fallback)
+    denom2 = jnp.sum(jnp.where(dcls["mask"], probs, 0.0), axis=1,
+                     keepdims=True)
+    probs = jnp.where(denom2 > MIN_EQ_WEIGHT, probs,
+                      jnp.ones_like(probs))
+
+    assign = multinomial_rows(k_mult, dcls["counts"], probs, dcls["mask"])
+    flat_labels = dcls["labels"].reshape(-1)
+    flat_assign = jnp.where(dcls["mask"], assign, 0.0).reshape(-1)
+    return jax.ops.segment_sum(flat_assign, flat_labels,
+                               num_segments=num_txps)
+
+
+def gibbs_samples(eq: PackedEqClasses, num_txps: int, eff_lens: np.ndarray,
+                  init_counts: np.ndarray, num_samples: int,
+                  thinning: int = DEFAULTS.thinning_factor,
+                  prior: np.ndarray | float = 1e-3,
+                  no_gamma_draw: bool = False,
+                  seed: int = 271828) -> np.ndarray:
+    """Generate `num_samples` posterior count draws.
+
+    Multiple chains restart from the initial EM estimate exactly as the
+    reference (nchains keyed off numSamples, sample :425-437). Returns
+    (num_samples, num_txps) float32 counts.
+    """
+    dcls, S = dense_classes(eq, num_txps)
+    eff = jnp.asarray(np.maximum(eff_lens, 1.0), jnp.float32)
+    pri = jnp.asarray(np.broadcast_to(np.asarray(prior, np.float64),
+                                      (num_txps,)), jnp.float32)
+    init = jnp.asarray(init_counts, jnp.float32)
+
+    nchains = 1
+    if num_samples >= 200:
+        nchains = 8
+    elif num_samples >= 100:
+        nchains = 4
+    elif num_samples >= 50:
+        nchains = 2
+    per_chain = -(-num_samples // nchains)
+
+    @jax.jit
+    def one_chain(key):
+        def sample_step(carry, _):
+            txp_count, key = carry
+            def thin_round(i, c):
+                tc, k = c
+                k, sub = jax.random.split(k)
+                return _gibbs_round(sub, tc, dcls, pri, eff, num_txps,
+                                    no_gamma_draw), k
+            txp_count, key = jax.lax.fori_loop(
+                0, thinning, thin_round, (txp_count, key))
+            return (txp_count, key), txp_count
+        (_, _), samples = jax.lax.scan(
+            sample_step, (init, key), None, length=per_chain)
+        return samples
+
+    keys = jax.random.split(jax.random.PRNGKey(seed), nchains)
+    all_s = jax.vmap(one_chain)(keys)  # (nchains, per_chain, T)
+    out = np.asarray(all_s).reshape(-1, num_txps)[:num_samples]
+    return out
+
+
+def bootstrap_samples(eq: PackedEqClasses, num_txps: int,
+                      eff_lens: np.ndarray, num_boot: int,
+                      use_vbem: bool, vb_prior: float,
+                      per_transcript_prior: bool,
+                      active_mask: np.ndarray | None = None,
+                      reproject: bool = False,
+                      tol: float = DEFAULTS.relative_diff_tolerance,
+                      max_iter: int = DEFAULTS.max_em_iterations,
+                      seed: int = 271828) -> np.ndarray:
+    """Bootstrap replicates: multinomial resample of class counts, then an
+    independent EM/VBEM per replicate (vmapped).
+
+    Returns (num_boot, num_txps) float64 counts.
+    """
+    from salmon_tpu.inference import em as em_mod
+
+    dcls, S = dense_classes(eq, num_txps)
+    eff = jnp.asarray(np.maximum(eff_lens, 1.0), jnp.float32)
+    total = float(eq.counts.sum())
+    C = eq.num_classes
+    pri = jnp.asarray(em_mod.prior_alphas(
+        num_txps, np.asarray(eff_lens), vb_prior, per_transcript_prior),
+        jnp.float32)
+    if active_mask is None:
+        active = np.zeros(num_txps, dtype=bool)
+        active[eq.labels] = True
+    else:
+        active = active_mask
+    uniform = float(1.0 / max(1, active.sum()))
+    alpha0 = jnp.asarray(np.where(active, uniform * total, 0.0),
+                         jnp.float32)
+    active_j = jnp.asarray(active)
+
+    # dense-form combined weights: count * aux / effLen, class-normalized
+    el = jnp.maximum(jnp.take(eff, dcls["labels"], mode="clip"), 1.0)
+    cw = jnp.where(dcls["mask"], dcls["aux"] / el, 0.0)
+    cw_sum = jnp.sum(cw, axis=1, keepdims=True)
+    cw = jnp.where(cw_sum > 0, cw / jnp.maximum(cw_sum, 1e-30), 0.0)
+    is_singleton = jnp.sum(dcls["mask"], axis=1, keepdims=True) == 1
+
+    def dense_update(alpha, counts):
+        base = alpha
+        if use_vbem:
+            ap = alpha + pri
+            log_norm = jax.scipy.special.digamma(jnp.sum(ap))
+            base = jnp.where(
+                ap > DIGAMMA_MIN,
+                jnp.exp(jax.scipy.special.digamma(
+                    jnp.maximum(ap, DIGAMMA_MIN)) - log_norm), 0.0)
+            base = jnp.where(active_j, base, 0.0)
+        gamma = jnp.take(base, dcls["labels"], mode="clip") * cw
+        gamma = jnp.where(dcls["mask"], gamma, 0.0)
+        denom = jnp.sum(gamma, axis=1, keepdims=True)
+        contrib = jnp.where(denom > MIN_EQ_WEIGHT,
+                            counts[:, None] * gamma
+                            / jnp.maximum(denom, MIN_EQ_WEIGHT), 0.0)
+        contrib = jnp.where(is_singleton & dcls["mask"],
+                            counts[:, None], contrib)
+        return jax.ops.segment_sum(
+            jnp.where(dcls["mask"], contrib, 0.0).reshape(-1),
+            dcls["labels"].reshape(-1), num_segments=num_txps)
+
+    min_iter = 50
+    cutoff = DEFAULTS.alpha_check_cutoff
+
+    @jax.jit
+    def one_replicate(key):
+        # multinomial resample over classes (reference csamp over
+        # sampleWeights = class counts)
+        counts = multinomial_rows(
+            key, jnp.asarray([total], jnp.float32),
+            dcls["counts"][None, :], jnp.ones((1, C), bool))[0]
+
+        def cond(state):
+            _, it, converged = state
+            return (it < min_iter) | ((it < max_iter) & ~converged)
+
+        def body(state):
+            alpha, it, _ = state
+            alpha_p = dense_update(alpha, counts)
+            check = alpha_p > cutoff
+            rel = jnp.where(check, jnp.abs(alpha - alpha_p)
+                            / jnp.maximum(alpha_p, 1e-30), 0.0)
+            return alpha_p, it + 1, jnp.max(rel) <= tol
+
+        alpha, _, _ = jax.lax.while_loop(
+            cond, body, (alpha0, jnp.int32(0), jnp.bool_(False)))
+        if reproject:
+            alpha = dense_update(alpha, dcls["counts"])
+        alpha = jnp.where(alpha < DEFAULTS.min_alpha, 0.0, alpha)
+        return alpha
+
+    keys = jax.random.split(jax.random.PRNGKey(seed ^ 0x5A17), num_boot)
+    out = jax.vmap(one_replicate)(keys)
+    return np.asarray(out, dtype=np.float64)

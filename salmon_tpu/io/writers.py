@@ -178,6 +178,32 @@ def write_ambig_info(out_dir: str, aux_dir: str, num_txps: int, eq) -> str:
     return path
 
 
+def write_bootstraps(out_dir: str, aux_dir: str, names: Sequence[str],
+                     samples: np.ndarray) -> str:
+    """bootstrap/bootstraps.gz (raw little-endian float64, one row of
+    num_txps doubles per sample) + names.tsv.gz (reference writeBootstrap,
+    GZipWriter.cpp:766-820; TextBootstrapWriter layout)."""
+    d = os.path.join(out_dir, aux_dir, "bootstrap")
+    os.makedirs(d, exist_ok=True)
+    with gzip.open(os.path.join(d, "names.tsv.gz"), "wt") as fh:
+        fh.write("\t".join(names) + "\n")
+    path = os.path.join(d, "bootstraps.gz")
+    with gzip.open(path, "wb") as fh:
+        fh.write(np.ascontiguousarray(samples,
+                                      dtype=np.float64).tobytes())
+    return path
+
+
+def read_bootstraps(out_dir: str, aux_dir: str = "aux_info"):
+    """Read back (names, (S, T) array) from a bootstrap directory."""
+    d = os.path.join(out_dir, aux_dir, "bootstrap")
+    with gzip.open(os.path.join(d, "names.tsv.gz"), "rt") as fh:
+        names = fh.read().strip("\n").split("\t")
+    with gzip.open(os.path.join(d, "bootstraps.gz"), "rb") as fh:
+        raw = np.frombuffer(fh.read(), dtype=np.float64)
+    return names, raw.reshape(-1, len(names))
+
+
 def write_empty_outputs(out_dir: str, aux_dir: str, names: Sequence[str],
                         complete_lengths: np.ndarray,
                         error: str = "insufficient_assigned_fragments"

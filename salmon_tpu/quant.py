@@ -235,10 +235,44 @@ def quantify(
         lib_format=resolved_format or lib_format)
 
 
+def _posterior_samples(result: QuantResult, opts: SalmonDefaults,
+                       seed: int):
+    """Gibbs or bootstrap draws (reference: stageFinalizeMappingOutputs
+    :63-98). Returns (samples, samp_type) or (None, 'none')."""
+    from salmon_tpu.inference import sampling
+
+    n = len(result.names)
+    if opts.num_gibbs_samples > 0:
+        # Gibbs prior floors (reference CollapsedGibbsSampler::sample
+        # :356-368)
+        use_vb = opts.use_vb_opt and not opts.use_em
+        if use_vb:
+            prior = max(opts.vb_prior, 1.0) if opts.per_transcript_prior \
+                else max(opts.vb_prior, 1e-3)
+        else:
+            prior = 1e-3
+        if not opts.per_transcript_prior:
+            prior = prior * np.maximum(result.eff_lens, 1.0)
+        samples = sampling.gibbs_samples(
+            result.eq_classes, n, result.eff_lens, result.counts,
+            opts.num_gibbs_samples, thinning=opts.thinning_factor,
+            prior=prior, no_gamma_draw=opts.no_gamma_draw, seed=seed)
+        return samples, "gibbs"
+    if opts.num_bootstraps > 0:
+        samples = sampling.bootstrap_samples(
+            result.eq_classes, n, result.eff_lens, opts.num_bootstraps,
+            use_vbem=opts.use_vb_opt and not opts.use_em,
+            vb_prior=opts.vb_prior,
+            per_transcript_prior=opts.per_transcript_prior,
+            reproject=opts.bootstrap_reproject, seed=seed)
+        return samples, "bootstrap"
+    return None, "none"
+
+
 def write_outputs(result: QuantResult, index: TranscriptomeIndex,
                   out_dir: str, opts: SalmonDefaults = DEFAULTS,
                   cmd_args: Optional[dict] = None,
-                  dump_eq: bool = False) -> None:
+                  dump_eq: bool = False, seed: int = 271828) -> None:
     """Write the full output directory (reference:
     stageFinalizeMappingOutputs, MappingPipelineStages.cpp:37-203)."""
     n_valid = index.num_valid_targets
@@ -254,10 +288,19 @@ def write_outputs(result: QuantResult, index: TranscriptomeIndex,
         out_dir, result.lib_format, result.fmt_counts, num_compat,
         result.num_processed, result.num_mapped)
     aux = "aux_info"
+    samples, samp_type = (None, "none")
+    if result.eq_classes is not None and result.eq_classes.num_classes:
+        samples, samp_type = _posterior_samples(result, opts, seed)
+    if samples is not None:
+        writers.write_bootstraps(out_dir, aux, result.names, samples)
     pm = (100.0 * result.num_mapped / result.num_processed
           if result.num_processed else 0.0)
     writers.write_meta_info(out_dir, aux, {
         "opt_type": "vb" if (opts.use_vb_opt and not opts.use_em) else "em",
+        "samp_type": samp_type,
+        "num_bootstraps": (opts.num_gibbs_samples
+                           if samp_type == "gibbs"
+                           else opts.num_bootstraps),
         "num_libraries": 1,
         "library_types": [result.lib_format],
         "frag_dist_length": opts.max_frag_length + 1,

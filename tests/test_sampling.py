@@ -1,0 +1,118 @@
+"""Gibbs sampler and bootstrap tests against analytic expectations."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from salmon_tpu.inference import sampling
+from salmon_tpu.inference.eqclasses import PackedEqClasses
+
+
+def _toy_eq():
+    """3 transcripts: class {0} c=100, class {1,2} c=200 (equal aux),
+    class {0,1} c=50."""
+    labels = np.array([0, 1, 2, 0, 1], dtype=np.int32)
+    weights = np.array([1.0, 0.5, 0.5, 0.5, 0.5])
+    offsets = np.array([0, 1, 3, 5], dtype=np.int64)
+    counts = np.array([100.0, 200.0, 50.0])
+    sizes = np.array([1, 2, 2], dtype=np.int32)
+    return PackedEqClasses(labels=labels, weights=weights, offsets=offsets,
+                           counts=counts, class_sizes=sizes)
+
+
+def test_multinomial_rows_marginals():
+    key = jax.random.PRNGKey(0)
+    probs = jnp.asarray([[0.5, 0.3, 0.2], [0.1, 0.1, 0.8]])
+    mask = jnp.ones((2, 3), bool)
+    n = jnp.asarray([1000.0, 1000.0])
+    draws = []
+    for i in range(200):
+        k = jax.random.fold_in(key, i)
+        draws.append(np.asarray(sampling.multinomial_rows(k, n, probs,
+                                                          mask)))
+    d = np.stack(draws)
+    # every draw conserves the total
+    np.testing.assert_array_equal(d.sum(axis=2), 1000.0)
+    mean = d.mean(axis=0)
+    np.testing.assert_allclose(mean[0], [500, 300, 200], rtol=0.05)
+    np.testing.assert_allclose(mean[1], [100, 100, 800], rtol=0.07)
+
+
+def test_multinomial_rows_masked_slots():
+    key = jax.random.PRNGKey(1)
+    probs = jnp.asarray([[0.5, 0.5, 0.5]])
+    mask = jnp.asarray([[True, True, False]])
+    d = np.asarray(sampling.multinomial_rows(
+        key, jnp.asarray([100.0]), probs, mask))
+    assert d[0, 2] == 0.0
+    assert d.sum() == 100.0
+
+
+def test_gibbs_conserves_counts_and_centers():
+    eq = _toy_eq()
+    eff = np.array([100.0, 100.0, 100.0])
+    init = np.array([125.0, 150.0, 75.0])
+    s = sampling.gibbs_samples(eq, 3, eff, init, num_samples=40,
+                               thinning=4, prior=1e-3, seed=3)
+    assert s.shape == (40, 3)
+    # every sample redistributes exactly the 350 fragments
+    np.testing.assert_allclose(s.sum(axis=1), 350.0, rtol=1e-6)
+    # txp0 gets >= its unique class count, txp1+txp2 >= 200
+    assert (s[:, 0] >= 100 - 1e-6).all()
+    assert (s[:, 1] + s[:, 2] >= 200 - 1e-6).all()
+
+
+def test_gibbs_no_gamma_draw_low_variance():
+    eq = _toy_eq()
+    eff = np.array([100.0, 100.0, 100.0])
+    init = np.array([125.0, 150.0, 75.0])
+    s_g = sampling.gibbs_samples(eq, 3, eff, init, num_samples=30,
+                                 thinning=4, seed=5)
+    s_p = sampling.gibbs_samples(eq, 3, eff, init, num_samples=30,
+                                 thinning=4, no_gamma_draw=True, seed=5)
+    # point-mass mu (noGammaDraw) removes shot noise -> lower variance
+    assert s_p[:, 1].std() <= s_g[:, 1].std() * 1.5
+
+
+def test_bootstrap_shapes_and_totals():
+    eq = _toy_eq()
+    eff = np.array([100.0, 100.0, 100.0])
+    b = sampling.bootstrap_samples(eq, 3, eff, num_boot=16,
+                                   use_vbem=False, vb_prior=1e-2,
+                                   per_transcript_prior=True, seed=11)
+    assert b.shape == (16, 3)
+    # each replicate assigns ~total fragments (multinomial total conserved)
+    np.testing.assert_allclose(b.sum(axis=1), 350.0, rtol=0.01)
+    # replicates differ (resampling actually happened)
+    assert np.std(b[:, 1]) > 0
+
+
+def test_bootstrap_vbem_runs():
+    eq = _toy_eq()
+    eff = np.array([100.0, 100.0, 100.0])
+    b = sampling.bootstrap_samples(eq, 3, eff, num_boot=4,
+                                   use_vbem=True, vb_prior=1e-2,
+                                   per_transcript_prior=True, seed=13)
+    assert np.isfinite(b).all()
+    assert (b >= 0).all()
+
+
+def test_cli_gibbs_outputs(tmp_path, sample_data_dir):
+    import os
+    from salmon_tpu.cli import main
+    from salmon_tpu.io.writers import read_bootstraps
+
+    idx = str(tmp_path / "idx")
+    assert main(["index", "-t",
+                 os.path.join(sample_data_dir, "transcripts.fasta"),
+                 "-i", idx, "-k", "25"]) == 0
+    out = str(tmp_path / "q")
+    assert main(["quant", "-i", idx, "-l", "IU",
+                 "-1", os.path.join(sample_data_dir, "reads_1.fastq"),
+                 "-2", os.path.join(sample_data_dir, "reads_2.fastq"),
+                 "-o", out, "--numGibbsSamples", "8", "-q"]) == 0
+    names, samples = read_bootstraps(out)
+    assert samples.shape[0] == 8
+    assert len(names) == 15
+    assert (samples.sum(axis=1) > 0).all()
