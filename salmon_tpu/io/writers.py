@@ -132,18 +132,25 @@ def write_fld(out_dir: str, aux_dir: str, fld_pmf: np.ndarray) -> str:
 
 
 def write_eq_classes(out_dir: str, aux_dir: str, names: Sequence[str],
-                     eq, dump_weights: bool = False) -> str:
+                     eq, dump_weights: bool = False,
+                     eff_lens: Optional[np.ndarray] = None) -> str:
     """eq_classes.txt.gz (reference writeEquivCounts, GZipWriter.cpp:65-130):
       num_txps \n num_classes \n names... \n
       per class: group_size txp_ids... [weights...] count
+    Name lines optionally carry effective lengths (`name\\tefflen`), the
+    extension salmon::utils::readEquivCounts understands — this makes
+    `quant -e` re-quantification exact.
     """
     d = os.path.join(out_dir, aux_dir)
     os.makedirs(d, exist_ok=True)
     path = os.path.join(d, "eq_classes.txt.gz")
     with gzip.open(path, "wt") as fh:
         fh.write(f"{len(names)}\n{eq.num_classes}\n")
-        for nm in names:
-            fh.write(f"{nm}\n")
+        for i, nm in enumerate(names):
+            if eff_lens is not None:
+                fh.write(f"{nm}\t{eff_lens[i]:.6f}\n")
+            else:
+                fh.write(f"{nm}\n")
         for j in range(eq.num_classes):
             lo, hi = eq.offsets[j], eq.offsets[j + 1]
             lab = eq.labels[lo:hi]
@@ -202,6 +209,51 @@ def read_bootstraps(out_dir: str, aux_dir: str = "aux_info"):
     with gzip.open(os.path.join(d, "bootstraps.gz"), "rb") as fh:
         raw = np.frombuffer(fh.read(), dtype=np.float64)
     return names, raw.reshape(-1, len(names))
+
+
+def _write_matrix_gz(path: str, mat: np.ndarray) -> None:
+    """Binary dump: int64 rows, int64 cols, float64 row-major data."""
+    m = np.asarray(mat, dtype=np.float64)
+    with gzip.open(path, "wb") as fh:
+        fh.write(np.array(m.shape, dtype=np.int64).tobytes())
+        fh.write(np.ascontiguousarray(m).tobytes())
+
+
+def read_matrix_gz(path: str) -> np.ndarray:
+    with gzip.open(path, "rb") as fh:
+        raw = fh.read()
+    r, c = np.frombuffer(raw[:16], dtype=np.int64)
+    return np.frombuffer(raw[16:], dtype=np.float64).reshape(r, c)
+
+
+def write_bias_models(out_dir: str, aux_dir: str, bias_state,
+                      opts) -> None:
+    """Bias model dumps (reference GZipWriter.cpp:329-487: obs5_seq.gz,
+    exp5_seq.gz, obs_gc.gz, exp_gc.gz, obs5_pos.gz, ...)."""
+    d = os.path.join(out_dir, aux_dir)
+    os.makedirs(d, exist_ok=True)
+    obs = bias_state.obs
+    if opts.seq_bias_correct:
+        _write_matrix_gz(os.path.join(d, "obs5_seq.gz"), obs.obs5)
+        _write_matrix_gz(os.path.join(d, "obs3_seq.gz"), obs.obs3)
+        if hasattr(bias_state, "exp5_counts"):
+            _write_matrix_gz(os.path.join(d, "exp5_seq.gz"),
+                             bias_state.exp5_counts)
+            _write_matrix_gz(os.path.join(d, "exp3_seq.gz"),
+                             bias_state.exp3_counts)
+    if opts.gc_bias_correct:
+        _write_matrix_gz(os.path.join(d, "obs_gc.gz"), obs.gc_obs)
+        if hasattr(bias_state, "gc_exp"):
+            _write_matrix_gz(os.path.join(d, "exp_gc.gz"),
+                             bias_state.gc_exp)
+    if opts.pos_bias_correct:
+        _write_matrix_gz(os.path.join(d, "obs5_pos.gz"), obs.pos5)
+        _write_matrix_gz(os.path.join(d, "obs3_pos.gz"), obs.pos3)
+        if hasattr(bias_state, "pos5_exp"):
+            _write_matrix_gz(os.path.join(d, "exp5_pos.gz"),
+                             bias_state.pos5_exp)
+            _write_matrix_gz(os.path.join(d, "exp3_pos.gz"),
+                             bias_state.pos3_exp)
 
 
 def write_empty_outputs(out_dir: str, aux_dir: str, names: Sequence[str],

@@ -36,6 +36,12 @@ def hash_lookup(hi, lo, table_hi, table_lo, table_payload,
                 n_slots: int, max_probes: int):
     """Look up canonical k-mers in the probe table.
 
+    All `max_probes` candidate slots are gathered in ONE wide gather per
+    table plane (slots are consecutive, slot0..slot0+P-1) and the first
+    match is selected with an argmax — no chained per-probe gathers, which
+    keeps the XLA gather graph shallow (compile time) and lets the probe
+    axis ride the vector lanes (runtime).
+
     Args:
       hi, lo: (...,) uint32 query key planes.
       table_hi/table_lo/table_payload: (n_slots + max_probes,) table planes.
@@ -48,14 +54,14 @@ def hash_lookup(hi, lo, table_hi, table_lo, table_payload,
     by leaving them as-is and AND-ing with their own validity.
     """
     slot0 = (mix32(hi, lo) & jnp.uint32(n_slots - 1)).astype(jnp.int32)
-    row = jnp.full(hi.shape, -1, dtype=jnp.int32)
-    found = jnp.zeros(hi.shape, dtype=bool)
-    for p in range(max_probes):
-        s = slot0 + p
-        t_hi = jnp.take(table_hi, s, mode="clip")
-        t_lo = jnp.take(table_lo, s, mode="clip")
-        match = (t_hi == hi) & (t_lo == lo) & ~found
-        pay = jnp.take(table_payload, s, mode="clip")
-        row = jnp.where(match, pay, row)
-        found = found | match
+    probe = jnp.arange(max_probes, dtype=jnp.int32)
+    slots = slot0[..., None] + probe  # (..., P) consecutive slots
+    t_hi = jnp.take(table_hi, slots, mode="clip")
+    t_lo = jnp.take(table_lo, slots, mode="clip")
+    match = (t_hi == hi[..., None]) & (t_lo == lo[..., None])
+    found = match.any(axis=-1)
+    first = jnp.argmax(match, axis=-1)
+    pay = jnp.take(table_payload, slots, mode="clip")
+    row = jnp.take_along_axis(pay, first[..., None], axis=-1)[..., 0]
+    row = jnp.where(found, row, -1)
     return row, found

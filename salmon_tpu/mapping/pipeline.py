@@ -67,6 +67,7 @@ class MapperConfig:
     # coverage score -> pseudo-alignment-score scale (match bonus per base;
     # reference ksw2 ma=2, SalmonDefaults.hpp:32)
     match_score: int = DEFAULTS.match_score
+    kmer_stride: int = DEFAULTS.kmer_stride
 
     @staticmethod
     def from_index(idx: TranscriptomeIndex, opts: SalmonDefaults = DEFAULTS,
@@ -90,6 +91,7 @@ class MapperConfig:
             discard_orphans=opts.discard_orphans,
             range_bins=opts.range_factorization_bins,
             match_score=opts.match_score,
+            kmer_stride=opts.kmer_stride,
         )
         cfg.update(overrides)
         return MapperConfig(**cfg)
@@ -115,13 +117,17 @@ def device_index_arrays(idx: TranscriptomeIndex) -> dict:
 def _map_one_end(codes, lengths, dev, cfg: MapperConfig):
     """Stages 1-3 for one read end -> candidate dict + start positions."""
     km = extract_kmers(codes, lengths, cfg.k)
+    if cfg.kmer_stride > 1:
+        # seed-skip: query every stride-th window (reference analog:
+        # altSkip, SalmonDefaults.hpp:37; streaming-query skip heuristics)
+        km = {k: v[:, ::cfg.kmer_stride] for k, v in km.items()}
     row, found = hash_lookup(
         km["hi"], km["lo"], dev["table_hi"], dev["table_lo"],
         dev["table_payload"], cfg.n_slots, cfg.max_probes)
     key, rpos, diag, ovalid = expand_occurrences(
         km, row, found, dev["occ_start"], dev["occ_count"],
         dev["occ_txp"], dev["occ_pos"], dev["occ_fwd"],
-        cfg.occ_cap, cfg.max_occs_per_hit)
+        cfg.occ_cap, cfg.max_occs_per_hit, stride=cfg.kmer_stride)
     R = codes.shape[0]
     n = key.shape[1] * key.shape[2]
     cand = score_candidates(
@@ -282,8 +288,12 @@ def map_paired_batch_impl(batch: dict, dev: dict, cfg: MapperConfig,
     # SalmonQuantify.cpp:974-982). Using the best paired hit's length.
     is_paired = (joined["mate_status"] == MS_PAIRED) & frag_ok
     best_i = jnp.argmax(joined["score"], axis=1)
-    best_flen = jnp.take_along_axis(joined["frag_len"], best_i[:, None],
-                                    axis=1)[:, 0]
+    take_best = lambda a: jnp.take_along_axis(a, best_i[:, None],
+                                              axis=1)[:, 0]
+    best_flen = take_best(joined["frag_len"])
+    best_txp = take_best(joined["txp"])
+    best_pos = take_best(joined["pos"])
+    best_fw = take_best(joined["fw"])
     fld_hist = jnp.zeros(cfg.fld_max + 1, jnp.float32).at[
         jnp.clip(best_flen, 0, cfg.fld_max)].add(
         jnp.where(is_paired, 1.0, 0.0))
@@ -296,6 +306,11 @@ def map_paired_batch_impl(batch: dict, dev: dict, cfg: MapperConfig,
 
     n_real = jnp.sum(real_row.astype(jnp.int32))
     return {
+        "best_txp": best_txp,
+        "best_pos": best_pos,
+        "best_flen": best_flen,
+        "best_fw": best_fw,
+        "best_is_paired": is_paired,
         "eq_txp": eq_txp,
         "eq_weight": eq_w,
         "eq_bins": eq_bins,

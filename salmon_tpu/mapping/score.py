@@ -26,12 +26,16 @@ INVALID_KEY = jnp.uint32(0xFFFFFFFF)
 
 def expand_occurrences(km: dict, row, found, occ_start, occ_count,
                        occ_txp, occ_pos, occ_fwd, occ_cap: int,
-                       max_occs_per_hit: int):
+                       max_occs_per_hit: int, stride: int = 1):
     """Gather up to C occurrences per found k-mer window.
+
+    `stride` is the base-position step between successive windows (the
+    seed-skip analog of the reference's altSkip/mismatchSeedSkip,
+    SalmonDefaults.hpp:37): window p sits at read position p*stride.
 
     Returns (key, rpos, diag, valid), each (R, P, C):
       key  = txp*2 + orient (uint32; orient=1 read maps forward),
-      rpos = read window position,
+      rpos = read window position (in bases),
       diag = tpos - rpos (fw) or tpos + rpos (rc) — strand-specific
              diagonal whose run-minimum recovers the mapped read start.
     """
@@ -54,7 +58,8 @@ def expand_occurrences(km: dict, row, found, occ_start, occ_count,
         orient_fw.astype(jnp.uint32)
     key = jnp.where(ovalid, key, INVALID_KEY)
     rpos = jnp.broadcast_to(
-        jnp.arange(P, dtype=jnp.int32)[None, :, None], (R, P, C))
+        (jnp.arange(P, dtype=jnp.int32) * stride)[None, :, None],
+        (R, P, C))
     diag = jnp.where(orient_fw, tpos - rpos, tpos + rpos)
     return key, rpos, diag, ovalid
 

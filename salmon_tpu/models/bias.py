@@ -1,0 +1,326 @@
+"""Sequence / fragment-GC / positional bias models and the bias-aware
+effective-length recomputation.
+
+Reference:
+  SBModel        include/salmon/internal/model/SBModel.hpp:15-97,
+                 src/model/SBModel.cpp (order {0,1,2,2,2,2,2,2,2},
+                 context -3..+5 around the fragment end)
+  GCFragModel    include/salmon/internal/model/GCFragModel.hpp:45-160
+                 (3 conditional context bins x 101 GC bins, ratio clamp)
+  SimplePosBias  include/salmon/internal/model/SimplePosBias.hpp:10-47,
+                 src/model/SimplePosBias.cpp (20 Cufflinks bins, spline
+                 projection, 5 transcript-length quantile classes)
+  updateEffectiveLengths  src/util/SalmonUtils.cpp:1208-1980
+  observed sampling       src/quant/SalmonQuantify.cpp:895-982,1668-1757
+
+TPU design: observed statistics are fixed-size histograms accumulated on
+device per mapped batch (psum-able across chips, mirroring the per-thread
+BiasParams merge, WorkerRuntimeContext.hpp:22-70). The expected pass and
+the per-transcript factor products run as jitted programs over
+length-bucketed (B, Lmax) transcript code matrices with a fori_loop over
+sampled fragment lengths — each iteration is pure shifted elementwise VPU
+work plus one small scatter.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# --- SBModel structure (variable-order Markov model) ---------------------
+SB_ORDER = (0, 1, 2, 2, 2, 2, 2, 2, 2)   # per-position context order
+SB_CONTEXT_LEFT = 3                       # bases before the fragment end
+SB_CONTEXT_RIGHT = 5                      # bases after
+SB_CTX = len(SB_ORDER)                    # 9
+SB_ROWS = 4 ** (max(SB_ORDER) + 1)        # 64
+SB_PRIOR = 1e-10
+
+GC_COND_BINS = 3
+GC_BINS = 101
+GC_RATIO_MAX = 1000.0
+GC_CTX_OUTSIDE = 3
+GC_CTX_INSIDE = 2
+
+POS_BINS = 20
+POS_LENGTH_CLASSES = 5
+# Cufflinks position bin edges (SimplePosBias.hpp:42-45)
+POS_BIN_EDGES = np.array([.02, .04, .06, .08, .10, .15, .2, .3, .4, .5,
+                          .6, .7, .8, .85, .9, .92, .94, .96, .98, 1.0])
+
+
+def sb_context_indices(ctx_codes):
+    """(..., 9) base codes -> (..., 9) VLMM state indices.
+
+    Position i conditions on min(i, order[i]) preceding bases: the index is
+    the 2-bit packing of bases (i-order[i] .. i) (SBModel::_getIndex).
+    """
+    c = jnp.asarray(ctx_codes).astype(jnp.int32) & 3
+    cols = []
+    for i, o in enumerate(SB_ORDER):
+        idx = jnp.zeros(c.shape[:-1], jnp.int32)
+        for j in range(i - o, i + 1):
+            idx = (idx << 2) | c[..., j]
+        cols.append(idx)
+    return jnp.stack(cols, axis=-1)
+
+
+def sb_normalize(counts: np.ndarray) -> np.ndarray:
+    """counts (64, 9) -> conditional log-probs (SBModel::normalize):
+    P(base | prefix) within each aligned group of 4 rows per position."""
+    c = np.asarray(counts, dtype=np.float64) + SB_PRIOR
+    out = np.zeros_like(c)
+    for i, o in enumerate(SB_ORDER):
+        n = 4 ** (o + 1)
+        col = c[:n, i].reshape(n // 4, 4)
+        probs = col / col.sum(axis=1, keepdims=True)
+        out[:n, i] = np.log(probs).reshape(-1)
+        out[n:, i] = np.log(SB_PRIOR)
+    return out
+
+
+def sb_marginalize(counts: np.ndarray) -> np.ndarray:
+    """(4, 9) per-position marginal base probabilities (for dumps)."""
+    c = np.asarray(counts, dtype=np.float64) + SB_PRIOR
+    out = np.zeros((4, SB_CTX))
+    for i, o in enumerate(SB_ORDER):
+        n = 4 ** (o + 1)
+        col = c[:n, i].reshape(n // 4, 4)
+        out[:, i] = col.sum(axis=0) / col.sum()
+    return out
+
+
+def length_class_bounds(lengths: np.ndarray,
+                        n: int = POS_LENGTH_CLASSES) -> np.ndarray:
+    """Quantile upper bounds (reference setTranscriptLengthClasses,
+    ReadExperiment.inl:352-388)."""
+    ls = np.sort(np.asarray(lengths))
+    if ls.size == 0:
+        return np.full(n, np.iinfo(np.int32).max)
+    if ls.size > n:
+        step = ls.size // n
+        idx = np.minimum(np.arange(1, n + 1) * step, ls.size - 1)
+        return ls[idx].astype(np.int64)
+    out = np.full(n, ls[-1], dtype=np.int64)
+    out[:ls.size] = ls
+    return out
+
+
+def length_class_of(lengths, bounds):
+    """upper_bound semantics: first class whose bound > length."""
+    return jnp.clip(
+        jnp.searchsorted(jnp.asarray(bounds), jnp.asarray(lengths),
+                         side="right"),
+        0, POS_LENGTH_CLASSES - 1)
+
+
+def pos_bin_of(pos, length):
+    """floor(pos / (length / 20)) (SimplePosBias::addMass)."""
+    step = jnp.maximum(length.astype(jnp.float32), 1.0) / POS_BINS
+    return jnp.clip((pos.astype(jnp.float32) / step).astype(jnp.int32),
+                    0, POS_BINS - 1)
+
+
+def pos_project_weights(masses: np.ndarray, length: int) -> np.ndarray:
+    """Spline-project 20 bin masses to per-position factors
+    (SimplePosBias::finalize + projectWeights)."""
+    from scipy.interpolate import CubicSpline
+
+    m = np.asarray(masses, dtype=np.float64)
+    s = m.sum()
+    if s <= 0:
+        return np.ones(length)
+    start_knot = m[0] / s
+    stop_knot = m[-1] / s
+    spline_sum = s + start_knot + stop_knot
+    ys = np.concatenate([[start_knot], m / spline_sum, [stop_knot]])
+    xs = np.concatenate([[0.0], POS_BIN_EDGES - 0.01, [1.0]])
+    cs = CubicSpline(xs, ys)
+    frac = np.arange(length, dtype=np.float64) / max(length, 1)
+    return np.maximum(0.001, cs(frac))
+
+
+# =========================================================================
+# Observed statistics (device, per mapped batch)
+# =========================================================================
+
+@dataclasses.dataclass
+class BiasObservations:
+    """Host accumulator for the per-batch observed histograms
+    (BiasParams analog, include/salmon/internal/quant/BiasParams.hpp)."""
+    obs5: np.ndarray = None   # (64, 9) seq-bias counts, 5' (fw) ends
+    obs3: np.ndarray = None   # (64, 9) 3' (rc) ends
+    gc_obs: np.ndarray = None  # (3, 101) fragment-GC mass
+    pos5: np.ndarray = None   # (5, 20) positional mass fw
+    pos3: np.ndarray = None   # (5, 20) rc
+    mass_fwd: float = 0.0
+    mass_rc: float = 0.0
+
+    def __post_init__(self):
+        if self.obs5 is None:
+            self.obs5 = np.zeros((SB_ROWS, SB_CTX))
+            self.obs3 = np.zeros((SB_ROWS, SB_CTX))
+            self.gc_obs = np.zeros((GC_COND_BINS, GC_BINS))
+            self.pos5 = np.zeros((POS_LENGTH_CLASSES, POS_BINS))
+            self.pos3 = np.zeros((POS_LENGTH_CLASSES, POS_BINS))
+
+    def add_batch(self, out: dict) -> None:
+        self.obs5 += np.asarray(out["bias_obs5"], dtype=np.float64)
+        self.obs3 += np.asarray(out["bias_obs3"], dtype=np.float64)
+        self.gc_obs += np.asarray(out["bias_gc"], dtype=np.float64)
+        self.pos5 += np.asarray(out["bias_pos5"], dtype=np.float64)
+        self.pos3 += np.asarray(out["bias_pos3"], dtype=np.float64)
+        self.mass_fwd += float(out["bias_mass_fwd"])
+        self.mass_rc += float(out["bias_mass_rc"])
+
+    def gc_frac_fwd(self) -> float:
+        tot = self.mass_fwd + self.mass_rc
+        return self.mass_fwd / tot if tot > 0 else -1.0
+
+
+def bias_device_arrays(idx) -> dict:
+    """Extra device planes for observed-bias collection: concatenated
+    transcript codes, per-txp offsets/lengths, GC prefix sums, length-class
+    ids."""
+    seq = idx.seq_codes.astype(np.int8)
+    gc = np.concatenate([[0], np.cumsum((seq == 1) | (seq == 2))])
+    bounds = length_class_bounds(idx.lengths[:idx.num_valid_targets])
+    lc = np.searchsorted(bounds, idx.lengths, side="right")
+    return {
+        "seq_codes": jnp.asarray(seq),
+        "seq_off": jnp.asarray(idx.seq_offsets.astype(np.int64)),
+        "gc_cum": jnp.asarray(gc.astype(np.int32)),
+        "txp_len": jnp.asarray(idx.lengths.astype(np.int32)),
+        "len_class": jnp.asarray(
+            np.clip(lc, 0, POS_LENGTH_CLASSES - 1).astype(np.int32)),
+    }
+
+
+def _gather_context(bdev, txp, pos, rc):
+    """Gather the 9-base context around position `pos` on transcript `txp`.
+
+    fw: bases pos-3 .. pos+5 on the coding strand; rc: the reverse
+    complement of bases pos-5 .. pos+3 (reference leftMer/rightMer logic,
+    SalmonQuantify.cpp:1735-1749). Returns (N, 9) codes + (N,) validity.
+    """
+    off = jnp.take(bdev["seq_off"], txp, mode="clip")
+    tlen = jnp.take(bdev["txp_len"], txp, mode="clip")
+    j = jnp.arange(SB_CTX, dtype=jnp.int32)
+    fw_pos = pos[:, None] - SB_CONTEXT_LEFT + j[None, :]
+    rc_pos = pos[:, None] + SB_CONTEXT_LEFT - j[None, :]
+    p = jnp.where(rc[:, None], rc_pos, fw_pos)
+    valid = ((p >= 0) & (p < tlen[:, None])).all(axis=1)
+    codes = jnp.take(bdev["seq_codes"], off[:, None] + p,
+                     mode="clip").astype(jnp.int32)
+    codes = jnp.where(rc[:, None], 3 - codes, codes) & 3
+    return codes, valid
+
+
+def _gc_desc(bdev, txp, start, stop):
+    """Fragment GC% + context GC% (Transcript::gcDesc,
+    Transcript.hpp:294-345). Returns (frag_bin, cond_bin, valid)."""
+    off = jnp.take(bdev["seq_off"], txp, mode="clip").astype(jnp.int32)
+    tlen = jnp.take(bdev["txp_len"], txp, mode="clip")
+    last = tlen - 1
+
+    def cum(p):
+        return jnp.take(bdev["gc_cum"], off + jnp.clip(p, 0, tlen) ,
+                        mode="clip")
+
+    # gc count over [s, e] inclusive = cum(e+1) - cum(s)
+    frag_gc = cum(stop + 1) - cum(start)
+    flen = jnp.maximum(stop - start + 1, 1)
+    frag_frac = jnp.round(100.0 * frag_gc / flen).astype(jnp.int32)
+
+    fs = start - (GC_CTX_OUTSIDE + 1)
+    fe = start + (GC_CTX_INSIDE - 1)
+    ts = stop - GC_CTX_INSIDE
+    te = stop + GC_CTX_OUTSIDE
+    fs_c = jnp.maximum(fs, 0)
+    fe_c = jnp.minimum(fe, last)
+    ts_c = jnp.maximum(ts, 0)
+    te_c = jnp.minimum(te, last)
+    fp_gc = cum(fe_c + 1) - cum(fs_c)
+    tp_gc = cum(te_c + 1) - cum(ts_c)
+    fp_size = jnp.where(fs < 0, fe_c + 1, fe_c - fs_c)
+    tp_size = jnp.where(ts < 0, te_c + 1, te_c - ts_c)
+    ctx_size = (fp_size + tp_size).astype(jnp.float32)
+    ctx_frac = jnp.where(
+        ctx_size > 0,
+        jnp.round(100.0 * (fp_gc + tp_gc) / jnp.maximum(ctx_size, 1.0)),
+        0.0).astype(jnp.int32)
+    w = 100.0 / GC_COND_BINS
+    cond_bin = jnp.minimum(GC_COND_BINS - 1,
+                           (ctx_frac / w).astype(jnp.int32))
+    valid = (start >= 0) & (stop < tlen) & (stop > start)
+    return jnp.clip(frag_frac, 0, 100), cond_bin, valid
+
+
+def collect_bias_observations(bdev: dict, txp, frag_start, frag_end, fw1,
+                              len1, len2, frag_valid, weight):
+    """Device collection of one batch's observed-bias statistics.
+
+    Args are (R,) best-alignment fields: transcript id, fragment start /
+    end (inclusive, transcript coords), orientation of read 1, the two
+    read lengths, validity mask, and posterior weight. Assumes
+    opposite-strand (inward/outward) pairs: the fw mate's 5' end is the
+    fragment start, the rc mate's 5' end is the fragment end (reference
+    startPos logic, SalmonQuantify.cpp:1691-1699).
+    """
+    w = jnp.where(frag_valid, weight, 0.0).astype(jnp.float32)
+
+    fw_end = frag_start          # fw mate 5' end -> obs5 context
+    rc_end = frag_end            # rc mate 5' end -> obs3 context
+
+    ctx5, v5 = _gather_context(bdev, txp, fw_end,
+                               jnp.zeros_like(fw1, dtype=bool))
+    ctx3, v3 = _gather_context(bdev, txp, rc_end,
+                               jnp.ones_like(fw1, dtype=bool))
+    idx5 = sb_context_indices(ctx5)
+    idx3 = sb_context_indices(ctx3)
+    w5 = jnp.where(frag_valid & v5 & v3, 1.0, 0.0)
+
+    def sb_hist(idx, wv):
+        flat = (idx * SB_CTX
+                + jnp.arange(SB_CTX, dtype=jnp.int32)[None, :]).reshape(-1)
+        return jax.ops.segment_sum(
+            jnp.broadcast_to(wv[:, None], idx.shape).reshape(-1), flat,
+            num_segments=SB_ROWS * SB_CTX).reshape(SB_ROWS, SB_CTX)
+
+    obs5 = sb_hist(idx5, w5)
+    obs3 = sb_hist(idx3, w5)
+
+    # fragment GC (posterior-weighted)
+    frag_bin, cond_bin, gc_valid = _gc_desc(bdev, txp, frag_start,
+                                            frag_end)
+    wgc = jnp.where(frag_valid & gc_valid, w, 0.0)
+    gc_obs = jax.ops.segment_sum(
+        wgc, cond_bin * GC_BINS + frag_bin,
+        num_segments=GC_COND_BINS * GC_BINS).reshape(GC_COND_BINS, GC_BINS)
+
+    # positional bias: each mate's leftmost position
+    tlen = jnp.take(bdev["txp_len"], txp, mode="clip")
+    lc = jnp.take(bdev["len_class"], txp, mode="clip")
+    len_rc = jnp.where(fw1, len2, len1)
+    pos_fw = jnp.clip(frag_start, 0, tlen - 1)
+    pos_rc = jnp.clip(frag_end - len_rc + 1, 0, tlen - 1)
+    wp = w
+    b5 = pos_bin_of(pos_fw, tlen)
+    b3 = pos_bin_of(pos_rc, tlen)
+    pos5 = jax.ops.segment_sum(
+        wp, lc * POS_BINS + b5,
+        num_segments=POS_LENGTH_CLASSES * POS_BINS).reshape(
+        POS_LENGTH_CLASSES, POS_BINS)
+    pos3 = jax.ops.segment_sum(
+        wp, lc * POS_BINS + b3,
+        num_segments=POS_LENGTH_CLASSES * POS_BINS).reshape(
+        POS_LENGTH_CLASSES, POS_BINS)
+
+    mass_fwd = jnp.sum(jnp.where(frag_valid & fw1, w, 0.0))
+    mass_rc = jnp.sum(jnp.where(frag_valid & ~fw1, w, 0.0))
+    return {"bias_obs5": obs5, "bias_obs3": obs3, "bias_gc": gc_obs,
+            "bias_pos5": pos5, "bias_pos3": pos3,
+            "bias_mass_fwd": mass_fwd, "bias_mass_rc": mass_rc}

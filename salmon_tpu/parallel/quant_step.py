@@ -38,8 +38,7 @@ READS_AXIS = "reads"
 # per-batch outputs that are fixed-size statistics -> psum-merged
 _PSUM_KEYS = ("txp_mass", "fld_hist", "fmt_hist", "num_processed",
               "num_mapped", "num_paired", "num_orphans")
-# per-read outputs that stay sharded along the reads axis
-_SHARDED_KEYS = ("eq_txp", "eq_weight", "eq_bins", "frag_ok")
+# everything else (eq tensors, best-hit fields) stays sharded by reads
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
@@ -71,27 +70,24 @@ def _merge(out: dict) -> dict:
 
 @functools.partial(jax.jit, static_argnums=(0, 3))
 def _paired_stepped(mesh, batch, dev, cfg, fld_logpmf, cp, co):
-    fn = lambda b: _merge(
-        map_paired_batch_impl(b, dev, cfg, fld_logpmf, cp, co))
+    raw = lambda b: map_paired_batch_impl(b, dev, cfg, fld_logpmf, cp, co)
+    fn = lambda b: _merge(raw(b))
     spec_in = {k: P(READS_AXIS) for k in batch}
-    spec_out = {}
-    for k in _SHARDED_KEYS:
-        spec_out[k] = P(READS_AXIS)
-    for k in _PSUM_KEYS:
-        spec_out[k] = P()
+    out_keys = jax.eval_shape(raw, batch).keys()
+    spec_out = {k: (P() if k in _PSUM_KEYS else P(READS_AXIS))
+                for k in out_keys}
     return shard_map(fn, mesh=mesh, in_specs=(spec_in,),
                      out_specs=spec_out)(batch)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3))
 def _single_stepped(mesh, batch, dev, cfg, fld_logpmf, cs):
-    fn = lambda b: _merge(map_single_batch_impl(b, dev, cfg, fld_logpmf, cs))
+    raw = lambda b: map_single_batch_impl(b, dev, cfg, fld_logpmf, cs)
+    fn = lambda b: _merge(raw(b))
     spec_in = {k: P(READS_AXIS) for k in batch}
-    spec_out = {}
-    for k in _SHARDED_KEYS:
-        spec_out[k] = P(READS_AXIS)
-    for k in _PSUM_KEYS:
-        spec_out[k] = P()
+    out_keys = jax.eval_shape(raw, batch).keys()
+    spec_out = {k: (P() if k in _PSUM_KEYS else P(READS_AXIS))
+                for k in out_keys}
     return shard_map(fn, mesh=mesh, in_specs=(spec_in,),
                      out_specs=spec_out)(batch)
 

@@ -47,6 +47,7 @@ class QuantResult:
     eq_classes: object = None
     fld: object = None
     lib_format: str = ""
+    bias: object = None
 
 
 class InsufficientAssignedFragments(RuntimeError):
@@ -114,6 +115,20 @@ def quantify(
               "num_orphans": 0}
     fmt_hist_total = np.zeros(6, dtype=np.int64)
 
+    # --- bias model state (observed stats collected per batch on device)
+    bias_state = None
+    bias_collect = None
+    bdev = None
+    if paired and (opts.seq_bias_correct or opts.gc_bias_correct
+                   or opts.pos_bias_correct):
+        from salmon_tpu.models.bias import (bias_device_arrays,
+                                            collect_bias_observations)
+        from salmon_tpu.models.bias_correct import BiasState
+        import jax as _jax
+        bias_state = BiasState(index, opts)
+        bdev = bias_device_arrays(index)
+        bias_collect = _jax.jit(collect_bias_observations)
+
     auto_detect = lib_format.strip().upper() == "A"
     expected = (libformat.parse_library_format("IU" if paired else "U")
                 if auto_detect else libformat.parse_library_format(lib_format))
@@ -168,6 +183,17 @@ def quantify(
                       np.asarray(out["eq_weight"]),
                       np.asarray(out["eq_bins"])
                       if cfg.range_bins > 0 else None)
+        if bias_state is not None:
+            bt = out["best_txp"]
+            bs = out["best_pos"]
+            be = bs + out["best_flen"] - 1
+            bo = bias_collect(
+                bdev, bt, bs, be, out["best_fw"],
+                batch["lengths_l"], batch["lengths_r"],
+                out["best_is_paired"]
+                & (bt < index.num_valid_targets),
+                jnp.ones_like(bs, jnp.float32))
+            bias_state.obs.add_batch(bo)
         fld.add_observations(np.asarray(out["fld_hist"], dtype=np.float64))
         online_mass += np.asarray(out["txp_mass"], dtype=np.float64)
         for k in totals:
@@ -214,6 +240,19 @@ def quantify(
                           online_mass=online_mass[:n_valid],
                           total_mapped=float(totals["num_mapped"]),
                           config=emc, init_uniform=opts.init_uniform)
+    if bias_state is not None and bias_state.enabled:
+        # bias-aware effective-length recompute + re-optimize (reference:
+        # the mid-loop needsBiasLengthRecompute step,
+        # CollapsedEMOptimizer.cpp:900-928)
+        logger.info("recomputing effective lengths with bias models")
+        eff2 = bias_state.corrected_effective_lengths(
+            res["alphas"], eff, fld_pmf)
+        if not np.allclose(eff2, eff):
+            eff = eff2
+            res = em_mod.optimize(
+                eq, n_valid, eff, online_mass=online_mass[:n_valid],
+                total_mapped=float(totals["num_mapped"]), config=emc,
+                init_uniform=opts.init_uniform)
     em_seconds = time.time() - t_em
     res["map_seconds"] = map_seconds
     res["em_seconds"] = em_seconds
@@ -232,7 +271,7 @@ def quantify(
         num_paired=totals["num_paired"],
         num_orphans=totals["num_orphans"],
         em_info=res, fmt_counts=fmt_counts, eq_classes=eq, fld=fld,
-        lib_format=resolved_format or lib_format)
+        lib_format=resolved_format or lib_format, bias=bias_state)
 
 
 def _posterior_samples(result: QuantResult, opts: SalmonDefaults,
@@ -333,8 +372,11 @@ def write_outputs(result: QuantResult, index: TranscriptomeIndex,
     })
     if result.fld is not None:
         writers.write_fld(out_dir, aux, result.fld.pmf())
+    if result.bias is not None and result.bias.enabled:
+        writers.write_bias_models(out_dir, aux, result.bias, opts)
     if result.eq_classes is not None:
         writers.write_ambig_info(out_dir, aux, n_valid, result.eq_classes)
         if dump_eq:
             writers.write_eq_classes(out_dir, aux, result.names,
-                                     result.eq_classes, dump_weights=True)
+                                     result.eq_classes, dump_weights=True,
+                                     eff_lens=result.eff_lens)

@@ -1,0 +1,151 @@
+"""Bias model tests: SBModel VLMM mechanics, GC descriptors, positional
+bins, expected pass, and the end-to-end bias-corrected quant."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from salmon_tpu.models import bias as B
+from salmon_tpu.models import bias_expected as BE
+
+
+def test_sb_context_indices_orders():
+    # all-A context -> indices 0 everywhere
+    z = np.zeros((1, 9), dtype=np.uint8)
+    idx = np.asarray(B.sb_context_indices(jnp.asarray(z)))
+    assert (idx == 0).all()
+    # context ACGTACGTA: position i index packs bases i-order..i
+    codes = np.array([[0, 1, 2, 3, 0, 1, 2, 3, 0]], dtype=np.uint8)
+    idx = np.asarray(B.sb_context_indices(jnp.asarray(codes)))[0]
+    assert idx[0] == 0                      # order 0: base A
+    assert idx[1] == (0 << 2 | 1)           # order 1: AC
+    assert idx[2] == (0 << 4 | 1 << 2 | 2)  # order 2: ACG
+    assert idx[8] == (2 << 4 | 3 << 2 | 0)  # GTA
+
+
+def test_sb_normalize_uniform():
+    counts = np.ones((B.SB_ROWS, B.SB_CTX))
+    logp = B.sb_normalize(counts)
+    # every conditional distribution is uniform over 4 bases
+    assert np.allclose(np.exp(logp[:4, 0]), 0.25)
+    assert np.allclose(np.exp(logp[:16, 1]), 0.25)
+    assert np.allclose(np.exp(logp[:64, 2]), 0.25)
+
+
+def test_sb_normalize_sums_to_one():
+    rng = np.random.default_rng(0)
+    counts = rng.random((B.SB_ROWS, B.SB_CTX)) * 10
+    logp = B.sb_normalize(counts)
+    for i, o in enumerate(B.SB_ORDER):
+        n = 4 ** (o + 1)
+        p = np.exp(logp[:n, i]).reshape(-1, 4)
+        np.testing.assert_allclose(p.sum(axis=1), 1.0, rtol=1e-9)
+
+
+def test_length_classes():
+    lens = np.array([100, 200, 300, 400, 500, 600, 700, 800, 900, 1000])
+    bounds = B.length_class_bounds(lens)
+    assert bounds.shape == (5,)
+    lc = np.asarray(B.length_class_of(jnp.asarray(lens),
+                                      jnp.asarray(bounds)))
+    assert lc.min() >= 0 and lc.max() <= 4
+    assert (np.diff(lc) >= 0).all()  # monotone in length
+
+
+def test_pos_project_weights_uniform():
+    w = B.pos_project_weights(np.ones(20), 100)
+    assert w.shape == (100,)
+    np.testing.assert_allclose(w, w[0], rtol=0.2)  # roughly flat
+
+
+def test_gc_desc_known_sequence():
+    # transcript: 10 A's then 10 G's
+    class FakeIdx:
+        seq_codes = np.array([0] * 10 + [2] * 10, dtype=np.uint8)
+        seq_offsets = np.array([0, 20], dtype=np.int64)
+        lengths = np.array([20], dtype=np.int32)
+        num_valid_targets = 1
+
+        def transcript_codes(self, i):
+            return self.seq_codes
+
+    bdev = B.bias_device_arrays(FakeIdx())
+    frag_bin, cond_bin, valid = B._gc_desc(
+        bdev, jnp.asarray([0]), jnp.asarray([5]), jnp.asarray([14]))
+    # fragment covers positions 5..14: 5 A's, 5 G's -> 50% GC
+    assert int(frag_bin[0]) == 50
+    assert bool(valid[0])
+
+
+def test_expected_pass_shapes(sample_data_dir):
+    from salmon_tpu.index.builder import build_index
+    idx = build_index(os.path.join(sample_data_dir, "transcripts.fasta"),
+                      k=25)
+    n = idx.num_valid_targets
+    buckets = BE.bucket_transcripts(idx.transcript_codes, idx.lengths[:n])
+    pmf = np.zeros(1001)
+    pmf[150:251] = 1 / 101.0
+    cdf = jnp.asarray(np.cumsum(pmf), jnp.float32)
+    lo, hi = BE.fld_quantile_bounds(pmf)
+    assert 150 <= lo < hi <= 251
+    idxs, mat = buckets[0]
+    out = BE.expected_pass_bucket(
+        jnp.asarray(mat), jnp.asarray(idx.lengths[idxs].astype(np.int32)),
+        jnp.ones(len(idxs), jnp.float32),
+        jnp.zeros(len(idxs), jnp.int32), cdf, lo, hi, 5,
+        True, True, True)
+    assert out["exp5"].shape == (64, 9)
+    assert float(jnp.sum(out["exp5"])) > 0
+    assert out["gc_exp"].shape == (3, 101)
+    assert float(jnp.sum(out["gc_exp"])) > 0
+    assert out["pos5"].shape == (5, 20)
+
+
+def test_quant_with_bias_end_to_end(tmp_path, sample_data_dir):
+    """--seqBias --gcBias --posBias must still produce accurate counts."""
+    from salmon_tpu.cli import main
+    from salmon_tpu.io.writers import read_quant_sf
+    import collections
+
+    idx_dir = str(tmp_path / "idx")
+    assert main(["index", "-t",
+                 os.path.join(sample_data_dir, "transcripts.fasta"),
+                 "-i", idx_dir, "-k", "25"]) == 0
+    truth = collections.Counter()
+    with open(os.path.join(sample_data_dir, "reads_1.fastq")) as fh:
+        for i, line in enumerate(fh):
+            if i % 4 == 0:
+                truth[line[1:].split(":")[1]] += 1
+
+    def run(out, *flags):
+        assert main(["quant", "-i", idx_dir, "-l", "IU",
+                     "-1", os.path.join(sample_data_dir, "reads_1.fastq"),
+                     "-2", os.path.join(sample_data_dir, "reads_2.fastq"),
+                     "-o", out, *flags, "-q"]) == 0
+        q = read_quant_sf(os.path.join(out, "quant.sf"))
+        est = dict(zip(q["Name"], q["NumReads"]))
+        t = np.array([truth[k] for k in truth], dtype=float)
+        e = np.array([est.get(k, 0.0) for k in truth])
+        from scipy.stats import spearmanr
+        return spearmanr(t, e).statistic
+
+    # the common production combo must stay accurate on unbiased sim data
+    out = str(tmp_path / "q_sg")
+    rho = run(out, "--seqBias", "--gcBias")
+    assert rho >= 0.99, f"seq+gc bias Spearman {rho}"
+    for f in ("obs5_seq.gz", "exp5_seq.gz", "obs_gc.gz", "exp_gc.gz"):
+        assert os.path.exists(os.path.join(out, "aux_info", f)), f
+    from salmon_tpu.io.writers import read_matrix_gz
+    m = read_matrix_gz(os.path.join(out, "aux_info", "obs5_seq.gz"))
+    assert m.shape == (64, 9)
+    assert m.sum() > 0
+
+    # positional bias on a 10k-read sample is noisy (5 quantile classes x
+    # 20 bins); gate is structural: runs, writes dumps, stays correlated
+    out_p = str(tmp_path / "q_pos")
+    rho_p = run(out_p, "--posBias")
+    assert rho_p >= 0.90, f"pos-bias Spearman {rho_p}"
+    for f in ("obs5_pos.gz", "exp5_pos.gz"):
+        assert os.path.exists(os.path.join(out_p, "aux_info", f)), f
