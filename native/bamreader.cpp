@@ -1,0 +1,318 @@
+// Native BAM/BGZF reader for salmon_tpu's alignment-based mode.
+//
+// Role of the reference's htslib + BAMQueue producer
+// (include/salmon/internal/alignment/BAMQueue.hpp/.tpp, src/io/
+// AlignmentIO.cpp): decompress BGZF blocks, parse BAM records, and emit
+// flat fixed-width arrays ready to assemble into device batches. No
+// htslib dependency — BGZF is plain deflate blocks (RFC1952 member with a
+// BC extra field), inflated with zlib.
+//
+// C ABI (consumed via ctypes from salmon_tpu/alignment/bamio.py):
+//   bam_open(path) -> handle          bam_close(handle)
+//   bam_n_refs / bam_ref_name / bam_ref_len   -- header access
+//   bam_next_batch(handle, cap, seq_cap, ...) -- fill caller arrays
+//
+// Each record row: refid, pos, flag, mapq, mate_refid, mate_pos, tlen,
+// read length, offset+length of decoded seq codes in the shared seq
+// buffer, offset+count of cigar ops, AS/NM tag values (INT32_MIN when
+// absent), and a 64-bit FNV hash of the read name (adjacent records with
+// equal hash+name belong to one fragment; BAM convention keeps a read's
+// records contiguous, as the reference requires).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+#include <zlib.h>
+
+namespace {
+
+struct BGZFReader {
+  FILE* fp{nullptr};
+  std::vector<uint8_t> block;   // current inflated block
+  size_t block_pos{0};
+  bool eof{false};
+
+  bool open(const char* path) {
+    fp = std::fopen(path, "rb");
+    return fp != nullptr;
+  }
+
+  // Inflate the next BGZF block into `block`. Returns false at EOF.
+  bool next_block() {
+    uint8_t hdr[12];
+    if (std::fread(hdr, 1, 12, fp) != 12) { eof = true; return false; }
+    if (hdr[0] != 0x1f || hdr[1] != 0x8b) { eof = true; return false; }
+    uint16_t xlen = uint16_t(hdr[10]) | (uint16_t(hdr[11]) << 8);
+    std::vector<uint8_t> extra(xlen);
+    if (std::fread(extra.data(), 1, xlen, fp) != xlen) {
+      eof = true; return false;
+    }
+    int bsize = -1;
+    for (size_t i = 0; i + 4 <= extra.size();) {
+      uint8_t si1 = extra[i], si2 = extra[i + 1];
+      uint16_t slen = uint16_t(extra[i + 2]) | (uint16_t(extra[i + 3]) << 8);
+      if (si1 == 'B' && si2 == 'C' && slen == 2) {
+        bsize = (int(extra[i + 4]) | (int(extra[i + 5]) << 8)) + 1;
+        break;
+      }
+      i += 4 + slen;
+    }
+    if (bsize < 0) { eof = true; return false; }
+    size_t cdata_len = size_t(bsize) - 12 - xlen - 8;
+    std::vector<uint8_t> cdata(cdata_len);
+    if (std::fread(cdata.data(), 1, cdata_len, fp) != cdata_len) {
+      eof = true; return false;
+    }
+    uint8_t tail[8];
+    if (std::fread(tail, 1, 8, fp) != 8) { eof = true; return false; }
+    uint32_t isize = uint32_t(tail[4]) | (uint32_t(tail[5]) << 8) |
+                     (uint32_t(tail[6]) << 16) | (uint32_t(tail[7]) << 24);
+    block.resize(isize);
+    block_pos = 0;
+    if (isize == 0) return next_block();  // EOF marker block; try next
+    z_stream zs{};
+    inflateInit2(&zs, -15);  // raw deflate
+    zs.next_in = cdata.data();
+    zs.avail_in = uInt(cdata_len);
+    zs.next_out = block.data();
+    zs.avail_out = isize;
+    int r = inflate(&zs, Z_FINISH);
+    inflateEnd(&zs);
+    if (r != Z_STREAM_END) { eof = true; return false; }
+    return true;
+  }
+
+  // Read exactly n bytes spanning blocks. Returns false on EOF.
+  bool read(void* out, size_t n) {
+    uint8_t* dst = static_cast<uint8_t*>(out);
+    while (n > 0) {
+      if (block_pos >= block.size()) {
+        if (!next_block()) return false;
+        continue;
+      }
+      size_t take = std::min(n, block.size() - block_pos);
+      std::memcpy(dst, block.data() + block_pos, take);
+      block_pos += take;
+      dst += take;
+      n -= take;
+    }
+    return true;
+  }
+
+  void close() {
+    if (fp) { std::fclose(fp); fp = nullptr; }
+  }
+};
+
+struct BamFile {
+  BGZFReader r;
+  std::vector<std::string> ref_names;
+  std::vector<int32_t> ref_lens;
+  std::string text_header;
+  bool ok{false};
+  // one pending record that didn't fit the previous batch
+  std::vector<uint8_t> pending;
+
+  bool open(const char* path) {
+    if (!r.open(path)) return false;
+    char magic[4];
+    if (!r.read(magic, 4) || std::memcmp(magic, "BAM\1", 4) != 0)
+      return false;
+    int32_t l_text;
+    if (!r.read(&l_text, 4)) return false;
+    text_header.resize(size_t(l_text));
+    if (l_text && !r.read(&text_header[0], size_t(l_text))) return false;
+    int32_t n_ref;
+    if (!r.read(&n_ref, 4)) return false;
+    ref_names.reserve(n_ref);
+    ref_lens.reserve(n_ref);
+    for (int32_t i = 0; i < n_ref; ++i) {
+      int32_t l_name, l_ref;
+      if (!r.read(&l_name, 4)) return false;
+      std::string nm(size_t(l_name), '\0');
+      if (!r.read(&nm[0], size_t(l_name))) return false;
+      nm.pop_back();  // trailing NUL
+      if (!r.read(&l_ref, 4)) return false;
+      ref_names.push_back(nm);
+      ref_lens.push_back(l_ref);
+    }
+    ok = true;
+    return true;
+  }
+};
+
+// BAM 4-bit seq codes -> our 2-bit codes (A=0 C=1 G=2 T=3, other=4)
+const uint8_t SEQ4_TO_CODE[16] = {4, 0, 1, 4, 2, 4, 4, 4,
+                                  3, 4, 4, 4, 4, 4, 4, 4};
+
+uint64_t fnv1a(const char* s, size_t n) {
+  uint64_t h = 1469598103934665603ull;
+  for (size_t i = 0; i < n; ++i) {
+    h ^= uint8_t(s[i]);
+    h *= 1099511628211ull;
+  }
+  return h;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* bam_open(const char* path) {
+  auto* bf = new BamFile();
+  if (!bf->open(path)) { delete bf; return nullptr; }
+  return bf;
+}
+
+void bam_close(void* h) {
+  auto* bf = static_cast<BamFile*>(h);
+  bf->r.close();
+  delete bf;
+}
+
+int32_t bam_n_refs(void* h) {
+  return int32_t(static_cast<BamFile*>(h)->ref_names.size());
+}
+
+const char* bam_ref_name(void* h, int32_t i) {
+  return static_cast<BamFile*>(h)->ref_names[size_t(i)].c_str();
+}
+
+int32_t bam_ref_len(void* h, int32_t i) {
+  return static_cast<BamFile*>(h)->ref_lens[size_t(i)];
+}
+
+// Fill caller-allocated arrays with up to `cap` records. The decoded
+// read sequences go into seq_buf (capacity seq_cap bytes), CIGAR ops
+// into cigar_op/cigar_len (capacity cigar_cap). Returns the number of
+// records written; 0 at EOF; -1 if the very first record does not fit
+// (caller should grow buffers).
+int64_t bam_next_batch(void* h, int64_t cap, int64_t seq_cap,
+                       int64_t cigar_cap,
+                       int32_t* refid, int32_t* pos, uint16_t* flag,
+                       uint8_t* mapq, int32_t* mate_refid,
+                       int32_t* mate_pos, int32_t* tlen,
+                       int32_t* read_len, int64_t* seq_off,
+                       int64_t* cigar_off, int32_t* cigar_n,
+                       int32_t* as_tag, int32_t* nm_tag,
+                       uint64_t* name_hash,
+                       uint8_t* seq_buf, uint8_t* cigar_op,
+                       uint32_t* cigar_oplen) {
+  auto* bf = static_cast<BamFile*>(h);
+  int64_t n = 0;
+  int64_t spos = 0, cpos = 0;
+  std::vector<uint8_t> rec;
+  while (n < cap) {
+    if (!bf->pending.empty()) {
+      rec.swap(bf->pending);
+      bf->pending.clear();
+    } else {
+      int32_t block_size;
+      if (!bf->r.read(&block_size, 4)) break;  // EOF
+      rec.resize(size_t(block_size));
+      if (!bf->r.read(rec.data(), size_t(block_size))) break;
+    }
+    const uint8_t* p = rec.data();
+    auto rd32 = [&](size_t off) {
+      int32_t v; std::memcpy(&v, p + off, 4); return v;
+    };
+    int32_t refID = rd32(0);
+    int32_t pos_ = rd32(4);
+    uint8_t l_read_name = p[8];
+    uint8_t mapq_ = p[9];
+    uint16_t n_cigar;  std::memcpy(&n_cigar, p + 12, 2);
+    uint16_t flag_;    std::memcpy(&flag_, p + 14, 2);
+    int32_t l_seq = rd32(16);
+    int32_t next_refID = rd32(20);
+    int32_t next_pos = rd32(24);
+    int32_t tlen_ = rd32(28);
+    const char* rname = reinterpret_cast<const char*>(p + 32);
+    size_t cig_at = 32 + l_read_name;
+    size_t seq_at = cig_at + size_t(n_cigar) * 4;
+    size_t qual_at = seq_at + size_t(l_seq + 1) / 2;
+    size_t tags_at = qual_at + size_t(l_seq);
+
+    if (spos + l_seq > seq_cap || cpos + n_cigar > cigar_cap) {
+      if (n == 0) return -1;  // first record too big for buffers
+      bf->pending.assign(rec.begin(), rec.end());
+      break;
+    }
+
+    refid[n] = refID;
+    pos[n] = pos_;
+    flag[n] = flag_;
+    mapq[n] = mapq_;
+    mate_refid[n] = next_refID;
+    mate_pos[n] = next_pos;
+    tlen[n] = tlen_;
+    read_len[n] = l_seq;
+    name_hash[n] = fnv1a(rname, l_read_name ? size_t(l_read_name) - 1 : 0);
+
+    seq_off[n] = spos;
+    for (int32_t i = 0; i < l_seq; ++i) {
+      uint8_t b4 = p[seq_at + size_t(i) / 2];
+      b4 = (i % 2 == 0) ? (b4 >> 4) : (b4 & 0xF);
+      seq_buf[spos++] = SEQ4_TO_CODE[b4];
+    }
+
+    cigar_off[n] = cpos;
+    cigar_n[n] = n_cigar;
+    for (uint16_t i = 0; i < n_cigar; ++i) {
+      uint32_t c; std::memcpy(&c, p + cig_at + size_t(i) * 4, 4);
+      cigar_op[cpos] = uint8_t(c & 0xF);
+      cigar_oplen[cpos] = c >> 4;
+      ++cpos;
+    }
+
+    // tags: AS:i and NM:i
+    int32_t as_v = INT32_MIN, nm_v = INT32_MIN;
+    size_t t = tags_at;
+    while (t + 3 <= rec.size()) {
+      char t1 = char(p[t]), t2 = char(p[t + 1]), ty = char(p[t + 2]);
+      t += 3;
+      int64_t val = 0;
+      size_t sz = 0;
+      switch (ty) {
+        case 'A': case 'c': case 'C': sz = 1; break;
+        case 's': case 'S': sz = 2; break;
+        case 'i': case 'I': case 'f': sz = 4; break;
+        case 'Z': case 'H': {
+          while (t < rec.size() && p[t] != 0) ++t;
+          ++t;
+          continue;
+        }
+        case 'B': {
+          if (t + 5 > rec.size()) { t = rec.size(); continue; }
+          char el = char(p[t]);
+          int32_t cnt; std::memcpy(&cnt, p + t + 1, 4);
+          size_t esz = (el == 'c' || el == 'C') ? 1
+                       : (el == 's' || el == 'S') ? 2 : 4;
+          t += 5 + size_t(cnt) * esz;
+          continue;
+        }
+        default: t = rec.size(); continue;
+      }
+      if (t + sz > rec.size()) break;
+      if (ty == 'c') { int8_t v; std::memcpy(&v, p + t, 1); val = v; }
+      else if (ty == 'C' || ty == 'A') { val = p[t]; }
+      else if (ty == 's') { int16_t v; std::memcpy(&v, p + t, 2); val = v; }
+      else if (ty == 'S') { uint16_t v; std::memcpy(&v, p + t, 2); val = v; }
+      else if (ty == 'i') { int32_t v; std::memcpy(&v, p + t, 4); val = v; }
+      else if (ty == 'I') { uint32_t v; std::memcpy(&v, p + t, 4);
+                            val = int64_t(v); }
+      else if (ty == 'f') { val = INT32_MIN; }
+      t += sz;
+      if (t1 == 'A' && t2 == 'S' && ty != 'f') as_v = int32_t(val);
+      if (t1 == 'N' && t2 == 'M' && ty != 'f') nm_v = int32_t(val);
+    }
+    as_tag[n] = as_v;
+    nm_tag[n] = nm_v;
+    ++n;
+  }
+  return n;
+}
+
+}  // extern "C"

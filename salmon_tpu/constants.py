@@ -107,7 +107,7 @@ class SalmonDefaults:
     max_pair_cands: int = 64             # T2: joined hits kept per fragment
     hash_max_probes: int = 16            # open-addressing probe bound
     hash_load_factor: float = 0.5
-    kmer_stride: int = 1                 # seed-skip between query windows
+    kmer_stride: int = 3                 # seed-skip between query windows (accuracy-neutral; reference altSkip=3)
 
 
 # Log-space constants (reference: include/salmon/internal/util/SalmonMath.hpp)

@@ -41,6 +41,16 @@ def join_pairs(cand_l: dict, cand_r: dict, start_l, start_r,
                allow_dovetail: bool = False):
     """Join left/right candidate sets into fragment-level hits.
 
+    Sort-merge join: every candidate is keyed by
+    (txp, normalized-orientation) such that opposite-strand mates that
+    would form a fragment sort ADJACENT (left end first); a single
+    2T-wide multi-operand sort + adjacency test replaces the T x T outer
+    product the naive formulation needs (a 64x speedup of the pairing
+    stage's sort/top_k width). Divergence from the reference
+    joinReadsAndFilter: same-orientation (MSF/MSR) pairings are not
+    formed — the reference only keeps them as incompat-prior-penalized
+    leftovers and real libraries are opposite-strand.
+
     Args:
       cand_l/cand_r: dicts from score_candidates (txp, is_fw, score, valid),
         each (R, T).
@@ -53,17 +63,42 @@ def join_pairs(cand_l: dict, cand_r: dict, start_l, start_r,
     obs_code, valid, plus (R,) `has_pair`.
     """
     R, T = cand_l["txp"].shape
+    BIG = jnp.uint32(0xFFFFFFFF)
 
-    txp_eq = cand_l["txp"][:, :, None] == cand_r["txp"][:, None, :]
-    both = cand_l["valid"][:, :, None] & cand_r["valid"][:, None, :]
+    # pair key: txp * 2 + orient for the left end, txp * 2 + (1 - orient)
+    # for the right end -> a fw-left/rc-right (or rc-left/fw-right) pair
+    # on one transcript shares a key. tag orders left before right.
+    def keyed(cand, start, is_left):
+        o = cand["is_fw"].astype(jnp.uint32)
+        if not is_left:
+            o = jnp.uint32(1) - o
+        key = (cand["txp"].astype(jnp.uint32) << jnp.uint32(1)) | o
+        key = jnp.where(cand["valid"], key, BIG)
+        tag = jnp.full((R, T), 0 if is_left else 1, jnp.int32)
+        return (key, tag, cand["score"], start,
+                cand["is_fw"].astype(jnp.int32))
 
-    s1 = start_l[:, :, None]
-    s2 = start_r[:, None, :]
-    fw1 = cand_l["is_fw"][:, :, None]
-    fw2 = cand_r["is_fw"][:, None, :]
-    e1 = s1 + len_l[:, None, None]
-    e2 = s2 + len_r[:, None, None]
+    kl = keyed(cand_l, start_l, True)
+    kr = keyed(cand_r, start_r, False)
+    cat = lambda i: jnp.concatenate([kl[i], kr[i]], axis=1)
+    key, tag, score, start, isfw = (cat(i) for i in range(5))
 
+    key_s, tag_s, score_s, start_s, isfw_s = jax.lax.sort(
+        (key, tag, score, start, isfw), dimension=1, num_keys=2,
+        is_stable=False)
+
+    # adjacency: slot i is a pair iff key[i]==key[i+1], tag 0 then 1
+    nxt = lambda a, fill: jnp.concatenate(
+        [a[:, 1:], jnp.full((R, 1), fill, a.dtype)], axis=1)
+    is_pair = ((key_s == nxt(key_s, BIG)) & (tag_s == 0)
+               & (nxt(tag_s, 0) == 1) & (key_s != BIG))
+
+    s1 = start_s                      # left mate start
+    s2 = nxt(start_s, 0)              # right mate start
+    fw1 = isfw_s.astype(bool)
+    fw2 = nxt(isfw_s, 0).astype(bool)
+    e1 = s1 + len_l[:, None]
+    e2 = s2 + len_r[:, None]
     frag_start = jnp.minimum(s1, s2)
     frag_end = jnp.maximum(e1, e2)
     frag_len = frag_end - frag_start
@@ -76,27 +111,21 @@ def join_pairs(cand_l: dict, cand_r: dict, start_l, start_r,
     if not allow_dovetail:
         geom_ok = geom_ok & ~dovetail
 
-    ok = txp_eq & both & geom_ok
+    ok = is_pair & geom_ok
     obs = observed_paired_code(s1, fw1, s2, fw2)
-    pair_score = (cand_l["score"][:, :, None]
-                  + cand_r["score"][:, None, :])
-    pair_score = jnp.where(ok, pair_score, 0)
+    pair_score = jnp.where(ok, score_s + nxt(score_s, 0), 0)
 
-    flat = lambda a: a.reshape(R, T * T)
-    score_f = flat(pair_score)
-    top_score, top_idx = jax.lax.top_k(score_f, max_pair_cands)
-    g = lambda a: jnp.take_along_axis(flat(a), top_idx, axis=1)
-
-    txp_b = jnp.broadcast_to(cand_l["txp"][:, :, None], (R, T, T))
+    top_score, top_idx = jax.lax.top_k(pair_score, max_pair_cands)
+    g = lambda a: jnp.take_along_axis(a, top_idx, axis=1)
     valid_out = top_score > 0
     has_pair = valid_out.any(axis=1)
     return {
-        "txp": g(txp_b),
+        "txp": (g(key_s) >> jnp.uint32(1)).astype(jnp.int32),
         "score": top_score,
-        "frag_len": g(jnp.broadcast_to(frag_len, (R, T, T))),
-        "pos": g(jnp.broadcast_to(frag_start, (R, T, T))),
-        "obs_code": g(jnp.broadcast_to(obs, (R, T, T))),
-        "fw": g(jnp.broadcast_to(fw1, (R, T, T))),
+        "frag_len": g(frag_len),
+        "pos": g(frag_start),
+        "obs_code": g(obs),
+        "fw": g(fw1),
         "valid": valid_out,
         "has_pair": has_pair,
     }

@@ -1,0 +1,124 @@
+"""Alignment-based mode: synthesize a BAM from the sample reads' encoded
+ground truth, quantify with -a, and check accuracy + native/python reader
+parity."""
+
+import collections
+import os
+
+import numpy as np
+import pytest
+
+from salmon_tpu.alignment import bamio
+
+
+def _truth_alignments(sample_data_dir):
+    """Build perfect paired alignments from read names
+    (readnum:txp:pos:fragend)."""
+    recs = []
+    with open(os.path.join(sample_data_dir, "reads_1.fastq")) as f1, \
+            open(os.path.join(sample_data_dir, "reads_2.fastq")) as f2:
+        while True:
+            h1 = f1.readline()
+            if not h1:
+                break
+            s1 = f1.readline().strip()
+            f1.readline()
+            f1.readline()
+            f2.readline()
+            s2 = f2.readline().strip()
+            f2.readline()
+            f2.readline()
+            name = h1[1:].strip().split()[0]
+            parts = name.split(":")
+            txp, pos, fend = parts[1], int(parts[2]), int(parts[3])
+            recs.append((name, txp, pos, fend, s1, s2))
+    return recs
+
+
+@pytest.fixture(scope="module")
+def truth_bam(tmp_path_factory, sample_data_dir):
+    from salmon_tpu.io.fasta import load_transcripts
+    records, _ = load_transcripts(
+        os.path.join(sample_data_dir, "transcripts.fasta"),
+        noclip_polya=True)
+    names = [r.name for r in records]
+    lens = [r.seq_codes.shape[0] for r in records]
+    tid = {nm: i for i, nm in enumerate(names)}
+
+    alns = _truth_alignments(sample_data_dir)
+    bam_recs = []
+    for name, txp, pos, fend, s1, s2 in alns:
+        rid = tid[txp]
+        L1, L2 = len(s1), len(s2)
+        tlen = fend - pos + 1
+        p1, p2 = pos, fend - L2 + 1
+        bam_recs.append(dict(
+            name=name, refid=rid, pos=p1, flag=0x1 | 0x40 | 0x20,
+            cigar=f"{L1}M", seq=s1, mate_refid=rid, mate_pos=p2,
+            tlen=tlen, tags={"AS": 2 * L1, "NM": 0}))
+        bam_recs.append(dict(
+            name=name, refid=rid, pos=p2, flag=0x1 | 0x80 | 0x10,
+            cigar=f"{L2}M", seq=s2, mate_refid=rid, mate_pos=p1,
+            tlen=-tlen, tags={"AS": 2 * L2, "NM": 0}))
+    path = str(tmp_path_factory.mktemp("bam") / "truth.bam")
+    bamio.write_bam(path, names, lens, bam_recs)
+    return path, names
+
+
+def test_native_and_python_readers_agree(truth_bam):
+    path, names = truth_bam
+    lib = bamio.native_lib()
+    assert lib is not None, "native BAM reader failed to build"
+    r_nat = bamio.BamReader(path)
+    assert r_nat._lib is not None
+    b_nat = next(r_nat.batches())
+    py = bamio._PyBam(path)
+    b_py = next(py.batches(r_nat.batch_records))
+    assert r_nat.ref_names == py.ref_names
+    assert b_nat.n == b_py.n == 20000
+    for f in ("refid", "pos", "flag", "mapq", "mate_pos", "tlen",
+              "read_len", "as_tag", "nm_tag", "name_hash"):
+        np.testing.assert_array_equal(
+            getattr(b_nat, f)[:b_nat.n], getattr(b_py, f)[:b_py.n], f)
+    ns = b_nat.n - 1
+    seq_total = int(b_nat.seq_off[ns] + b_nat.read_len[ns])
+    assert seq_total == int(b_py.seq_off[ns] + b_py.read_len[ns])
+    np.testing.assert_array_equal(b_nat.seq_buf[:seq_total],
+                                  b_py.seq_buf[:seq_total])
+    cig_total = int(b_nat.cigar_off[ns] + b_nat.cigar_n[ns])
+    np.testing.assert_array_equal(b_nat.cigar_op[:cig_total],
+                                  b_py.cigar_op[:cig_total])
+    np.testing.assert_array_equal(b_nat.cigar_oplen[:cig_total],
+                                  b_py.cigar_oplen[:cig_total])
+    r_nat.close()
+
+
+def test_alignment_mode_quant(truth_bam, sample_data_dir, tmp_path):
+    from salmon_tpu.cli import main
+    from salmon_tpu.io.writers import read_quant_sf
+    from scipy.stats import spearmanr
+
+    path, names = truth_bam
+    out = str(tmp_path / "alnq")
+    rc = main(["quant", "-t",
+               os.path.join(sample_data_dir, "transcripts.fasta"),
+               "-l", "A", "-a", path, "-o", out, "-q"])
+    assert rc == 0
+    q = read_quant_sf(os.path.join(out, "quant.sf"))
+    truth = collections.Counter()
+    with open(os.path.join(sample_data_dir, "reads_1.fastq")) as fh:
+        for i, line in enumerate(fh):
+            if i % 4 == 0:
+                truth[line[1:].split(":")[1]] += 1
+    est = dict(zip(q["Name"], q["NumReads"]))
+    t = np.array([truth[k] for k in truth], dtype=float)
+    e = np.array([est.get(k, 0.0) for k in truth])
+    # perfect unique alignments -> essentially exact counts
+    rho = spearmanr(t, e).statistic
+    assert rho >= 0.999, f"alignment-mode Spearman {rho}"
+    np.testing.assert_allclose(e.sum(), 10000, rtol=0.01)
+    import json
+    with open(os.path.join(out, "aux_info", "meta_info.json")) as fh:
+        meta = json.load(fh)
+    assert meta["mapping_type"] == "alignment"
+    assert meta["num_processed"] == 10000
