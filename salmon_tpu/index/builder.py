@@ -135,7 +135,7 @@ def build_index(
     offsets = np.concatenate([starts.astype(np.int64),
                               np.array([km.shape[0]], dtype=np.int64)])
 
-    table = build_hash_table(uniq)
+    table = build_hash_table(uniq, occ_offsets=offsets)
 
     seq_offsets = np.zeros(len(records) + 1, dtype=np.int64)
     seq_offsets[1:] = np.cumsum(lengths.astype(np.int64))
@@ -166,8 +166,7 @@ def save_index(idx: TranscriptomeIndex, out_dir: str) -> None:
         lengths=idx.lengths, complete_lengths=idx.complete_lengths,
         kmers=idx.kmers, occ_offsets=idx.occ_offsets, occ_txp=idx.occ_txp,
         occ_pos=idx.occ_pos, occ_fwd=idx.occ_fwd,
-        table_hi=idx.table.table_hi, table_lo=idx.table.table_lo,
-        table_payload=idx.table.table_payload,
+        table_rows=idx.table.rows,
         seq_codes=idx.seq_codes, seq_offsets=idx.seq_offsets)
     meta = dict(idx.info)
     meta.update({
@@ -194,8 +193,7 @@ def load_index(index_dir: str) -> TranscriptomeIndex:
         names = [ln.rstrip("\n") for ln in fh if ln.rstrip("\n")]
     z = np.load(os.path.join(index_dir, "index.npz"))
     table = KmerHashTable(
-        table_hi=z["table_hi"], table_lo=z["table_lo"],
-        table_payload=z["table_payload"],
+        rows=z["table_rows"],
         n_slots=int(meta["table_n_slots"]),
         max_probes=int(meta["table_max_probes"]))
     return TranscriptomeIndex(

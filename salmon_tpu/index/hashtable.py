@@ -4,7 +4,7 @@ Replaces the reference's SSHash minimizer dictionary (external pufferfish;
 see SURVEY.md §2.3). An MPHF is pointer-chasing and build-heavy; on TPU we
 want a branch-free, bounded-probe gather. Design:
 
-- keys are canonical k-mers split into two uint32 planes (hi, lo) so the
+- keys are canonical k-mers split into two 32-bit planes (hi, lo) so the
   device never needs 64-bit integers,
 - desired slot = murmur-style 32-bit mix of (hi, lo) masked to table size,
 - layout = linear probing in *robin-hood order*: sort keys by desired slot,
@@ -12,6 +12,11 @@ want a branch-free, bounded-probe gather. Design:
   vectorized scan (final = cummax(desired - i) + i). The table physically has
   H + max_probe slots so device probes never need a modulo.
 - probe bound is recorded at build time and is a static in the jitted lookup.
+- the table is stored as ONE (H + max_probes, 4) int32 row matrix
+  `(hi, lo, occ_start, occ_count)`: a probe is a single row gather and the
+  hit resolves straight to the occurrence CSR range — no payload
+  indirection. (On this TPU backend each separate 1-D gather costs ~10s of
+  XLA compile and 2x the runtime of a row gather; packing is load-bearing.)
 
 Build cost is one argsort over the unique k-mers — O(n log n) with numpy
 vector ops only, human-transcriptome scale builds in seconds.
@@ -23,13 +28,13 @@ import dataclasses
 
 import numpy as np
 
-EMPTY_HI = np.uint32(0xFFFFFFFF)  # valid hi < 2^30 for k<=31, so safe sentinel
+EMPTY_HI = -1  # int32 sentinel; valid hi < 2^30 for k <= 31
 
 
 def split_u64(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Split uint64 keys into (hi, lo) uint32 planes."""
-    return (keys >> np.uint64(32)).astype(np.uint32), \
-        (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    """Split uint64 keys into (hi, lo) int32 planes (bit patterns)."""
+    return ((keys >> np.uint64(32)).astype(np.uint32).view(np.int32),
+            (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32))
 
 
 def mix32(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
@@ -50,13 +55,8 @@ def mix32(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
 
 @dataclasses.dataclass
 class KmerHashTable:
-    """Flat probe table mapping canonical k-mer -> payload index.
-
-    payload index points into caller-owned CSR arrays (occurrence lists).
-    """
-    table_hi: np.ndarray     # (H + max_probes,) uint32, EMPTY_HI = empty
-    table_lo: np.ndarray     # (H + max_probes,) uint32
-    table_payload: np.ndarray  # (H + max_probes,) int32 index into CSR rows
+    """Flat probe table mapping canonical k-mer -> occurrence CSR range."""
+    rows: np.ndarray         # (H + max_probes, 4) int32: hi, lo, start, cnt
     n_slots: int             # H (power of two)
     max_probes: int          # static probe bound for the device loop
 
@@ -65,12 +65,15 @@ class KmerHashTable:
         return self.n_slots - 1
 
 
-def build_hash_table(keys_u64: np.ndarray, load_factor: float = 0.5,
+def build_hash_table(keys_u64: np.ndarray,
+                     occ_offsets: np.ndarray | None = None,
+                     load_factor: float = 0.5,
                      min_probes: int = 4) -> KmerHashTable:
     """Build the probe table for a set of *unique* uint64 keys.
 
-    The payload for key `keys_u64[i]` is `i` (its rank in the caller's
-    sorted-unique ordering), so CSR offset arrays line up for free.
+    occ_offsets: (n + 1,) CSR offsets aligned with the sorted-unique key
+    order; slot payload becomes (start, count). When None, payload is
+    (rank, 1) — the key's index in the input order.
     """
     n = int(keys_u64.shape[0])
     h = 1 << max(4, int(np.ceil(np.log2(max(n, 1) / load_factor))))
@@ -85,25 +88,34 @@ def build_hash_table(keys_u64: np.ndarray, load_factor: float = 0.5,
     max_probe = int(probe_dist.max()) + 1 if n else 1
     max_probe = max(max_probe, min_probes)
 
+    if occ_offsets is None:
+        starts = np.arange(n, dtype=np.int32)
+        counts = np.ones(n, dtype=np.int32)
+    else:
+        starts = occ_offsets[:-1].astype(np.int32)
+        counts = np.diff(occ_offsets).astype(np.int32)
+
     size = h + max_probe
-    table_hi = np.full(size, EMPTY_HI, dtype=np.uint32)
-    table_lo = np.zeros(size, dtype=np.uint32)
-    table_payload = np.full(size, -1, dtype=np.int32)
-    table_hi[final] = hi[order]
-    table_lo[final] = lo[order]
-    table_payload[final] = order.astype(np.int32)
-    return KmerHashTable(table_hi, table_lo, table_payload, h, max_probe)
+    rows = np.zeros((size, 4), dtype=np.int32)
+    rows[:, 0] = EMPTY_HI
+    rows[final, 0] = hi[order]
+    rows[final, 1] = lo[order]
+    rows[final, 2] = starts[order]
+    rows[final, 3] = counts[order]
+    return KmerHashTable(rows, h, max_probe)
 
 
-def lookup_host(tab: KmerHashTable, keys_u64: np.ndarray) -> np.ndarray:
-    """Host-side reference lookup (for tests): payload index or -1."""
+def lookup_host(tab: KmerHashTable, keys_u64: np.ndarray):
+    """Host-side reference lookup (for tests): (start, count) or (-1, 0)."""
     hi, lo = split_u64(keys_u64)
     slot0 = (mix32(hi, lo) & np.uint32(tab.n_slots - 1)).astype(np.int64)
-    out = np.full(keys_u64.shape, -1, dtype=np.int32)
+    start = np.full(keys_u64.shape, -1, dtype=np.int32)
+    count = np.zeros(keys_u64.shape, dtype=np.int32)
     pending = np.ones(keys_u64.shape, dtype=bool)
     for p in range(tab.max_probes):
         s = slot0 + p
-        match = pending & (tab.table_hi[s] == hi) & (tab.table_lo[s] == lo)
-        out[match] = tab.table_payload[s][match]
+        match = pending & (tab.rows[s, 0] == hi) & (tab.rows[s, 1] == lo)
+        start[match] = tab.rows[s, 2][match]
+        count[match] = tab.rows[s, 3][match]
         pending &= ~match
-    return out
+    return start, count

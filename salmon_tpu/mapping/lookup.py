@@ -31,37 +31,40 @@ def mix32(hi: jax.Array, lo: jax.Array) -> jax.Array:
     return x
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6))
-def hash_lookup(hi, lo, table_hi, table_lo, table_payload,
-                n_slots: int, max_probes: int):
-    """Look up canonical k-mers in the probe table.
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def hash_lookup(hi, lo, table_rows, n_slots: int, max_probes: int):
+    """Look up canonical k-mers in the packed probe table.
 
-    All `max_probes` candidate slots are gathered in ONE wide gather per
-    table plane (slots are consecutive, slot0..slot0+P-1) and the first
-    match is selected with an argmax — no chained per-probe gathers, which
-    keeps the XLA gather graph shallow (compile time) and lets the probe
-    axis ride the vector lanes (runtime).
+    All `max_probes` candidate slots are fetched with ONE row gather from
+    the (H + P, 4) int32 row matrix (hi, lo, occ_start, occ_count) — no
+    chained per-probe gathers and no payload indirection, which keeps the
+    XLA gather graph shallow (compile time) and fetches each slot's four
+    words contiguously (runtime).
 
     Args:
       hi, lo: (...,) uint32 query key planes.
-      table_hi/table_lo/table_payload: (n_slots + max_probes,) table planes.
+      table_rows: (n_slots + max_probes, 4) int32 packed table.
       n_slots: power-of-two logical table size (static).
       max_probes: probe bound (static).
 
-    Returns (row, found): payload row index (int32, garbage when not found)
-    and bool found mask. Queries whose hi plane is >= 2^31 never match
-    (the empty sentinel is 0xFFFFFFFF), so callers can mask invalid windows
-    by leaving them as-is and AND-ing with their own validity.
+    Returns (start, count, found): occurrence CSR range (start=-1/count=0
+    when not found). Queries whose hi plane is >= 2^31 never match (the
+    empty sentinel is -1), so callers can mask invalid windows by leaving
+    them as-is and AND-ing with their own validity.
     """
     slot0 = (mix32(hi, lo) & jnp.uint32(n_slots - 1)).astype(jnp.int32)
     probe = jnp.arange(max_probes, dtype=jnp.int32)
     slots = slot0[..., None] + probe  # (..., P) consecutive slots
-    t_hi = jnp.take(table_hi, slots, mode="clip")
-    t_lo = jnp.take(table_lo, slots, mode="clip")
-    match = (t_hi == hi[..., None]) & (t_lo == lo[..., None])
+    rows = jnp.take(table_rows, slots, axis=0, mode="clip")  # (..., P, 4)
+    hi_i = hi.astype(jnp.int32)
+    lo_i = lo.astype(jnp.int32)
+    match = (rows[..., 0] == hi_i[..., None]) & \
+        (rows[..., 1] == lo_i[..., None])
     found = match.any(axis=-1)
-    first = jnp.argmax(match, axis=-1)
-    pay = jnp.take(table_payload, slots, mode="clip")
-    row = jnp.take_along_axis(pay, first[..., None], axis=-1)[..., 0]
-    row = jnp.where(found, row, -1)
-    return row, found
+    # robin-hood layout stores each key once: select the (unique) matching
+    # probe with a masked reduce — cheaper than a take_along_axis gather
+    m = match[..., None]
+    start = jnp.sum(jnp.where(m, rows[..., 2:3], 0), axis=(-2, -1))
+    count = jnp.sum(jnp.where(m, rows[..., 3:4], 0), axis=(-2, -1))
+    start = jnp.where(found, start, -1)
+    return start, count, found

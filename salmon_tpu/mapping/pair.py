@@ -65,33 +65,37 @@ def join_pairs(cand_l: dict, cand_r: dict, start_l, start_r,
     R, T = cand_l["txp"].shape
     BIG = jnp.uint32(0xFFFFFFFF)
 
-    # pair key: txp * 2 + orient for the left end, txp * 2 + (1 - orient)
-    # for the right end -> a fw-left/rc-right (or rc-left/fw-right) pair
-    # on one transcript shares a key. tag orders left before right.
+    # pair key: (txp * 2 + orient) for the left end, (txp * 2 +
+    # (1 - orient)) for the right -> a fw-left/rc-right (or rc-left/
+    # fw-right) pair on one transcript shares the high bits; the low bit
+    # tags left(0)/right(1) so the pair sorts adjacent, left first. A
+    # single packed uint32 sort key keeps the comparator one-operand.
     def keyed(cand, start, is_left):
         o = cand["is_fw"].astype(jnp.uint32)
         if not is_left:
             o = jnp.uint32(1) - o
-        key = (cand["txp"].astype(jnp.uint32) << jnp.uint32(1)) | o
+        key = (((cand["txp"].astype(jnp.uint32) << jnp.uint32(1)) | o)
+               << jnp.uint32(1)) | jnp.uint32(0 if is_left else 1)
         key = jnp.where(cand["valid"], key, BIG)
-        tag = jnp.full((R, T), 0 if is_left else 1, jnp.int32)
-        return (key, tag, cand["score"], start,
-                cand["is_fw"].astype(jnp.int32))
+        return (key, cand["score"], start, cand["is_fw"].astype(jnp.int32))
 
     kl = keyed(cand_l, start_l, True)
     kr = keyed(cand_r, start_r, False)
     cat = lambda i: jnp.concatenate([kl[i], kr[i]], axis=1)
-    key, tag, score, start, isfw = (cat(i) for i in range(5))
+    key, score, start, isfw = (cat(i) for i in range(4))
 
-    key_s, tag_s, score_s, start_s, isfw_s = jax.lax.sort(
-        (key, tag, score, start, isfw), dimension=1, num_keys=2,
+    key_s, score_s, start_s, isfw_s = jax.lax.sort(
+        (key, score, start, isfw), dimension=1, num_keys=1,
         is_stable=False)
 
-    # adjacency: slot i is a pair iff key[i]==key[i+1], tag 0 then 1
+    # adjacency: slot i is a pair iff the next slot has the same high bits
+    # and this slot is the left (even) tag
     nxt = lambda a, fill: jnp.concatenate(
         [a[:, 1:], jnp.full((R, 1), fill, a.dtype)], axis=1)
-    is_pair = ((key_s == nxt(key_s, BIG)) & (tag_s == 0)
-               & (nxt(tag_s, 0) == 1) & (key_s != BIG))
+    nkey = nxt(key_s, BIG)
+    is_pair = ((key_s | jnp.uint32(1)) == (nkey | jnp.uint32(1))) & \
+        ((key_s & jnp.uint32(1)) == 0) & ((nkey & jnp.uint32(1)) == 1) & \
+        (key_s != BIG) & (nkey != BIG)
 
     s1 = start_s                      # left mate start
     s2 = nxt(start_s, 0)              # right mate start
@@ -115,17 +119,20 @@ def join_pairs(cand_l: dict, cand_r: dict, start_l, start_r,
     obs = observed_paired_code(s1, fw1, s2, fw2)
     pair_score = jnp.where(ok, score_s + nxt(score_s, 0), 0)
 
-    top_score, top_idx = jax.lax.top_k(pair_score, max_pair_cands)
-    g = lambda a: jnp.take_along_axis(a, top_idx, axis=1)
-    valid_out = top_score > 0
+    # top-T2 by score with payloads riding one descending sort
+    T2 = max_pair_cands
+    _, t_score, t_key, t_flen, t_pos, t_obs, t_fw = jax.lax.sort(
+        (-pair_score, pair_score, key_s, frag_len, frag_start, obs,
+         fw1.astype(jnp.int32)), dimension=1, num_keys=1, is_stable=False)
+    valid_out = t_score[:, :T2] > 0
     has_pair = valid_out.any(axis=1)
     return {
-        "txp": (g(key_s) >> jnp.uint32(1)).astype(jnp.int32),
-        "score": top_score,
-        "frag_len": g(frag_len),
-        "pos": g(frag_start),
-        "obs_code": g(obs),
-        "fw": g(fw1),
+        "txp": (t_key[:, :T2] >> jnp.uint32(2)).astype(jnp.int32),
+        "score": t_score[:, :T2],
+        "frag_len": t_flen[:, :T2],
+        "pos": t_pos[:, :T2],
+        "obs_code": t_obs[:, :T2],
+        "fw": t_fw[:, :T2].astype(bool),
         "valid": valid_out,
         "has_pair": has_pair,
     }
@@ -135,16 +142,18 @@ def orphan_hits(cand: dict, start, mate_status: int, max_pair_cands: int):
     """Format one end's candidates as orphan fragment hits (used when the
     fragment has no concordant pair)."""
     T2 = max_pair_cands
-    score, idx = jax.lax.top_k(
-        jnp.where(cand["valid"], cand["score"], 0), T2)
-    g = lambda a: jnp.take_along_axis(a, idx, axis=1)
+    s = jnp.where(cand["valid"], cand["score"], 0)
+    _, score, txp, pos, fw = jax.lax.sort(
+        (-s, s, cand["txp"], start, cand["is_fw"].astype(jnp.int32)),
+        dimension=1, num_keys=1, is_stable=False)
+    score = score[:, :T2]
     return {
-        "txp": g(cand["txp"]),
+        "txp": txp[:, :T2],
         "score": score,
         "frag_len": jnp.zeros_like(score),
-        "pos": g(start),
+        "pos": pos[:, :T2],
         "obs_code": jnp.full_like(score, -1),
-        "fw": g(cand["is_fw"]),
+        "fw": fw[:, :T2].astype(bool),
         "valid": score > 0,
         "mate_status": mate_status,
     }

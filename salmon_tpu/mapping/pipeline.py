@@ -98,18 +98,19 @@ class MapperConfig:
 
 
 def device_index_arrays(idx: TranscriptomeIndex) -> dict:
-    """Materialize the index as a dict of device-transferable arrays."""
-    occ_start = idx.occ_offsets[:-1].astype(np.int32)
-    occ_count = np.diff(idx.occ_offsets).astype(np.int32)
+    """Materialize the index as a dict of device-transferable arrays.
+
+    Tables are packed row matrices so device probes are single row
+    gathers (see index.hashtable docstring for why this is load-bearing
+    on TPU)."""
+    n_occ = idx.occ_txp.shape[0]
+    occ_rows = np.zeros((max(n_occ, 1), 4), dtype=np.int32)
+    occ_rows[:n_occ, 0] = idx.occ_txp
+    occ_rows[:n_occ, 1] = idx.occ_pos
+    occ_rows[:n_occ, 2] = idx.occ_fwd
     return {
-        "table_hi": jnp.asarray(idx.table.table_hi),
-        "table_lo": jnp.asarray(idx.table.table_lo),
-        "table_payload": jnp.asarray(idx.table.table_payload),
-        "occ_start": jnp.asarray(occ_start),
-        "occ_count": jnp.asarray(occ_count),
-        "occ_txp": jnp.asarray(idx.occ_txp),
-        "occ_pos": jnp.asarray(idx.occ_pos),
-        "occ_fwd": jnp.asarray(idx.occ_fwd.astype(np.uint8)),
+        "table_rows": jnp.asarray(idx.table.rows),
+        "occ_rows": jnp.asarray(occ_rows),
         "txp_lens": jnp.asarray(idx.lengths.astype(np.int32)),
     }
 
@@ -121,18 +122,17 @@ def _map_one_end(codes, lengths, dev, cfg: MapperConfig):
         # seed-skip: query every stride-th window (reference analog:
         # altSkip, SalmonDefaults.hpp:37; streaming-query skip heuristics)
         km = {k: v[:, ::cfg.kmer_stride] for k, v in km.items()}
-    row, found = hash_lookup(
-        km["hi"], km["lo"], dev["table_hi"], dev["table_lo"],
-        dev["table_payload"], cfg.n_slots, cfg.max_probes)
+    start_c, count_c, found = hash_lookup(
+        km["hi"], km["lo"], dev["table_rows"], cfg.n_slots,
+        cfg.max_probes)
     key, rpos, diag, ovalid = expand_occurrences(
-        km, row, found, dev["occ_start"], dev["occ_count"],
-        dev["occ_txp"], dev["occ_pos"], dev["occ_fwd"],
+        km, start_c, count_c, found, dev["occ_rows"],
         cfg.occ_cap, cfg.max_occs_per_hit, stride=cfg.kmer_stride)
     R = codes.shape[0]
     n = key.shape[1] * key.shape[2]
     cand = score_candidates(
         key.reshape(R, n), rpos.reshape(R, n), diag.reshape(R, n),
-        cfg.max_cands)
+        cfg.max_cands, stride=cfg.kmer_stride)
     start = candidate_read_start(cand, lengths, cfg.k)
     return cand, start
 
@@ -202,11 +202,11 @@ def _filter_and_weight(joined: dict, fld_logpmf, compat_paired,
     w = jnp.where(keep, jnp.exp(logw - jnp.where(logw_max > NEG / 2,
                                                  logw_max, 0.0)), 0.0)
 
-    # --- collapse per-transcript (sum weights of multi-hits to same txp)
+    # --- collapse per-transcript (sum weights of multi-hits to same txp);
+    # frag_len/pos are consumed pre-sort, so the sorts carry only (key, w)
     txp_key = jnp.where(keep, txp, INVALID_TXP)
-    txp_s, w_s, flen_s, pos_s = jax.lax.sort(
-        (txp_key, w, joined["frag_len"], joined["pos"]),
-        dimension=1, num_keys=1, is_stable=False)
+    txp_s, w_s = jax.lax.sort(
+        (txp_key, w), dimension=1, num_keys=1, is_stable=False)
     R, T2 = txp_s.shape
     prev = jnp.concatenate(
         [jnp.full((R, 1), -1, jnp.int32), txp_s[:, :-1]], axis=1)
@@ -215,19 +215,17 @@ def _filter_and_weight(joined: dict, fld_logpmf, compat_paired,
     v = txp_s != INVALID_TXP
     rs = v & (txp_s != prev)
     re = v & (txp_s != nxt)
+    from salmon_tpu.mapping.score import segment_carry_first
     cw = jnp.cumsum(w_s, axis=1)
-    idx = jnp.broadcast_to(jnp.arange(T2, dtype=jnp.int32)[None, :], (R, T2))
-    sidx = jax.lax.cummax(jnp.where(rs, idx, 0), axis=1)
-    cw_start = jnp.take_along_axis(cw, sidx, axis=1)
-    w_start = jnp.take_along_axis(w_s, sidx, axis=1)
+    cw_start = segment_carry_first(cw, rs)
+    w_start = segment_carry_first(w_s, rs)
     run_w = cw - cw_start + w_start  # summed weight over the run, at end
 
     eq_txp = jnp.where(re, txp_s, INVALID_TXP)
     eq_w = jnp.where(re, run_w, 0.0)
     # compact labels to the left, ascending txp (re-sort by masked txp)
-    eq_txp, eq_w, flen_o, pos_o = jax.lax.sort(
-        (eq_txp, eq_w, flen_s, pos_s), dimension=1, num_keys=1,
-        is_stable=False)
+    eq_txp, eq_w = jax.lax.sort(
+        (eq_txp, eq_w), dimension=1, num_keys=1, is_stable=False)
     aln_valid = eq_txp != INVALID_TXP
     frag_ok = aln_valid.any(axis=1)
 

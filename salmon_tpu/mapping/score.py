@@ -24,11 +24,13 @@ import jax.numpy as jnp
 INVALID_KEY = jnp.uint32(0xFFFFFFFF)
 
 
-def expand_occurrences(km: dict, row, found, occ_start, occ_count,
-                       occ_txp, occ_pos, occ_fwd, occ_cap: int,
-                       max_occs_per_hit: int, stride: int = 1):
+def expand_occurrences(km: dict, start, count, found, occ_rows,
+                       occ_cap: int, max_occs_per_hit: int,
+                       stride: int = 1):
     """Gather up to C occurrences per found k-mer window.
 
+    `occ_rows` is the packed (n_occ, 4) int32 occurrence matrix
+    (txp, pos, fwd, 0): one row gather fetches a hit's full record.
     `stride` is the base-position step between successive windows (the
     seed-skip analog of the reference's altSkip/mismatchSeedSkip,
     SalmonDefaults.hpp:37): window p sits at read position p*stride.
@@ -39,19 +41,18 @@ def expand_occurrences(km: dict, row, found, occ_start, occ_count,
       diag = tpos - rpos (fw) or tpos + rpos (rc) — strand-specific
              diagonal whose run-minimum recovers the mapped read start.
     """
-    R, P = row.shape
+    R, P = start.shape
     C = occ_cap
-    start = jnp.take(occ_start, row, mode="clip")
-    count = jnp.take(occ_count, row, mode="clip")
     usable = found & km["valid"] & (count <= max_occs_per_hit)
 
     c_idx = jnp.arange(C, dtype=jnp.int32)
     oidx = start[:, :, None] + c_idx[None, None, :]
     ovalid = usable[:, :, None] & (c_idx[None, None, :] < count[:, :, None])
 
-    txp = jnp.take(occ_txp, oidx, mode="clip")
-    tpos = jnp.take(occ_pos, oidx, mode="clip")
-    tfwd = jnp.take(occ_fwd, oidx, mode="clip").astype(bool)
+    occ = jnp.take(occ_rows, oidx, axis=0, mode="clip")  # (R, P, C, 4)
+    txp = occ[..., 0]
+    tpos = occ[..., 1]
+    tfwd = occ[..., 2].astype(bool)
 
     orient_fw = km["is_fw"][:, :, None] == tfwd
     key = (txp.astype(jnp.uint32) << jnp.uint32(1)) | \
@@ -75,20 +76,51 @@ def _segmented_min(values, seg_start, axis=1):
     return out
 
 
-def score_candidates(key, rpos, diag, max_cands: int):
+def segment_carry_first(values, seg_start, axis=1):
+    """For each element, the value at the start of its segment.
+
+    One associative scan — replaces the cummax-index + take_along_axis
+    formulation, whose data-dependent lane gather fuses into a serialized
+    kernel on TPU (measured ~50x slower than this scan)."""
+    def combine(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, jnp.where(fb, vb, va)
+    _, out = jax.lax.associative_scan(
+        combine, (seg_start, values), axis=axis)
+    return out
+
+
+def score_candidates(key, rpos, diag, max_cands: int, stride: int = 1,
+                     window_bits: int = 8):
     """Sort hits per read and reduce runs to top-T candidates.
+
+    The (candidate key, window) pair is packed into ONE uint32 sort key
+    (key << window_bits | window) so the sort carries a single key operand
+    plus one payload — multi-operand comparators are the hot cost of
+    lax.sort on TPU. window = rpos / stride fits `window_bits` (reads up
+    to 2^window_bits * stride bases); key = txp*2+orient must fit the
+    remaining bits (txps < 2^23 at the default 8 — ample for any
+    transcriptome + decoys).
 
     Args:
       key/rpos/diag: (R, N) flattened hit tensors (N = P*C).
       max_cands: T — candidates kept per read end.
+      stride: window spacing in bases (rpos = window * stride).
 
     Returns dict of (R, T):
       txp (int32), is_fw (bool), score (int32, #distinct supporting read
       positions), min_diag (int32), valid (bool).
     """
     R, N = key.shape
-    key_s, rpos_s, diag_s = jax.lax.sort(
-        (key, rpos, diag), dimension=1, num_keys=2, is_stable=False)
+    window = (rpos // stride).astype(jnp.uint32)
+    packed = jnp.where(
+        key == INVALID_KEY, INVALID_KEY,
+        (key << jnp.uint32(window_bits)) | window)
+    packed_s, rpos_s, diag_s = jax.lax.sort(
+        (packed, rpos, diag), dimension=1, num_keys=1, is_stable=False)
+    key_s = jnp.where(packed_s == INVALID_KEY, INVALID_KEY,
+                      packed_s >> jnp.uint32(window_bits))
 
     valid = key_s != INVALID_KEY
     prev_key = jnp.concatenate(
@@ -103,23 +135,28 @@ def score_candidates(key, rpos, diag, max_cands: int):
     uniq = valid & (run_start | (rpos_s != prev_rpos))
 
     cum = jnp.cumsum(uniq.astype(jnp.int32), axis=1)
-    idx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :], (R, N))
-    sidx = jax.lax.cummax(jnp.where(run_start, idx, 0), axis=1)
-    cum_at_start = jnp.take_along_axis(cum, sidx, axis=1)
+    cum_at_start = segment_carry_first(cum, run_start)
     run_score = cum - cum_at_start + 1  # uniq at run start is always 1
 
     min_diag = _segmented_min(diag_s, run_start, axis=1)
 
+    # top-T by score WITH payloads: one descending sort + slice (top_k
+    # would need take_along_axis gathers for the payloads, which fuse
+    # into serialized kernels on TPU)
     end_score = jnp.where(run_end, run_score, 0)
-    top_score, top_idx = jax.lax.top_k(end_score, max_cands)
-    g = lambda a: jnp.take_along_axis(a, top_idx, axis=1)
-    top_key = g(key_s)
+    neg = -end_score
+    _, top_score, top_key, top_diag = jax.lax.sort(
+        (neg, end_score, key_s, min_diag), dimension=1, num_keys=1,
+        is_stable=False)
+    top_score = top_score[:, :max_cands]
+    top_key = top_key[:, :max_cands]
+    top_diag = top_diag[:, :max_cands]
     out_valid = top_score > 0
     return {
         "txp": (top_key >> jnp.uint32(1)).astype(jnp.int32),
         "is_fw": (top_key & jnp.uint32(1)).astype(bool),
         "score": top_score,
-        "min_diag": g(min_diag),
+        "min_diag": top_diag,
         "valid": out_valid,
     }
 

@@ -30,8 +30,10 @@ def _pos_factor_grid(obs_masses, exp_masses):
     otherwise produce multi-x noise factors)."""
     grid = np.ones((B.POS_LENGTH_CLASSES, BE.POS_GRID))
     for li in range(B.POS_LENGTH_CLASSES):
-        o = B.pos_project_weights(obs_masses[li], BE.POS_GRID)
-        e = B.pos_project_weights(exp_masses[li], BE.POS_GRID)
+        # +1 pseudocount per bin (the reference's SimplePosBias starts
+        # each bin at LOG_1, i.e. mass 1.0: SimplePosBias.cpp ctor)
+        o = B.pos_project_weights(obs_masses[li] + 1.0, BE.POS_GRID)
+        e = B.pos_project_weights(exp_masses[li] + 1.0, BE.POS_GRID)
         if obs_masses[li].sum() > 0 and exp_masses[li].sum() > 0:
             grid[li] = np.clip(o / np.maximum(e, 1e-5),
                                1.0 / POS_RATIO_MAX, POS_RATIO_MAX)

@@ -11,13 +11,15 @@ def test_hash_table_roundtrip(rng):
     keys = rng.integers(0, 1 << 62, size=5000).astype(np.uint64)
     keys = np.unique(keys)
     tab = build_hash_table(keys)
-    got = lookup_host(tab, keys)
-    assert (got == np.arange(keys.shape[0])).all()
+    start, count = lookup_host(tab, keys)
+    assert (start == np.arange(keys.shape[0])).all()
+    assert (count == 1).all()
     # absent keys miss
     absent = rng.integers(0, 1 << 62, size=1000).astype(np.uint64)
     absent = np.setdiff1d(absent, keys)
-    got = lookup_host(tab, absent)
-    assert (got == -1).all()
+    start, count = lookup_host(tab, absent)
+    assert (start == -1).all()
+    assert (count == 0).all()
 
 
 def test_hash_table_probe_bound(rng):
@@ -41,11 +43,10 @@ def test_index_every_kmer_resolves(small_index):
         codes = idx.transcript_codes(tid)
         km, valid = kmers_of(codes, k)
         canon, fwd = canonical_kmers(km, k)
-        rows = lookup_host(idx.table, canon)
-        assert (rows[valid] >= 0).all()
+        starts, counts = lookup_host(idx.table, canon)
+        assert (starts[valid] >= 0).all()
         for p in np.nonzero(valid)[0][::17]:  # sample positions
-            r = rows[p]
-            lo, hi_ = idx.occ_offsets[r], idx.occ_offsets[r + 1]
+            lo, hi_ = starts[p], starts[p] + counts[p]
             occ_t = idx.occ_txp[lo:hi_]
             occ_p = idx.occ_pos[lo:hi_]
             occ_f = idx.occ_fwd[lo:hi_]
@@ -62,8 +63,8 @@ def test_index_save_load_roundtrip(small_index, tmp_path):
     assert idx2.names == small_index.names
     np.testing.assert_array_equal(idx2.kmers, small_index.kmers)
     np.testing.assert_array_equal(idx2.occ_txp, small_index.occ_txp)
-    np.testing.assert_array_equal(idx2.table.table_hi,
-                                  small_index.table.table_hi)
+    np.testing.assert_array_equal(idx2.table.rows,
+                                  small_index.table.rows)
 
 
 def test_index_rejects_even_k(sample_data_dir):
