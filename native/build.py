@@ -11,7 +11,8 @@ import sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 OUT = os.path.join(HERE, "libsalmontpu.so")
-SRCS = [os.path.join(HERE, "bamreader.cpp")]
+SRCS = [os.path.join(HERE, "bamreader.cpp"),
+        os.path.join(HERE, "fastqreader.cpp")]
 
 
 def build(force: bool = False) -> str:

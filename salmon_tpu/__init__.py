@@ -20,4 +20,28 @@ A from-scratch reimplementation of the capabilities of COMBINE-lab/salmon
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache: first-compile of the mapping
+    pipeline runs minutes on the TPU backend; cached recompiles are
+    seconds. Opt out with SALMON_TPU_NO_COMPILE_CACHE=1."""
+    if _os.environ.get("SALMON_TPU_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+        d = _os.environ.get(
+            "SALMON_TPU_COMPILE_CACHE",
+            _os.path.join(_os.path.expanduser("~"), ".cache",
+                          "salmon_tpu_xla"))
+        _os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_compilation_cache()
+
 from salmon_tpu.constants import SalmonDefaults  # noqa: F401

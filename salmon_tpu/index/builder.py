@@ -91,9 +91,11 @@ def build_index(
     valid = [r for r in records if r.name not in decoy_names]
     decoy = [r for r in records if r.name in decoy_names]
     if decoys_path:
-        drecs, _ = load_transcripts(decoys_path, gencode=gencode,
-                                    noclip_polya=noclip_polya)
+        drecs, dinfo = load_transcripts(decoys_path, gencode=gencode,
+                                        noclip_polya=noclip_polya)
         decoy.extend(drecs)
+        info["DecoySeqHash"] = dinfo["SeqHash"]
+        info["DecoyNameHash"] = dinfo["NameHash"]
     records = valid + decoy
     first_decoy_index = len(valid)
 

@@ -83,6 +83,8 @@ def load_transcripts(
     records: list[TranscriptRecord] = []
     seq_hasher = hashlib.sha256()
     name_hasher = hashlib.sha256()
+    seq_hasher512 = hashlib.sha512()
+    name_hasher512 = hashlib.sha512()
     seen: dict[bytes, str] = {}
     dups: list[tuple[str, str]] = []
     seen_names: set[str] = set()
@@ -92,6 +94,8 @@ def load_transcripts(
         seen_names.add(name)
         seq_hasher.update(seq.encode("ascii"))
         name_hasher.update(name.encode("ascii"))
+        seq_hasher512.update(seq.encode("ascii"))
+        name_hasher512.update(name.encode("ascii"))
         codes = encode_seq(seq)
         complete_length = codes.shape[0]
         if not noclip_polya:
@@ -103,7 +107,13 @@ def load_transcripts(
                 continue
             seen[key] = name
         records.append(TranscriptRecord(name, codes, complete_length))
+    # key names follow the reference's info.json schema
+    # (SalmonIndex.hpp:139-144)
     info = {
+        "SeqHash": seq_hasher.hexdigest(),
+        "NameHash": name_hasher.hexdigest(),
+        "SeqHash512": seq_hasher512.hexdigest(),
+        "NameHash512": name_hasher512.hexdigest(),
         "SeqHash256": seq_hasher.hexdigest(),
         "NameHash256": name_hasher.hexdigest(),
         "duplicates_removed": dups,

@@ -1,0 +1,199 @@
+"""Banded affine-gap alignment scoring (selective alignment).
+
+Reference: PuffAligner + ksw2 banded SIMD Smith-Waterman (consumed at
+src/quant/SalmonQuantify.cpp:1523-1525; config initMapperSettings,
+SalmonMappingUtils.hpp:153-223: ma=2 mp=-4 go=6 ge=2, bandwidth=15,
+refExtendLength=20, score-only). The reference validates every candidate
+mapping with a banded DP and filters on minScoreFraction of the perfect
+score (SalmonDefaults.hpp:33).
+
+TPU design: score-only banded DP in *band-relative* coordinates. For a
+candidate whose seed chain predicts the read starts at reference position
+`pos`, read base i should align near ref position pos + i; the DP state is
+H[i, d] for band offset d in [-bw, bw] (ref pos = pos + i + d). One
+lax.scan step per read base:
+
+  diag move   keeps d        -> H_prev[d] + sub(read_i, ref_{i+d})
+  gap-in-read (ref advances) -> comes from d+1 in the previous row
+  gap-in-ref  (read advances)-> within-row max-plus prefix over d,
+                                computed with a Kogge-Stone shift-max
+                                cascade (the ksw2 "lazy-F" loop as a
+                                log-depth scan)
+
+The scan is vectorized over all (fragment, candidate, mate) problems at
+once — every step is pure VPU work on a (problems, band) tensor. Read is
+global (no softclip by default), reference ends are free within the band
+(the reference's extension-alignment semantics); bases outside the
+transcript score a large negative, which enforces the default
+no-overhang policy (softclipOverhangs=false).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG = -1e9
+OOB_PENALTY = -1000.0  # aligning outside the transcript (overhang)
+
+
+def _subst_scores(read_codes, ref_codes, ma: float, mp: float):
+    """(P, B) substitution scores; invalid bases (>=4) mismatch, ref OOB
+    heavily penalized (code 5)."""
+    is_oob = ref_codes >= 5
+    match = (read_codes == ref_codes) & (read_codes < 4) & (ref_codes < 4)
+    s = jnp.where(match, ma, mp)
+    return jnp.where(is_oob, OOB_PENALTY, s)
+
+
+def banded_scores(read_codes, read_lens, ref_base, txp_lens, seq_codes,
+                  seq_off, bandwidth: int, ma: float, mp: float,
+                  go: float, ge: float):
+    """Score-only banded affine DP for a batch of problems.
+
+    Args:
+      read_codes: (P, L) uint8 read codes, already orientation-resolved
+        (rc reads pre-complemented so the alignment is always read-fw vs
+        ref-fw).
+      read_lens: (P,) int32.
+      ref_base: (P,) int32 predicted read-start position on the
+        transcript (may be negative or past the end; OOB masked).
+      txp_lens: (P,) transcript lengths.
+      seq_codes: (total_len,) concatenated transcript codes (uint8).
+      seq_off: (P,) int64/int32 start offset of each problem's transcript
+        in seq_codes.
+      bandwidth: band half-width (static).
+      ma/mp/go/ge: match / mismatch / gap-open / gap-extend scores
+        (mp negative; go, ge positive costs).
+
+    Returns (P,) float32 best alignment scores (read fully aligned).
+    """
+    return _banded_scores_impl(read_codes, None, read_lens, ref_base,
+                               txp_lens, seq_codes, seq_off, bandwidth,
+                               ma, mp, go, ge)
+
+
+def banded_scores_indexed(reads, read_ids, read_lens, ref_base, txp_lens,
+                          seq_codes, seq_off, bandwidth: int, ma: float,
+                          mp: float, go: float, ge: float):
+    """banded_scores variant where problems share read rows: `reads` is
+    (NR, L) and `read_ids` (P,) selects each problem's read — avoids
+    materializing a (P, L) read tensor when many candidates share one
+    read."""
+    return _banded_scores_impl(reads, read_ids, read_lens, ref_base,
+                               txp_lens, seq_codes, seq_off, bandwidth,
+                               ma, mp, go, ge)
+
+
+def _banded_scores_impl(read_codes, read_ids, read_lens, ref_base,
+                        txp_lens, seq_codes, seq_off, bandwidth: int,
+                        ma: float, mp: float, go: float, ge: float):
+    if read_ids is None:
+        P, L = read_codes.shape
+    else:
+        P = read_ids.shape[0]
+        L = read_codes.shape[1]
+    B = 2 * bandwidth + 1
+    d_off = jnp.arange(B, dtype=jnp.int32) - bandwidth  # [-bw, bw]
+
+    # gather the ref band rows for every read position up front:
+    # ref index for (i, d) = ref_base + i + d
+    # fetch codes with OOB -> 5
+    def ref_at(i):
+        idx = ref_base[:, None] + i + d_off[None, :]
+        oob = (idx < 0) | (idx >= txp_lens[:, None])
+        g = jnp.take(seq_codes,
+                     jnp.clip(seq_off[:, None] + idx, 0,
+                              seq_codes.shape[0] - 1),
+                     mode="clip").astype(jnp.int32)
+        return jnp.where(oob, 5, g)
+
+    n_shift = int(np.ceil(np.log2(max(B, 2))))
+
+    def step(carry, i):
+        H_prev, F_prev = carry
+        col = read_codes[:, i]
+        if read_ids is not None:
+            col = jnp.take(col, read_ids, mode="clip")
+        rc = col.astype(jnp.int32)
+        refs = ref_at(i)
+        sub = _subst_scores(rc[:, None], refs, ma, mp)
+
+        # gap-in-read: ref consumed without read base — comes from the
+        # previous row at d+1
+        shift_dn = lambda a: jnp.concatenate(
+            [a[:, 1:], jnp.full((P, 1), NEG, a.dtype)], axis=1)
+        F = jnp.maximum(shift_dn(F_prev) - ge,
+                        shift_dn(H_prev) - go - ge)
+        H_diag = H_prev + sub
+        H_nf = jnp.maximum(H_diag, F)
+
+        # gap-in-ref (E): within-row max-plus prefix:
+        # H[d] = max(H_nf[d], max_{d'<d} H_nf[d'] - go - ge*(d - d'))
+        X = H_nf - go
+        s = 1
+        for _ in range(n_shift):
+            shifted = jnp.concatenate(
+                [jnp.full((P, s), NEG, X.dtype), X[:, :-s]], axis=1)
+            X = jnp.maximum(X, shifted - ge * s)
+            s *= 2
+        E = jnp.concatenate(
+            [jnp.full((P, 1), NEG, X.dtype), X[:, :-1]], axis=1) - ge
+        H = jnp.maximum(H_nf, E)
+
+        # past-the-end rows must not change the final score: freeze
+        active = i < read_lens
+        H = jnp.where(active[:, None], H, H_prev)
+        F = jnp.where(active[:, None], F, F_prev)
+        return (H, F), None
+
+    # derive the initial carry from an input so its sharding "varying"
+    # status matches the loop body under shard_map
+    zero_like_in = (0.0 * ref_base.astype(jnp.float32))[:, None]
+    H0 = jnp.zeros((P, B), jnp.float32) + zero_like_in
+    F0 = jnp.full((P, B), NEG, jnp.float32) + zero_like_in
+    (H, _), _ = jax.lax.scan(step, (H0, F0), jnp.arange(L))
+    return jnp.max(H, axis=1)
+
+
+def banded_scores_numpy(read, ref, bandwidth, ma, mp, go, ge):
+    """Unvectorized float reference DP for tests: same band semantics.
+
+    read/ref: code arrays; ref indexed so read[i] aligns near ref[i].
+    """
+    L = len(read)
+    B = 2 * bandwidth + 1
+    H = np.zeros(B)
+    F = np.full(B, NEG)
+    for i in range(L):
+        Hn = np.full(B, NEG)
+        Fn = np.full(B, NEG)
+        for db in range(B):
+            d = db - bandwidth
+            j = i + d
+            if 0 <= j < len(ref):
+                sub = ma if (read[i] == ref[j] and read[i] < 4
+                             and ref[j] < 4) else mp
+                if read[i] >= 4 or ref[j] >= 4:
+                    sub = mp
+            else:
+                sub = OOB_PENALTY
+            # diag
+            best = H[db] + sub
+            # gap in read (from previous row, d+1)
+            if db + 1 < B:
+                Fn[db] = max(F[db + 1] - ge, H[db + 1] - go - ge)
+                best = max(best, Fn[db])
+            Hn[db] = best
+        # gap in ref: within-row max-plus prefix over the pre-E values
+        pre = Hn.copy()
+        for db in range(1, B):
+            best_e = NEG
+            for dp in range(db):
+                best_e = max(best_e, pre[dp] - go - ge * (db - dp))
+            Hn[db] = max(Hn[db], best_e)
+        H, F = Hn, Fn
+    return H.max()

@@ -68,6 +68,15 @@ class MapperConfig:
     # reference ksw2 ma=2, SalmonDefaults.hpp:32)
     match_score: int = DEFAULTS.match_score
     kmer_stride: int = DEFAULTS.kmer_stride
+    # selective-alignment DP validation (reference validateMappings;
+    # scores every surviving candidate with banded affine DP and filters
+    # on minScoreFraction)
+    validate_mappings: bool = DEFAULTS.validate_mappings
+    min_score_fraction: float = DEFAULTS.min_score_fraction
+    mismatch_penalty: int = DEFAULTS.mismatch_penalty
+    gap_open_penalty: int = DEFAULTS.gap_open_penalty
+    gap_extend_penalty: int = DEFAULTS.gap_extend_penalty
+    dp_bandwidth: int = DEFAULTS.dp_bandwidth
 
     @staticmethod
     def from_index(idx: TranscriptomeIndex, opts: SalmonDefaults = DEFAULTS,
@@ -92,6 +101,12 @@ class MapperConfig:
             range_bins=opts.range_factorization_bins,
             match_score=opts.match_score,
             kmer_stride=opts.kmer_stride,
+            validate_mappings=opts.validate_mappings,
+            min_score_fraction=opts.min_score_fraction,
+            mismatch_penalty=opts.mismatch_penalty,
+            gap_open_penalty=opts.gap_open_penalty,
+            gap_extend_penalty=opts.gap_extend_penalty,
+            dp_bandwidth=opts.dp_bandwidth,
         )
         cfg.update(overrides)
         return MapperConfig(**cfg)
@@ -112,6 +127,10 @@ def device_index_arrays(idx: TranscriptomeIndex) -> dict:
         "table_rows": jnp.asarray(idx.table.rows),
         "occ_rows": jnp.asarray(occ_rows),
         "txp_lens": jnp.asarray(idx.lengths.astype(np.int32)),
+        # transcript sequences for DP validation (int32 offsets cap the
+        # concatenated transcriptome at 2^31 bases)
+        "seq_codes": jnp.asarray(idx.seq_codes),
+        "seq_off": jnp.asarray(idx.seq_offsets.astype(np.int32)),
     }
 
 
@@ -137,8 +156,90 @@ def _map_one_end(codes, lengths, dev, cfg: MapperConfig):
     return cand, start
 
 
+def _device_revcomp(codes, lengths):
+    """Per-read reverse complement respecting ragged lengths."""
+    R, L = codes.shape
+    j = jnp.arange(L, dtype=jnp.int32)[None, :]
+    src = lengths[:, None] - 1 - j
+    ok = src >= 0
+    g = jnp.take_along_axis(codes, jnp.clip(src, 0, L - 1).astype(
+        jnp.int32), axis=1)
+    return jnp.where(ok & (g < 4), 3 - g, 4).astype(codes.dtype)
+
+
+def _dp_scores(joined: dict, batch: dict, dev: dict, cfg: MapperConfig,
+               single_end: bool):
+    """Selective-alignment validation: banded affine DP score for every
+    joined candidate (reference PuffAligner calculateAlignments,
+    SalmonQuantify.cpp:1523-1525). Returns (score, perfect) of (R, T2)."""
+    from salmon_tpu.mapping.align import banded_scores_indexed
+
+    if single_end:
+        codes_l, len_l = batch["codes"], batch["lengths"]
+        codes_r, len_r = codes_l, len_l
+    else:
+        codes_l, len_l = batch["codes_l"], batch["lengths_l"]
+        codes_r, len_r = batch["codes_r"], batch["lengths_r"]
+    R, L = codes_l.shape
+    T2 = joined["txp"].shape[1]
+    # read variants: 0=l fw, 1=l rc, 2=r fw, 3=r rc
+    reads_all = jnp.concatenate(
+        [codes_l, _device_revcomp(codes_l, len_l),
+         codes_r, _device_revcomp(codes_r, len_r)], axis=0)
+
+    txp = joined["txp"]
+    fw1 = joined["fw"]
+    ms = joined["mate_status"]
+    pos = joined["pos"]
+    frag_end = pos + joined["frag_len"] - 1
+    rows = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None],
+                            (R, T2))
+    l1 = len_l[:, None]
+    l2 = len_r[:, None]
+
+    is_right_orphan = (ms == MS_RIGHT_ORPHAN)[:, None]
+    is_paired = (ms == MS_PAIRED)[:, None] & ~jnp.bool_(single_end)
+
+    m1_var = jnp.where(is_right_orphan,
+                       jnp.where(fw1, 2, 3), jnp.where(fw1, 0, 1))
+    m1_pos = jnp.where(is_paired,
+                       jnp.where(fw1, pos, frag_end - l1 + 1), pos)
+    m1_len = jnp.where(is_right_orphan, l2, l1)
+    m2_var = jnp.where(fw1, 3, 2)
+    m2_pos = jnp.where(fw1, frag_end - l2 + 1, pos)
+
+    def flat(a):
+        return a.reshape(-1)
+
+    t_flat = flat(txp)
+    toff = jnp.take(dev["seq_off"], jnp.clip(t_flat, 0, None),
+                    mode="clip")
+    tlen = jnp.take(dev["txp_lens"], t_flat, mode="clip")
+
+    def run(var, p, ln):
+        return banded_scores_indexed(
+            reads_all, flat(rows + var * R), flat(ln * jnp.ones_like(txp)),
+            flat(p), tlen, dev["seq_codes"], toff,
+            cfg.dp_bandwidth, float(cfg.match_score),
+            float(cfg.mismatch_penalty), float(cfg.gap_open_penalty),
+            float(cfg.gap_extend_penalty)).reshape(R, T2)
+
+    s1 = run(m1_var, m1_pos, jnp.broadcast_to(m1_len, (R, T2)))
+    if single_end:
+        score = s1
+        perfect = (cfg.match_score * m1_len).astype(jnp.float32)
+    else:
+        s2 = run(m2_var, m2_pos, jnp.broadcast_to(l2, (R, T2)))
+        score = jnp.where(is_paired, s1 + s2, s1)
+        perfect = jnp.where(
+            is_paired, cfg.match_score * (l1 + l2),
+            cfg.match_score * m1_len).astype(jnp.float32)
+    return score, jnp.broadcast_to(perfect, (R, T2))
+
+
 def _filter_and_weight(joined: dict, fld_logpmf, compat_paired,
-                       compat_orphan, lengths_sum, cfg: MapperConfig):
+                       compat_orphan, lengths_sum, cfg: MapperConfig,
+                       aln_score=None, perfect_score=None):
     """Stages 5-6: decoy-aware filtering and aux-probability weights.
 
     joined: dict of (R, T2) from pair-merging, plus (R,) mate_status.
@@ -154,8 +255,17 @@ def _filter_and_weight(joined: dict, fld_logpmf, compat_paired,
     is_decoy = valid & (txp >= cfg.first_decoy_index)
     real = valid & ~is_decoy
 
-    # pseudo alignment score: coverage kmers scaled by per-base match bonus
-    s = score.astype(jnp.float32) * float(cfg.match_score)
+    if aln_score is not None:
+        # DP-validated score + minScoreFraction gate (reference
+        # filterAndCollectAlignments, SalmonMappingUtils.hpp:283-405)
+        s = aln_score
+        valid = valid & (s >= cfg.min_score_fraction * perfect_score)
+        is_decoy = valid & (txp >= cfg.first_decoy_index)
+        real = valid & ~is_decoy
+    else:
+        # coverage score scaled by per-base match bonus (the reference's
+        # tryAlign=false path, SalmonMappingUtils.hpp:359-361)
+        s = score.astype(jnp.float32) * float(cfg.match_score)
     NEG = jnp.float32(-1e30)
     best_real = jnp.max(jnp.where(real, s, NEG), axis=1, keepdims=True)
     best_decoy = jnp.max(jnp.where(is_decoy, s, NEG), axis=1, keepdims=True)
@@ -265,10 +375,16 @@ def map_paired_batch_impl(batch: dict, dev: dict, cfg: MapperConfig,
     joined = merge_paired_with_orphans(paired, orph_l, orph_r,
                                        cfg.discard_orphans)
 
+    aln_score = perfect = None
+    if cfg.validate_mappings:
+        aln_score, perfect = _dp_scores(joined, batch, dev, cfg,
+                                        single_end=False)
+
     real_row = batch["lengths_l"] > 0  # padding rows never count
     eq_txp, eq_w, frag_ok, aln_valid, wn, eq_bins = _filter_and_weight(
         joined, fld_logpmf, compat_paired, compat_orphan,
-        batch["lengths_l"] + batch["lengths_r"], cfg)
+        batch["lengths_l"] + batch["lengths_r"], cfg,
+        aln_score=aln_score, perfect_score=perfect)
     frag_ok = frag_ok & real_row
     aln_valid = aln_valid & real_row[:, None]
     eq_txp = jnp.where(aln_valid, eq_txp, INVALID_TXP)
@@ -342,10 +458,15 @@ def map_single_batch_impl(batch: dict, dev: dict, cfg: MapperConfig,
     compat6 = jnp.concatenate(
         [compat_single, jnp.zeros(4, dtype=bool)])
     joined["frag_len"] = jnp.zeros_like(joined["score"])
+    aln_score = perfect = None
+    if cfg.validate_mappings:
+        aln_score, perfect = _dp_scores(joined, batch, dev, cfg,
+                                        single_end=True)
     real_row = batch["lengths"] > 0
     eq_txp, eq_w, frag_ok, aln_valid, wn, eq_bins = _filter_and_weight(
         joined, fld_logpmf, compat6,
-        jnp.ones((2, 2), dtype=bool), batch["lengths"], cfg)
+        jnp.ones((2, 2), dtype=bool), batch["lengths"], cfg,
+        aln_score=aln_score, perfect_score=perfect)
     frag_ok = frag_ok & real_row
     aln_valid = aln_valid & real_row[:, None]
     eq_txp = jnp.where(aln_valid, eq_txp, INVALID_TXP)

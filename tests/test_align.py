@@ -1,0 +1,97 @@
+"""Banded affine-gap DP: JAX kernel vs scalar reference, and known-score
+cases (ma=2 mp=-4 go=6 ge=2 — the reference ksw2 defaults)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from salmon_tpu.mapping.align import banded_scores, banded_scores_numpy
+
+MA, MP, GO, GE = 2.0, -4.0, 6.0, 2.0
+BW = 15
+
+
+def _run_jax(read, ref, ref_base=0, bw=BW):
+    P, L = 1, len(read)
+    seq = np.asarray(ref, dtype=np.uint8)
+    out = banded_scores(
+        jnp.asarray(np.asarray(read, np.uint8)[None, :]),
+        jnp.asarray([L], jnp.int32),
+        jnp.asarray([ref_base], jnp.int32),
+        jnp.asarray([len(ref)], jnp.int32),
+        jnp.asarray(seq), jnp.asarray([0], jnp.int32),
+        bw, MA, MP, GO, GE)
+    return float(out[0])
+
+
+def test_perfect_match():
+    read = [0, 1, 2, 3] * 5
+    assert _run_jax(read, read) == 2.0 * len(read)
+
+
+def test_single_mismatch():
+    read = np.array([0, 1, 2, 3] * 5)
+    ref = read.copy()
+    ref[7] = (ref[7] + 1) % 4
+    assert _run_jax(read, ref) == 2.0 * (len(read) - 1) - 4.0
+
+
+def test_offset_start_within_band():
+    """Read actually starts 3 bases later than predicted: free band offset
+    absorbs it with no penalty."""
+    rng = np.random.default_rng(0)
+    ref = rng.integers(0, 4, 60)
+    read = ref[3:3 + 30]
+    assert _run_jax(read, ref, ref_base=0) == 60.0
+
+
+def test_deletion_gap():
+    """Read skips 2 ref bases mid-way: score = matches - go - 2*ge."""
+    rng = np.random.default_rng(1)
+    ref = rng.integers(0, 4, 50)
+    read = np.concatenate([ref[:20], ref[22:40]])  # 38 bases, 2-del
+    got = _run_jax(read, ref)
+    assert got == 2.0 * 38 - (GO + 2 * GE)
+
+
+def test_insertion_gap():
+    rng = np.random.default_rng(2)
+    ref = rng.integers(0, 4, 50)
+    read = np.concatenate([ref[:20], [0, 0], ref[20:38]])
+    read[20] = (ref[20] + 2) % 4  # ensure inserted bases differ
+    read[21] = (ref[20] + 2) % 4
+    got = _run_jax(read, ref)
+    # insertion of 2 (gap in ref): matches 38*2 - (go + 2*ge)
+    assert got >= 2.0 * 38 - (GO + 2 * GE) - 1e-6
+
+
+def test_matches_scalar_reference_random():
+    rng = np.random.default_rng(3)
+    for trial in range(20):
+        L = int(rng.integers(20, 60))
+        ref = rng.integers(0, 4, L + 30)
+        read = ref[5:5 + L].copy()
+        # random edits
+        for _ in range(int(rng.integers(0, 4))):
+            p = int(rng.integers(0, L))
+            read[p] = (read[p] + rng.integers(1, 4)) % 4
+        got = _run_jax(read, ref, ref_base=5)
+        want = banded_scores_numpy(read, ref[5:], BW, MA, MP, GO, GE)
+        assert got == pytest.approx(want), (trial, got, want)
+
+
+def test_batch_of_problems():
+    rng = np.random.default_rng(4)
+    seqs = rng.integers(0, 4, 500).astype(np.uint8)
+    reads, bases, lens = [], [], []
+    for i in range(8):
+        start = int(rng.integers(0, 400))
+        reads.append(seqs[start:start + 40])
+        bases.append(start)
+        lens.append(40)
+    out = banded_scores(
+        jnp.asarray(np.stack(reads)), jnp.asarray(lens, jnp.int32),
+        jnp.asarray(bases, jnp.int32),
+        jnp.asarray([500] * 8, jnp.int32), jnp.asarray(seqs),
+        jnp.asarray([0] * 8, jnp.int32), BW, MA, MP, GO, GE)
+    np.testing.assert_allclose(np.asarray(out), 80.0)
