@@ -62,8 +62,10 @@ def _group_fragments(b, paired: bool):
         keep = mapped & (refid >= 0)
         score = np.where(b.as_tag[:n] > np.iinfo(np.int32).min,
                          b.as_tag[:n], 0)
+        idx = np.arange(n)
         return (frag_id, keep, refid, b.read_len[:n].astype(np.int64),
-                obs, score, (flag & FLAG_REVERSE) == 0, b.pos[:n])
+                obs, score, (flag & FLAG_REVERSE) == 0, b.pos[:n],
+                idx, idx)
 
     # paired: R1 record + immediately-following R2 record of the same
     # fragment form one alignment (htslib/BAMQueue pairing convention)
@@ -90,7 +92,7 @@ def _group_fragments(b, paired: bool):
     s1 = np.where(b.as_tag[i1] > np.iinfo(np.int32).min, b.as_tag[i1], 0)
     s2 = np.where(b.as_tag[i2] > np.iinfo(np.int32).min, b.as_tag[i2], 0)
     return (frag_id[i1], keep, refid[i1], flen, obs, s1 + s2, fw1,
-            np.minimum(p1, p2))
+            np.minimum(p1, p2), i1, i2)
 
 
 def quantify_alignments(args, opts, cmd_args) -> int:
@@ -118,6 +120,74 @@ def quantify_alignments(args, opts, cmd_args) -> int:
     score_exp = getattr(args, "scoreExp", 1.0) or 1.0
     paired_detect: Optional[bool] = None
 
+    # concatenated target arrays for the error model's reference walk
+    tseq_off = np.zeros(len(names) + 1, dtype=np.int64)
+    tseq_off[1:] = np.cumsum([r.seq_codes.shape[0] for r in _records])
+    tseq_codes = (np.concatenate([r.seq_codes for r in _records])
+                  if _records else np.zeros(0, np.uint8))
+
+    # --- error model training pass (reference: burn-in updates in
+    # processMiniBatch, SalmonQuantifyAlignments.cpp:126+)
+    use_error_model = not getattr(args, "noErrorModel", False) and \
+        not getattr(args, "ont", False)
+    err = None
+    if use_error_model:
+        from salmon_tpu.alignment.errormodel import AlignmentErrorModel
+        err = AlignmentErrorModel()
+        trained = 0
+        train_cap = int(getattr(args, "numPreAuxModelSamples", 5000)
+                        or 5000) * 200  # fragments
+        for bam_path in args.alignments:
+            if trained >= train_cap:
+                break
+            rdr = BamReader(bam_path)
+            ref_map0 = np.array(
+                [name_to_id.get(nm, -1) for nm in rdr.ref_names],
+                dtype=np.int64)
+            for b in rdr.batches():
+                if paired_detect is None:
+                    paired_detect = bool(b.flag[0] & FLAG_PAIRED)
+                    if auto:
+                        lib_fmt = "IU" if paired_detect else "U"
+                (frag_id, keep, refid, flen, obs, score, fw, pos, i1,
+                 i2) = _group_fragments(b, paired_detect)
+                txp = np.where(keep & (refid >= 0),
+                               ref_map0[np.clip(refid, 0,
+                                                len(ref_map0) - 1)], -1)
+                keep = keep & (txp >= 0)
+                if not keep.any():
+                    continue
+                # posterior-ish weights from AS within each fragment
+                sc = score.astype(np.float64)
+                order = np.argsort(frag_id, kind="stable")
+                inv = np.argsort(order)
+                fid_s = frag_id[order]
+                st = np.concatenate(
+                    [[0], np.nonzero(fid_s[1:] != fid_s[:-1])[0] + 1])
+                cnt = np.diff(np.concatenate([st, [fid_s.shape[0]]]))
+                mx = np.maximum.reduceat(sc[order], st)
+                wts = np.exp(score_exp * (sc[order] - np.repeat(mx, cnt)))
+                ws = np.zeros(len(frag_id))
+                ws[order] = wts
+                ws = np.where(keep, ws, 0.0)
+                from salmon_tpu.alignment.errormodel import expand_batch
+                ksel = np.nonzero(keep)[0]
+                cols1 = expand_batch(b, i1[ksel], ref_map0, tseq_codes,
+                                     tseq_off, tlens)
+                err.update(
+                    {k: v for k, v in cols1.items()},
+                    ws[ksel], 0)
+                if paired_detect:
+                    cols2 = expand_batch(b, i2[ksel], ref_map0,
+                                         tseq_codes, tseq_off, tlens)
+                    err.update(cols2, ws[ksel], 1)
+                trained += int(keep.sum())
+                if trained >= train_cap:
+                    break
+            rdr.close()
+        err.normalize()
+        logger.info("error model trained on %d alignments", trained)
+
     for bam_path in args.alignments:
         rdr = BamReader(bam_path)
         # map BAM refs -> target ids by name (reference validates the
@@ -138,12 +208,26 @@ def quantify_alignments(args, opts, cmd_args) -> int:
                 paired_detect = bool(b.flag[0] & FLAG_PAIRED)
                 if auto:
                     lib_fmt = "IU" if paired_detect else "U"
-            (frag_id, keep, refid, flen, obs, score, fw, pos) = \
+            (frag_id, keep, refid, flen, obs, score, fw, pos, i1, i2) = \
                 _group_fragments(b, paired_detect)
             txp = np.where(keep & (refid >= 0),
                            ref_map[np.clip(refid, 0, len(ref_map) - 1)],
                            -1)
             keep = keep & (txp >= 0)
+
+            # error-model log-likelihood per alignment (fg - bg)
+            err_ll = np.zeros(len(frag_id))
+            if err is not None and keep.any():
+                from salmon_tpu.alignment.errormodel import expand_batch
+                ksel = np.nonzero(keep)[0]
+                c1 = expand_batch(b, i1[ksel], ref_map, tseq_codes,
+                                  tseq_off, tlens)
+                ll = err.log_likelihood(c1, ksel.size, 0)
+                if paired_detect:
+                    c2 = expand_batch(b, i2[ksel], ref_map, tseq_codes,
+                                      tseq_off, tlens)
+                    ll = ll + err.log_likelihood(c2, ksel.size, 1)
+                err_ll[ksel] = ll
 
             # per-fragment processing (vectorized over the batch)
             uniq_frags = np.unique(frag_id)
@@ -156,6 +240,7 @@ def quantify_alignments(args, opts, cmd_args) -> int:
             flen_k = flen[keep]
             obs_k = obs[keep]
             score_k = score[keep].astype(np.float64)
+            err_k = err_ll[keep]
 
             # fragment-length prob + compat from expected format
             fmt = libformat.parse_library_format(lib_fmt)
@@ -168,10 +253,14 @@ def quantify_alignments(args, opts, cmd_args) -> int:
             log_pmf = fld.log_pmf()
             lf = log_pmf[np.clip(flen_k, 0, opts.max_frag_length)] \
                 if paired_detect else 0.0
-            # alignment-score-based error likelihood (the AlignmentModel
-            # stand-in when --noErrorModel; scores normalized per fragment
-            # below like estAlnProb, SalmonMappingUtils.hpp:283-405)
-            logw = score_exp * score_k + lf
+            # per-alignment weight: error-model log-likelihood when
+            # trained (reference processMiniBatch: AlignmentModel
+            # logLikelihood replaces the coverage term), else the
+            # AS-based stand-in
+            if err is not None:
+                logw = err_k + lf
+            else:
+                logw = score_exp * score_k + lf
             logw = np.where(compat, logw,
                             logw + (np.log(opts.incompat_prior)
                                     if opts.incompat_prior > 0 else -1e30))

@@ -99,27 +99,33 @@ def _banded_scores_impl(read_codes, read_ids, read_lens, ref_base,
     B = 2 * bandwidth + 1
     d_off = jnp.arange(B, dtype=jnp.int32) - bandwidth  # [-bw, bw]
 
-    # gather the ref band rows for every read position up front:
-    # ref index for (i, d) = ref_base + i + d
-    # fetch codes with OOB -> 5
-    def ref_at(i):
-        idx = ref_base[:, None] + i + d_off[None, :]
-        oob = (idx < 0) | (idx >= txp_lens[:, None])
-        g = jnp.take(seq_codes,
-                     jnp.clip(seq_off[:, None] + idx, 0,
-                              seq_codes.shape[0] - 1),
-                     mode="clip").astype(jnp.int32)
-        return jnp.where(oob, 5, g)
+    # Gather every problem's reference WINDOW once, contiguously:
+    # window position w corresponds to ref position ref_base - bw + w,
+    # so the band for read row i is the static-size slice [i, i + B).
+    # Inside the scan this is a dynamic_slice — no per-step gathers.
+    W = L + B - 1
+    w_idx = ref_base[:, None] + (jnp.arange(W, dtype=jnp.int32)
+                                 - bandwidth)[None, :]
+    w_oob = (w_idx < 0) | (w_idx >= txp_lens[:, None])
+    ref_win = jnp.take(seq_codes,
+                       jnp.clip(seq_off[:, None] + w_idx, 0,
+                                seq_codes.shape[0] - 1),
+                       mode="clip").astype(jnp.int8)
+    ref_win = jnp.where(w_oob, jnp.int8(5), ref_win)  # (P, W)
+
+    if read_ids is not None:
+        reads_p = jnp.take(read_codes, read_ids, axis=0, mode="clip")
+    else:
+        reads_p = read_codes
 
     n_shift = int(np.ceil(np.log2(max(B, 2))))
 
     def step(carry, i):
         H_prev, F_prev = carry
-        col = read_codes[:, i]
-        if read_ids is not None:
-            col = jnp.take(col, read_ids, mode="clip")
-        rc = col.astype(jnp.int32)
-        refs = ref_at(i)
+        rc = jax.lax.dynamic_slice_in_dim(reads_p, i, 1, axis=1)[:, 0]
+        rc = rc.astype(jnp.int32)
+        refs = jax.lax.dynamic_slice_in_dim(ref_win, i, B,
+                                            axis=1).astype(jnp.int32)
         sub = _subst_scores(rc[:, None], refs, ma, mp)
 
         # gap-in-read: ref consumed without read base — comes from the

@@ -73,6 +73,8 @@ class MapperConfig:
     # on minScoreFraction)
     validate_mappings: bool = DEFAULTS.validate_mappings
     min_score_fraction: float = DEFAULTS.min_score_fraction
+    # average DP problems budgeted per fragment (batch-global compaction)
+    dp_budget: int = DEFAULTS.dp_budget
     mismatch_penalty: int = DEFAULTS.mismatch_penalty
     gap_open_penalty: int = DEFAULTS.gap_open_penalty
     gap_extend_penalty: int = DEFAULTS.gap_extend_penalty
@@ -103,6 +105,7 @@ class MapperConfig:
             kmer_stride=opts.kmer_stride,
             validate_mappings=opts.validate_mappings,
             min_score_fraction=opts.min_score_fraction,
+            dp_budget=opts.dp_budget,
             mismatch_penalty=opts.mismatch_penalty,
             gap_open_penalty=opts.gap_open_penalty,
             gap_extend_penalty=opts.gap_extend_penalty,
@@ -204,32 +207,46 @@ def _dp_scores(joined: dict, batch: dict, dev: dict, cfg: MapperConfig,
                        jnp.where(fw1, 2, 3), jnp.where(fw1, 0, 1))
     m1_pos = jnp.where(is_paired,
                        jnp.where(fw1, pos, frag_end - l1 + 1), pos)
-    m1_len = jnp.where(is_right_orphan, l2, l1)
-    m2_var = jnp.where(fw1, 3, 2)
+    m1_len = jnp.broadcast_to(jnp.where(is_right_orphan, l2, l1), (R, T2))
+    m2_var = jnp.broadcast_to(jnp.where(fw1, 3, 2), (R, T2))
     m2_pos = jnp.where(fw1, frag_end - l2 + 1, pos)
+    m2_len = jnp.broadcast_to(l2, (R, T2))
 
-    def flat(a):
-        return a.reshape(-1)
+    flat = lambda a: a.reshape(-1)
 
-    t_flat = flat(txp)
-    toff = jnp.take(dev["seq_off"], jnp.clip(t_flat, 0, None),
-                    mode="clip")
-    tlen = jnp.take(dev["txp_lens"], t_flat, mode="clip")
+    # --- batch-global compaction: most of the T2 slots are padding; DP
+    # only the K highest-priority valid candidates across the batch
+    # (K = R * dp_budget; with typical <=8 real candidates per fragment
+    # nothing real is dropped). Dropped/padded slots score NEG.
+    K = R * cfg.dp_budget
+    valid_f = flat(joined["valid"])
+    prio = jnp.where(valid_f, jnp.uint32(0), jnp.uint32(1))
+    order = jnp.argsort(prio)          # valid first, stable-ish
+    sel = order[:K]
+    sel_valid = jnp.take(valid_f, sel)
+
+    t_sel = jnp.take(flat(txp), sel)
+    toff = jnp.take(dev["seq_off"], jnp.clip(t_sel, 0, None), mode="clip")
+    tlen = jnp.take(dev["txp_lens"], t_sel, mode="clip")
+    rows_f = flat(rows)
 
     def run(var, p, ln):
-        return banded_scores_indexed(
-            reads_all, flat(rows + var * R), flat(ln * jnp.ones_like(txp)),
-            flat(p), tlen, dev["seq_codes"], toff,
+        ids = jnp.take(flat(rows_f + 0), sel) + jnp.take(flat(var), sel) * R
+        scores = banded_scores_indexed(
+            reads_all, ids, jnp.take(flat(ln), sel),
+            jnp.take(flat(p), sel), tlen, dev["seq_codes"], toff,
             cfg.dp_bandwidth, float(cfg.match_score),
             float(cfg.mismatch_penalty), float(cfg.gap_open_penalty),
-            float(cfg.gap_extend_penalty)).reshape(R, T2)
+            float(cfg.gap_extend_penalty))
+        return jnp.where(sel_valid, scores, jnp.float32(-1e9))
 
-    s1 = run(m1_var, m1_pos, jnp.broadcast_to(m1_len, (R, T2)))
+    NEGS = jnp.full(R * T2, -1e9, jnp.float32)
+    s1 = NEGS.at[sel].set(run(m1_var, m1_pos, m1_len)).reshape(R, T2)
     if single_end:
         score = s1
         perfect = (cfg.match_score * m1_len).astype(jnp.float32)
     else:
-        s2 = run(m2_var, m2_pos, jnp.broadcast_to(l2, (R, T2)))
+        s2 = NEGS.at[sel].set(run(m2_var, m2_pos, m2_len)).reshape(R, T2)
         score = jnp.where(is_paired, s1 + s2, s1)
         perfect = jnp.where(
             is_paired, cfg.match_score * (l1 + l2),

@@ -1,0 +1,139 @@
+"""Alignment error model: CIGAR expansion and likelihood sanity."""
+
+import numpy as np
+import pytest
+
+from salmon_tpu.alignment import bamio
+from salmon_tpu.alignment.errormodel import (AlignmentErrorModel,
+                                             START_STATE, expand_batch)
+
+
+def _mini_bam(tmp_path, records, refs):
+    path = str(tmp_path / "t.bam")
+    bamio.write_bam(path, [r[0] for r in refs], [r[1] for r in refs],
+                    records)
+    rdr = bamio.BamReader(path)
+    b = next(rdr.batches())
+    rdr.close()
+    return b
+
+
+def test_expand_perfect_match(tmp_path):
+    # ref: ACGTACGTAC (codes 0123012301); read matches positions 2..7
+    ref_seq = "ACGTACGTAC"
+    codes = np.array([0, 1, 2, 3, 0, 1, 2, 3, 0, 1], dtype=np.uint8)
+    b = _mini_bam(tmp_path, [dict(
+        name="r1", refid=0, pos=2, flag=0, cigar="6M",
+        seq=ref_seq[2:8])], [("t1", 10)])
+    cols = expand_batch(
+        b, np.array([0]), np.array([0], dtype=np.int64),
+        codes, np.array([0, 10], dtype=np.int64),
+        np.array([10], dtype=np.int64))
+    assert cols["cur"].shape == (6,)
+    # perfect match: state = base*9 + base
+    want = codes[2:8] * 9 + codes[2:8]
+    np.testing.assert_array_equal(cols["cur"], want)
+    assert cols["prev"][0] == START_STATE
+    np.testing.assert_array_equal(cols["prev"][1:], want[:-1])
+    # position bins 0..3 over 6 bases
+    assert cols["bin"][0] == 0 and cols["bin"][-1] == 3
+
+
+def test_expand_insertion_deletion(tmp_path):
+    codes = np.array([0, 1, 2, 3, 0, 1, 2, 3, 0, 1], dtype=np.uint8)
+    # 2M 1I 2M 1D 1M: read = ref[0:2] + 'T' + ref[2:4] + ref[5:6]
+    read = "AC" + "T" + "GT" + "C"
+    b = _mini_bam(tmp_path, [dict(
+        name="r1", refid=0, pos=0, flag=0, cigar="2M1I2M1D1M",
+        seq=read)], [("t1", 10)])
+    cols = expand_batch(
+        b, np.array([0]), np.array([0], dtype=np.int64),
+        codes, np.array([0, 10], dtype=np.int64),
+        np.array([10], dtype=np.int64))
+    assert cols["cur"].shape == (7,)
+    # col 2 is the insertion: ref = DASH (4), read = T (3)
+    assert cols["cur"][2] == 4 * 9 + 3
+    # col 5 is the deletion: ref base at pos 4 (A=0), read = DASH
+    assert cols["cur"][5] == 0 * 9 + 4
+    # last col matches ref[5] = C
+    assert cols["cur"][6] == 1 * 9 + 1
+
+
+def test_model_prefers_clean_alignments(tmp_path):
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 4, 200).astype(np.uint8)
+    seq = "".join("ACGT"[c] for c in codes)
+    recs = []
+    # 50 perfect alignments
+    for i in range(50):
+        s = int(rng.integers(0, 150))
+        recs.append(dict(name=f"p{i}", refid=0, pos=s, flag=0,
+                         cigar="30M", seq=seq[s:s + 30]))
+    b = _mini_bam(tmp_path, recs, [("t1", 200)])
+    m = AlignmentErrorModel()
+    sel = np.arange(b.n)
+    cols = expand_batch(b, sel, np.array([0], dtype=np.int64), codes,
+                        np.array([0, 200], dtype=np.int64),
+                        np.array([200], dtype=np.int64))
+    m.update(cols, np.ones(b.n), 0)
+    m.normalize()
+    ll_clean = m.log_likelihood(cols, b.n, 0)
+
+    # a mismatched alignment scores lower than a clean one
+    s = 10
+    bad_seq = list(seq[s:s + 30])
+    bad_seq[5] = "ACGT"[(codes[s + 5] + 1) % 4]
+    b2 = _mini_bam(tmp_path, [dict(name="x", refid=0, pos=s, flag=0,
+                                   cigar="30M", seq="".join(bad_seq))],
+                   [("t1", 200)])
+    cols2 = expand_batch(b2, np.array([0]), np.array([0], dtype=np.int64),
+                         codes, np.array([0, 200], dtype=np.int64),
+                         np.array([200], dtype=np.int64))
+    ll_bad = m.log_likelihood(cols2, 1, 0)
+    assert ll_bad[0] < ll_clean.mean() - 1.0
+
+
+def test_alignment_mode_with_error_model(tmp_path, sample_data_dir):
+    """End-to-end -a quant WITH the error model stays accurate."""
+    import collections
+    import os
+    from salmon_tpu.cli import main
+    from salmon_tpu.io.writers import read_quant_sf
+    from scipy.stats import spearmanr
+    from tests.test_alignment_mode import _truth_alignments
+
+    from salmon_tpu.io.fasta import load_transcripts
+    records, _ = load_transcripts(
+        os.path.join(sample_data_dir, "transcripts.fasta"),
+        noclip_polya=True)
+    names = [r.name for r in records]
+    lens = [r.seq_codes.shape[0] for r in records]
+    tid = {nm: i for i, nm in enumerate(names)}
+    alns = _truth_alignments(sample_data_dir)
+    bam_recs = []
+    for name, txp, pos, fend, s1, s2 in alns[:4000]:
+        rid = tid[txp]
+        L1, L2 = len(s1), len(s2)
+        tlen = fend - pos + 1
+        p1, p2 = pos, fend - L2 + 1
+        bam_recs.append(dict(name=name, refid=rid, pos=p1,
+                             flag=0x1 | 0x40 | 0x20, cigar=f"{L1}M",
+                             seq=s1, mate_refid=rid, mate_pos=p2,
+                             tlen=tlen, tags={"AS": 2 * L1}))
+        bam_recs.append(dict(name=name, refid=rid, pos=p2,
+                             flag=0x1 | 0x80 | 0x10, cigar=f"{L2}M",
+                             seq=s2, mate_refid=rid, mate_pos=p1,
+                             tlen=-tlen, tags={"AS": 2 * L2}))
+    bam = str(tmp_path / "t.bam")
+    bamio.write_bam(bam, names, lens, bam_recs)
+    out = str(tmp_path / "q")
+    rc = main(["quant", "-t",
+               os.path.join(sample_data_dir, "transcripts.fasta"),
+               "-l", "IU", "-a", bam, "-o", out, "-q"])
+    assert rc == 0
+    q = read_quant_sf(os.path.join(out, "quant.sf"))
+    truth = collections.Counter(a[1] for a in alns[:4000])
+    est = dict(zip(q["Name"], q["NumReads"]))
+    t = np.array([truth[k] for k in truth], dtype=float)
+    e = np.array([est.get(k, 0.0) for k in truth])
+    assert spearmanr(t, e).statistic >= 0.999
