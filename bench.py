@@ -4,6 +4,10 @@ Prints ONE JSON line:
   {"metric": "reads/s/chip", "value": N, "unit": "fragments/s",
    "vs_baseline": N}
 
+Measures the DEFAULT production configuration: full DP-validated
+selective alignment (validateMappings on, like the reference). Set
+BENCH_VALIDATE=0 for the coverage-only path.
+
 vs_baseline is measured throughput divided by an assumed reference-salmon
 throughput of 5e5 fragments/s on a 32-core CPU node (the reference publishes
 no absolute numbers — BASELINE.md; 5e5 frags/s is a conservative estimate of
@@ -21,8 +25,9 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 DATA = os.path.join(HERE, "tests", "data")
 BASELINE_FRAGS_PER_S = 5.0e5
 
-TARGET_PAIRS = int(os.environ.get("BENCH_PAIRS", 65536))
-BATCH = int(os.environ.get("BENCH_BATCH", 2048))
+TARGET_PAIRS = int(os.environ.get("BENCH_PAIRS", 131072))
+BATCH = int(os.environ.get("BENCH_BATCH", 4096))
+VALIDATE = os.environ.get("BENCH_VALIDATE", "1") != "0"
 
 
 def main():
@@ -42,7 +47,7 @@ def main():
     print(f"# bench device: {dev_kind}", file=sys.stderr)
 
     idx = build_index(os.path.join(DATA, "transcripts.fasta"), k=25)
-    cfg = MapperConfig.from_index(idx)
+    cfg = MapperConfig.from_index(idx, validate_mappings=VALIDATE)
     dev = device_index_arrays(idx)
 
     reads1 = list(_iter_fastq_seqs(os.path.join(DATA, "reads_1.fastq")))

@@ -39,6 +39,16 @@ import numpy as np
 NEG = -1e9
 OOB_PENALTY = -1000.0  # aligning outside the transcript (overhang)
 
+# problems per Pallas program instance (lane tile)
+PALLAS_TILE = 512
+
+
+def _use_pallas() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
 
 def _subst_scores(read_codes, ref_codes, ma: float, mp: float):
     """(P, B) substitution scores; invalid bases (>=4) mismatch, ref OOB
@@ -118,51 +128,165 @@ def _banded_scores_impl(read_codes, read_ids, read_lens, ref_base,
     else:
         reads_p = read_codes
 
+    # transpose so the (large) problems axis rides the vector lanes and
+    # the band rides sublanes: state tensors are (B, P)
+    ref_win_t = ref_win.T          # (W, P)
+    reads_t = reads_p.T            # (L, P)
+
+    if _use_pallas():
+        return _banded_scores_pallas(reads_t, ref_win_t, read_lens,
+                                     bandwidth, ma, mp, go, ge)
+
     n_shift = int(np.ceil(np.log2(max(B, 2))))
 
     def step(carry, i):
-        H_prev, F_prev = carry
-        rc = jax.lax.dynamic_slice_in_dim(reads_p, i, 1, axis=1)[:, 0]
-        rc = rc.astype(jnp.int32)
-        refs = jax.lax.dynamic_slice_in_dim(ref_win, i, B,
-                                            axis=1).astype(jnp.int32)
-        sub = _subst_scores(rc[:, None], refs, ma, mp)
+        H_prev, F_prev = carry     # (B, P)
+        rc = jax.lax.dynamic_slice_in_dim(reads_t, i, 1,
+                                          axis=0).astype(jnp.int32)
+        refs = jax.lax.dynamic_slice_in_dim(ref_win_t, i, B,
+                                            axis=0).astype(jnp.int32)
+        sub = _subst_scores(rc, refs, ma, mp)  # (B, P) via broadcast
 
         # gap-in-read: ref consumed without read base — comes from the
-        # previous row at d+1
+        # previous row at band offset d+1
         shift_dn = lambda a: jnp.concatenate(
-            [a[:, 1:], jnp.full((P, 1), NEG, a.dtype)], axis=1)
+            [a[1:, :], jnp.full((1, P), NEG, a.dtype)], axis=0)
         F = jnp.maximum(shift_dn(F_prev) - ge,
                         shift_dn(H_prev) - go - ge)
         H_diag = H_prev + sub
         H_nf = jnp.maximum(H_diag, F)
 
-        # gap-in-ref (E): within-row max-plus prefix:
+        # gap-in-ref (E): within-row max-plus prefix over the band:
         # H[d] = max(H_nf[d], max_{d'<d} H_nf[d'] - go - ge*(d - d'))
         X = H_nf - go
         s = 1
         for _ in range(n_shift):
             shifted = jnp.concatenate(
-                [jnp.full((P, s), NEG, X.dtype), X[:, :-s]], axis=1)
+                [jnp.full((s, P), NEG, X.dtype), X[:-s, :]], axis=0)
             X = jnp.maximum(X, shifted - ge * s)
             s *= 2
         E = jnp.concatenate(
-            [jnp.full((P, 1), NEG, X.dtype), X[:, :-1]], axis=1) - ge
+            [jnp.full((1, P), NEG, X.dtype), X[:-1, :]], axis=0) - ge
         H = jnp.maximum(H_nf, E)
 
         # past-the-end rows must not change the final score: freeze
-        active = i < read_lens
-        H = jnp.where(active[:, None], H, H_prev)
-        F = jnp.where(active[:, None], F, F_prev)
+        active = (i < read_lens)[None, :]
+        H = jnp.where(active, H, H_prev)
+        F = jnp.where(active, F, F_prev)
         return (H, F), None
 
     # derive the initial carry from an input so its sharding "varying"
     # status matches the loop body under shard_map
-    zero_like_in = (0.0 * ref_base.astype(jnp.float32))[:, None]
-    H0 = jnp.zeros((P, B), jnp.float32) + zero_like_in
-    F0 = jnp.full((P, B), NEG, jnp.float32) + zero_like_in
+    zero_like_in = (0.0 * ref_base.astype(jnp.float32))[None, :]
+    H0 = jnp.zeros((B, P), jnp.float32) + zero_like_in
+    F0 = jnp.full((B, P), NEG, jnp.float32) + zero_like_in
     (H, _), _ = jax.lax.scan(step, (H0, F0), jnp.arange(L))
-    return jnp.max(H, axis=1)
+    return jnp.max(H, axis=0)
+
+
+def _banded_scores_pallas(reads_t, ref_win_t, read_lens, bandwidth: int,
+                          ma: float, mp: float, go: float, ge: float):
+    """Pallas TPU kernel for the banded DP.
+
+    The H/F wavefront state lives in VMEM scratch across the whole read
+    scan, so HBM traffic is just the read and reference-window tiles (the
+    pure-XLA scan spills ~15 full-state tensors to HBM per row).
+
+    Formulation: absolute window coordinates. State rows are the W = L+B-1
+    reference-window positions; the band constraint |w - i| <= 2bw becomes
+    a per-row mask (w in [i, i+B-1]), so every memory access is static —
+    Mosaic forbids unaligned dynamic sublane slices. The grid is
+    (problem_tiles, L/8): each step consumes an (8, PT) read-row block and
+    advances the DP by 8 rows; scratch persists across the sequential TPU
+    grid and is re-initialized when a new problem tile starts.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    L, P = reads_t.shape
+    B = 2 * bandwidth + 1
+    W = ref_win_t.shape[0]
+    PT = PALLAS_TILE
+    n_tiles = -(-P // PT)
+    Pp = n_tiles * PT
+    L8 = -(-L // 8) * 8
+    W8 = -(-W // 8) * 8
+    reads_t = jnp.pad(reads_t, ((0, L8 - L), (0, Pp - P)),
+                      constant_values=4)
+    ref_win_t = jnp.pad(ref_win_t, ((0, W8 - W), (0, Pp - P)),
+                        constant_values=5)
+    lens_row = jnp.pad(read_lens, (0, Pp - P)).reshape(1, Pp)
+    nL8 = L8 // 8
+
+    n_shift = int(np.ceil(np.log2(max(W8, 2))))
+
+    def kernel(lens_ref, reads_ref, refw_ref, out_ref, H_s, F_s):
+        lb = pl.program_id(1)
+
+        @pl.when(lb == 0)
+        def _():
+            H_s[:, :] = jnp.zeros((W8, PT), jnp.float32)
+            F_s[:, :] = jnp.full((W8, PT), NEG, jnp.float32)
+
+        lens = lens_ref[0:1, :]
+        refs = refw_ref[:, :].astype(jnp.int32)      # (W8, PT)
+        w_row = jax.lax.broadcasted_iota(jnp.int32, (W8, PT), 0)
+        H = H_s[:, :]
+        F = F_s[:, :]
+        neg_row = jnp.full((1, PT), NEG, jnp.float32)
+
+        for j in range(8):
+            i = lb * 8 + j
+            rc = reads_ref[j:j + 1, :].astype(jnp.int32)   # (1, PT)
+            match = (rc == refs) & (rc < 4) & (refs < 4)
+            sub = jnp.where(match, ma, mp)
+            sub = jnp.where(refs >= 5, OOB_PENALTY, sub)
+            in_band = (w_row >= i) & (w_row < i + B)
+            sub = jnp.where(in_band, sub, NEG)
+
+            F_n = jnp.maximum(F - ge, H - go - ge)
+            H_diag = jnp.concatenate([neg_row, H[:-1, :]], axis=0) + sub
+            H_nf = jnp.maximum(H_diag, F_n)
+            X = H_nf - go
+            sft = 1
+            for _ in range(n_shift):
+                pad = jnp.full((min(sft, W8), PT), NEG, jnp.float32)
+                X = jnp.maximum(
+                    X, jnp.concatenate([pad, X[:-sft, :]], axis=0)
+                    - ge * sft) if sft < W8 else X
+                sft *= 2
+            E = jnp.concatenate([neg_row, X[:-1, :]], axis=0) - ge
+            H_new = jnp.maximum(H_nf, E)
+
+            active = i < lens                        # (1, PT)
+            H = jnp.where(active, H_new, H)
+            F = jnp.where(active, F_n, F)
+
+        H_s[:, :] = H
+        F_s[:, :] = F
+
+        @pl.when(lb == nL8 - 1)
+        def _():
+            out_ref[0:1, :] = jnp.max(H, axis=0, keepdims=True)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles, nL8),
+        in_specs=[
+            pl.BlockSpec((1, PT), lambda t, l: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, PT), lambda t, l: (l, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((W8, PT), lambda t, l: (0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, PT), lambda t, l: (0, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, Pp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((W8, PT), jnp.float32),
+                        pltpu.VMEM((W8, PT), jnp.float32)],
+    )(lens_row, reads_t, ref_win_t)
+    return out.reshape(-1)[:P]
 
 
 def banded_scores_numpy(read, ref, bandwidth, ma, mp, go, ge):
