@@ -302,11 +302,17 @@ def cmd_quant(args) -> int:
 
     opts = _opts_from_args(args)
     index = load_index(args.index)
+    unmapped_path = None
+    if args.writeUnmappedNames:
+        aux = os.path.join(args.output, "aux_info")
+        os.makedirs(aux, exist_ok=True)
+        unmapped_path = os.path.join(aux, "unmapped_names.txt")
     try:
         result = quantify(
             index, args.libType,
             args.mates1 or args.unmatedReads, args.mates2, opts=opts,
-            progress=not args.quiet)
+            progress=not args.quiet, unmapped_path=unmapped_path,
+            sam_path=args.writeMappings)
     except InsufficientAssignedFragments as e:
         logger.error(str(e))
         n = index.num_valid_targets

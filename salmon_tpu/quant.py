@@ -54,6 +54,25 @@ class InsufficientAssignedFragments(RuntimeError):
     """Reference: SalmonExceptions / minAssignedFrags gate."""
 
 
+class ForgettingMass:
+    """SVI step-size schedule (reference ForgettingMassCalculator,
+    include/salmon/internal/quant/ForgettingMassCalculator.hpp:23-64):
+    logMass_t += ff*log(t-1) - log(t^ff - 1), applied per device batch
+    (the batch is our minibatch timestep)."""
+
+    def __init__(self, forgetting_factor: float = 0.65):
+        self.ff = forgetting_factor
+        self.log_mass = 0.0
+        self.t = 0
+
+    def next_log_mass(self) -> float:
+        self.t += 1
+        if self.t > 1:
+            self.log_mass += (self.ff * np.log(self.t - 1)
+                              - np.log(self.t ** self.ff - 1))
+        return self.log_mass
+
+
 def _detect_library_format(fmt_hist: np.ndarray, paired: bool,
                            num_mapped: int) -> str:
     """Auto-detect '-l A' from the first chunk's observed orientation
@@ -88,6 +107,54 @@ def _detect_library_format(fmt_hist: np.ndarray, paired: bool,
     return o + "U"
 
 
+def _write_sam_batch(fh, index, names, chunk, out, paired: bool) -> None:
+    """SAM records for each mapped fragment's best alignment
+    (--writeMappings; approximate CIGAR = full-length match, like the
+    reference's SCORE_ONLY alignment mode)."""
+    from salmon_tpu.utils.dna import decode_seq, revcomp_codes
+
+    ok = np.asarray(out["frag_ok"])
+    txp = np.asarray(out["best_txp"])
+    pos = np.asarray(out["best_pos"])
+    fw = np.asarray(out["best_fw"])
+    flen = np.asarray(out["best_flen"])
+    is_p = np.asarray(out["best_is_paired"]) if paired else None
+    c1 = chunk.left.codes if paired else chunk.codes
+    l1 = chunk.left.lengths if paired else chunk.lengths
+    if paired:
+        c2 = chunk.right.codes
+        l2 = chunk.right.lengths
+    n_valid = chunk.n_valid
+    for i in range(n_valid):
+        if not ok[i] or txp[i] >= index.num_valid_targets:
+            continue
+        nm = names[i]
+        nm = nm.decode() if isinstance(nm, bytes) else nm
+        rname = index.names[int(txp[i])]
+        L1 = int(l1[i])
+        seq1 = c1[i, :L1]
+        if paired and is_p[i]:
+            L2 = int(l2[i])
+            p1 = int(pos[i]) if fw[i] else int(pos[i]) + int(flen[i]) - L1
+            p2 = (int(pos[i]) + int(flen[i]) - L2 if fw[i]
+                  else int(pos[i]))
+            f1 = 0x1 | 0x2 | 0x40 | (0x10 if not fw[i] else 0x20)
+            f2 = 0x1 | 0x2 | 0x80 | (0x20 if not fw[i] else 0x10)
+            s1 = decode_seq(seq1 if fw[i] else revcomp_codes(seq1))
+            seq2 = c2[i, :L2]
+            s2 = decode_seq(revcomp_codes(seq2) if fw[i] else seq2)
+            tl = int(flen[i])
+            fh.write(f"{nm}\t{f1}\t{rname}\t{p1 + 1}\t255\t{L1}M\t=\t"
+                     f"{p2 + 1}\t{tl if fw[i] else -tl}\t{s1}\t*\n")
+            fh.write(f"{nm}\t{f2}\t{rname}\t{p2 + 1}\t255\t{L2}M\t=\t"
+                     f"{p1 + 1}\t{-tl if fw[i] else tl}\t{s2}\t*\n")
+        else:
+            flag = 0 if fw[i] else 0x10
+            s1 = decode_seq(seq1 if fw[i] else revcomp_codes(seq1))
+            fh.write(f"{nm}\t{flag}\t{rname}\t{int(pos[i]) + 1}\t255\t"
+                     f"{L1}M\t*\t0\t0\t{s1}\t*\n")
+
+
 def quantify(
     index: TranscriptomeIndex | str,
     lib_format: str,
@@ -95,9 +162,13 @@ def quantify(
     reads2: Optional[Sequence[str]] = None,
     opts: SalmonDefaults = DEFAULTS,
     progress: bool = True,
+    unmapped_path: Optional[str] = None,
+    sam_path: Optional[str] = None,
 ) -> QuantResult:
     """Mapping-based quantification (reference: salmonQuantify,
-    src/quant/SalmonQuantify.cpp:2777)."""
+    src/quant/SalmonQuantify.cpp:2777). When `unmapped_path` is given,
+    unmapped read names are streamed there with the reference's 'u'
+    reason code (--writeUnmappedNames)."""
     t0 = time.time()
     if isinstance(index, str):
         index = load_index(index)
@@ -108,6 +179,7 @@ def quantify(
     fld = FragmentLengthDistribution(
         max_val=opts.max_frag_length, prior_mu=opts.frag_len_prior_mean,
         prior_sigma=opts.frag_len_prior_sd)
+    fmass = ForgettingMass(opts.forgetting_factor)
 
     acc = EquivalenceClassAccumulator()
     online_mass = np.zeros(index.num_targets, dtype=np.float64)
@@ -141,12 +213,27 @@ def quantify(
 
     cp, co, cs = compat_arrays(expected)
 
+    want_names = unmapped_path is not None or sam_path is not None
+    unmapped_fh = open(unmapped_path, "w") if unmapped_path else None
+    sam_fh = None
+    if sam_path is not None:
+        import sys as _sys
+        sam_fh = (_sys.stdout if sam_path == "-" else open(sam_path, "w"))
+        # SAM header (reference qmLog / --writeMappings,
+        # ProgramOptionsGenerator.cpp:264-271)
+        sam_fh.write("@HD\tVN:1.0\tSO:unknown\n")
+        for i in range(index.num_valid_targets):
+            sam_fh.write(f"@SQ\tSN:{index.names[i]}\t"
+                         f"LN:{int(index.complete_lengths[i])}\n")
+        sam_fh.write("@PG\tID:salmon_tpu\tPN:salmon_tpu\n")
     if paired:
         chunks = iter_paired_chunks(reads1, reads2, opts.reads_per_batch,
-                                    opts.max_read_len)
+                                    opts.max_read_len,
+                                    want_names=want_names)
     else:
         chunks = iter_single_chunks(reads1, opts.reads_per_batch,
-                                    opts.max_read_len)
+                                    opts.max_read_len,
+                                    want_names=want_names)
 
     n_batches = 0
     for chunk in chunks:
@@ -195,10 +282,21 @@ def quantify(
                 jnp.ones_like(bs, jnp.float32))
             bias_state.obs.add_batch(bo)
         fld.add_observations(np.asarray(out["fld_hist"], dtype=np.float64))
-        online_mass += np.asarray(out["txp_mass"], dtype=np.float64)
+        online_mass += (np.exp(fmass.next_log_mass())
+                        * np.asarray(out["txp_mass"], dtype=np.float64))
         for k in totals:
             totals[k] += int(out[k])
         fmt_hist_total += np.asarray(out["fmt_hist"], dtype=np.int64)
+        if unmapped_fh is not None or sam_fh is not None:
+            names = (chunk.left.names if paired else chunk.names) or []
+            ok = np.asarray(out["frag_ok"])
+            if unmapped_fh is not None:
+                for i, nm in enumerate(names[:chunk.n_valid]):
+                    if not ok[i]:
+                        nm_s = nm.decode() if isinstance(nm, bytes) else nm
+                        unmapped_fh.write(f"{nm_s} u\n")
+            if sam_fh is not None:
+                _write_sam_batch(sam_fh, index, names, chunk, out, paired)
         if totals["num_processed"] >= opts.num_burnin_frags:
             fld.freeze()
         n_batches += 1
@@ -210,6 +308,10 @@ def quantify(
                         100.0 * totals["num_mapped"]
                         / max(totals["num_processed"], 1))
 
+    if unmapped_fh is not None:
+        unmapped_fh.close()
+    if sam_fh is not None and sam_path != "-":
+        sam_fh.close()
     map_seconds = time.time() - t0
     if totals["num_mapped"] < opts.min_assigned_frags:
         raise InsufficientAssignedFragments(
@@ -235,6 +337,12 @@ def quantify(
         rel_diff_tolerance=opts.relative_diff_tolerance,
         max_iterations=opts.max_em_iterations,
         min_iterations=opts.min_required_iterations)
+    # normalizeAlphas (reference SalmonUtils.cpp:462): scale the
+    # forgetting-mass-weighted online estimates back to count scale
+    om_sum = online_mass[:n_valid].sum()
+    if om_sum > 0:
+        online_mass = online_mass * (totals["num_mapped"] / om_sum)
+
     t_em = time.time()
     res = em_mod.optimize(eq, n_valid, eff,
                           online_mass=online_mass[:n_valid],
