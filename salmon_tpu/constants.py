@@ -108,7 +108,7 @@ class SalmonDefaults:
     hash_max_probes: int = 16            # open-addressing probe bound
     hash_load_factor: float = 0.5
     kmer_stride: int = 3                 # seed-skip between query windows (accuracy-neutral; reference altSkip=3)
-    dp_budget: int = 8                   # avg DP-validated candidates per fragment
+    dp_budget: int = 4                   # avg DP-validated candidates per fragment
 
 
 # Log-space constants (reference: include/salmon/internal/util/SalmonMath.hpp)
