@@ -127,6 +127,48 @@ def expand_batch(b, sel_idx, ref_map, seq_codes, seq_off, txp_lens):
             "cur": cur.astype(np.int32), "bin": pbin}
 
 
+class ONTErrorModel:
+    """Oxford-Nanopore error model (reference ONTAlignmentModel,
+    src/alignment/ONTAlignmentModel.cpp: per-100bp-length-bin error-rate
+    histograms, Savitzky-Golay smoothed). Here: error rate = NM /
+    aligned_length binned per length class; log-likelihood is the
+    smoothed log-frequency of the observed rate in the read's bin."""
+
+    BIN_LEN = 100          # reference binLen (ONTAlignmentModel.hpp:22)
+    N_LEN_BINS = 62
+    N_RATE_BINS = 101      # error rate percent 0..100
+
+    def __init__(self, alpha: float = 1e-3):
+        self.counts = np.full((self.N_LEN_BINS, self.N_RATE_BINS), alpha)
+        self._logp = None
+
+    @classmethod
+    def _bins(cls, aln_len, nm):
+        lb = np.clip(aln_len // cls.BIN_LEN, 0, cls.N_LEN_BINS - 1)
+        rate = np.where(aln_len > 0, nm / np.maximum(aln_len, 1), 0.0)
+        rb = np.clip(np.round(100 * rate), 0, cls.N_RATE_BINS - 1)
+        return lb.astype(np.int64), rb.astype(np.int64)
+
+    def update(self, aln_len, nm, weights):
+        lb, rb = self._bins(aln_len, np.maximum(nm, 0))
+        np.add.at(self.counts, (lb, rb), weights)
+        self._logp = None
+
+    def normalize(self):
+        # 5-tap moving-average smoothing along the rate axis (the
+        # SGSmooth role) then row-normalize
+        k = np.ones(5) / 5.0
+        sm = np.apply_along_axis(
+            lambda r: np.convolve(r, k, mode="same"), 1, self.counts)
+        self._logp = np.log(sm / sm.sum(axis=1, keepdims=True))
+
+    def log_likelihood(self, aln_len, nm):
+        if self._logp is None:
+            self.normalize()
+        lb, rb = self._bins(aln_len, np.maximum(nm, 0))
+        return self._logp[lb, rb]
+
+
 class AlignmentErrorModel:
     """Transition-count model with Laplace prior (reference alpha=1e-3
     default in AtomicMatrix)."""

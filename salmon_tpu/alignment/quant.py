@@ -128,12 +128,21 @@ def quantify_alignments(args, opts, cmd_args) -> int:
 
     # --- error model training pass (reference: burn-in updates in
     # processMiniBatch, SalmonQuantifyAlignments.cpp:126+)
+    use_ont = bool(getattr(args, "ont", False))
+    if use_ont:
+        # --ont forces noLengthCorrection (ProgramOptionsGenerator:332)
+        opts.no_length_correction = True
     use_error_model = not getattr(args, "noErrorModel", False) and \
-        not getattr(args, "ont", False)
+        not use_ont
     err = None
+    ont = None
+    if use_ont:
+        from salmon_tpu.alignment.errormodel import ONTErrorModel
+        ont = ONTErrorModel()
     if use_error_model:
         from salmon_tpu.alignment.errormodel import AlignmentErrorModel
         err = AlignmentErrorModel()
+    if err is not None or ont is not None:
         trained = 0
         train_cap = int(getattr(args, "numPreAuxModelSamples", 5000)
                         or 5000) * 200  # fragments
@@ -170,23 +179,33 @@ def quantify_alignments(args, opts, cmd_args) -> int:
                 ws = np.zeros(len(frag_id))
                 ws[order] = wts
                 ws = np.where(keep, ws, 0.0)
-                from salmon_tpu.alignment.errormodel import expand_batch
                 ksel = np.nonzero(keep)[0]
-                cols1 = expand_batch(b, i1[ksel], ref_map0, tseq_codes,
-                                     tseq_off, tlens)
-                err.update(
-                    {k: v for k, v in cols1.items()},
-                    ws[ksel], 0)
-                if paired_detect:
-                    cols2 = expand_batch(b, i2[ksel], ref_map0,
+                if ont is not None:
+                    ont.update(b.read_len[i1[ksel]].astype(np.int64),
+                               b.nm_tag[i1[ksel]].astype(np.int64),
+                               ws[ksel])
+                    if paired_detect:
+                        ont.update(b.read_len[i2[ksel]].astype(np.int64),
+                                   b.nm_tag[i2[ksel]].astype(np.int64),
+                                   ws[ksel])
+                else:
+                    from salmon_tpu.alignment.errormodel import \
+                        expand_batch
+                    cols1 = expand_batch(b, i1[ksel], ref_map0,
                                          tseq_codes, tseq_off, tlens)
-                    err.update(cols2, ws[ksel], 1)
+                    err.update(cols1, ws[ksel], 0)
+                    if paired_detect:
+                        cols2 = expand_batch(b, i2[ksel], ref_map0,
+                                             tseq_codes, tseq_off, tlens)
+                        err.update(cols2, ws[ksel], 1)
                 trained += int(keep.sum())
                 if trained >= train_cap:
                     break
             rdr.close()
-        err.normalize()
-        logger.info("error model trained on %d alignments", trained)
+        (ont or err).normalize()
+        logger.info("%s error model trained on %d alignments",
+                    "ONT" if ont is not None else "mismatch-transition",
+                    trained)
 
     for bam_path in args.alignments:
         rdr = BamReader(bam_path)
@@ -217,7 +236,17 @@ def quantify_alignments(args, opts, cmd_args) -> int:
 
             # error-model log-likelihood per alignment (fg - bg)
             err_ll = np.zeros(len(frag_id))
-            if err is not None and keep.any():
+            if ont is not None and keep.any():
+                ksel = np.nonzero(keep)[0]
+                ll = ont.log_likelihood(
+                    b.read_len[i1[ksel]].astype(np.int64),
+                    b.nm_tag[i1[ksel]].astype(np.int64))
+                if paired_detect:
+                    ll = ll + ont.log_likelihood(
+                        b.read_len[i2[ksel]].astype(np.int64),
+                        b.nm_tag[i2[ksel]].astype(np.int64))
+                err_ll[ksel] = ll
+            elif err is not None and keep.any():
                 from salmon_tpu.alignment.errormodel import expand_batch
                 ksel = np.nonzero(keep)[0]
                 c1 = expand_batch(b, i1[ksel], ref_map, tseq_codes,
@@ -257,7 +286,7 @@ def quantify_alignments(args, opts, cmd_args) -> int:
             # trained (reference processMiniBatch: AlignmentModel
             # logLikelihood replaces the coverage term), else the
             # AS-based stand-in
-            if err is not None:
+            if err is not None or ont is not None:
                 logw = err_k + lf
             else:
                 logw = score_exp * score_k + lf

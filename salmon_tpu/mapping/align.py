@@ -61,7 +61,7 @@ def _subst_scores(read_codes, ref_codes, ma: float, mp: float):
 
 def banded_scores(read_codes, read_lens, ref_base, txp_lens, seq_codes,
                   seq_off, bandwidth: int, ma: float, mp: float,
-                  go: float, ge: float):
+                  go: float, ge: float, **kw):
     """Score-only banded affine DP for a batch of problems.
 
     Args:
@@ -83,24 +83,66 @@ def banded_scores(read_codes, read_lens, ref_base, txp_lens, seq_codes,
     """
     return _banded_scores_impl(read_codes, None, read_lens, ref_base,
                                txp_lens, seq_codes, seq_off, bandwidth,
-                               ma, mp, go, ge)
+                               ma, mp, go, ge, **kw)
 
 
 def banded_scores_indexed(reads, read_ids, read_lens, ref_base, txp_lens,
                           seq_codes, seq_off, bandwidth: int, ma: float,
-                          mp: float, go: float, ge: float):
+                          mp: float, go: float, ge: float, **kw):
     """banded_scores variant where problems share read rows: `reads` is
     (NR, L) and `read_ids` (P,) selects each problem's read — avoids
     materializing a (P, L) read tensor when many candidates share one
     read."""
     return _banded_scores_impl(reads, read_ids, read_lens, ref_base,
                                txp_lens, seq_codes, seq_off, bandwidth,
-                               ma, mp, go, ge)
+                               ma, mp, go, ge, **kw)
+
+
+def pack_seq4(seq_codes: np.ndarray, lead_pad: int = 256):
+    """Pack base codes into 4-bit nibbles, 8 per uint32 word, with
+    `lead_pad` zero bases prepended (so window fetch arithmetic never
+    goes negative). Returns (words, offset_shift=lead_pad)."""
+    padded = np.concatenate([
+        np.zeros(lead_pad, np.uint8), np.asarray(seq_codes, np.uint8),
+        np.zeros(64, np.uint8)])
+    n = padded.shape[0]
+    n8 = -(-n // 8) * 8
+    padded = np.pad(padded, (0, n8 - n))
+    nib = padded.reshape(-1, 8).astype(np.uint32)
+    words = np.zeros(nib.shape[0], dtype=np.uint32)
+    for j in range(8):
+        words |= nib[:, j] << np.uint32(4 * j)
+    return words, lead_pad
+
+
+def _fetch_windows_packed(seq_words, a0, W: int):
+    """(P,) absolute window starts -> (P, W) base codes via word gathers.
+
+    Gathers ceil((W + 7) / 8) + 1 uint32 words per problem (8 bases
+    each) instead of W per-byte gathers — measured ~7x faster on this
+    backend — then unpacks nibbles in-register and aligns each row by
+    its (start mod 8) with an 8-way select.
+    """
+    n_words = (W + 7) // 8 + 1
+    word0 = (a0 >> 3).astype(jnp.int32)
+    shift = (a0 & 7).astype(jnp.int32)
+    widx = word0[:, None] + jnp.arange(n_words, dtype=jnp.int32)[None, :]
+    words = jnp.take(seq_words, widx, mode="clip")      # (P, n_words)
+    # unpack nibbles -> (P, n_words * 8)
+    nib = jnp.stack([(words >> jnp.uint32(4 * j)) & jnp.uint32(0xF)
+                     for j in range(8)], axis=-1).reshape(
+        words.shape[0], n_words * 8).astype(jnp.int8)
+    # row j of the window = nib[w + shift]; shift in [0, 8): 8-way select
+    out = nib[:, 0:W]
+    for s in range(1, 8):
+        out = jnp.where((shift == s)[:, None], nib[:, s:s + W], out)
+    return out
 
 
 def _banded_scores_impl(read_codes, read_ids, read_lens, ref_base,
                         txp_lens, seq_codes, seq_off, bandwidth: int,
-                        ma: float, mp: float, go: float, ge: float):
+                        ma: float, mp: float, go: float, ge: float,
+                        seq_words=None, seq_words_shift: int = 0):
     if read_ids is None:
         P, L = read_codes.shape
     else:
@@ -117,10 +159,15 @@ def _banded_scores_impl(read_codes, read_ids, read_lens, ref_base,
     w_idx = ref_base[:, None] + (jnp.arange(W, dtype=jnp.int32)
                                  - bandwidth)[None, :]
     w_oob = (w_idx < 0) | (w_idx >= txp_lens[:, None])
-    ref_win = jnp.take(seq_codes,
-                       jnp.clip(seq_off[:, None] + w_idx, 0,
-                                seq_codes.shape[0] - 1),
-                       mode="clip").astype(jnp.int8)
+    if seq_words is not None:
+        a0 = (seq_off + ref_base - bandwidth
+              + seq_words_shift).astype(jnp.int32)
+        ref_win = _fetch_windows_packed(seq_words, jnp.maximum(a0, 0), W)
+    else:
+        ref_win = jnp.take(seq_codes,
+                           jnp.clip(seq_off[:, None] + w_idx, 0,
+                                    seq_codes.shape[0] - 1),
+                           mode="clip").astype(jnp.int8)
     ref_win = jnp.where(w_oob, jnp.int8(5), ref_win)  # (P, W)
 
     if read_ids is not None:
@@ -188,77 +235,86 @@ def _banded_scores_pallas(reads_t, ref_win_t, read_lens, bandwidth: int,
                           ma: float, mp: float, go: float, ge: float):
     """Pallas TPU kernel for the banded DP.
 
-    The H/F wavefront state lives in VMEM scratch across the whole read
-    scan, so HBM traffic is just the read and reference-window tiles (the
-    pure-XLA scan spills ~15 full-state tensors to HBM per row).
+    The H/F wavefront lives in VMEM scratch across the whole read scan in
+    BAND coordinates (B rows, padded to B8). Mosaic forbids unaligned
+    dynamic sublane slices, so instead of slicing a shifting band window
+    out of the reference each row, the reference is PRE-SKEWED on the XLA
+    side into per-row band slabs: skew[(i*B8 + d), p] = ref_win[i + d, p].
+    Each grid step then consumes one aligned (8*B8, PT) slab covering 8
+    read rows — every kernel memory access is static.
 
-    Formulation: absolute window coordinates. State rows are the W = L+B-1
-    reference-window positions; the band constraint |w - i| <= 2bw becomes
-    a per-row mask (w in [i, i+B-1]), so every memory access is static —
-    Mosaic forbids unaligned dynamic sublane slices. The grid is
-    (problem_tiles, L/8): each step consumes an (8, PT) read-row block and
-    advances the DP by 8 rows; scratch persists across the sequential TPU
-    grid and is re-initialized when a new problem tile starts.
+    Grid: (problem_tiles, L/8); scratch persists across the sequential
+    TPU grid, re-initialized when a new tile starts.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     L, P = reads_t.shape
     B = 2 * bandwidth + 1
+    B8 = -(-B // 8) * 8
     W = ref_win_t.shape[0]
     PT = PALLAS_TILE
     n_tiles = -(-P // PT)
     Pp = n_tiles * PT
     L8 = -(-L // 8) * 8
-    W8 = -(-W // 8) * 8
+    nL8 = L8 // 8
     reads_t = jnp.pad(reads_t, ((0, L8 - L), (0, Pp - P)),
                       constant_values=4)
-    ref_win_t = jnp.pad(ref_win_t, ((0, W8 - W), (0, Pp - P)),
+    ref_win_t = jnp.pad(ref_win_t,
+                        ((0, L8 + B8 - W), (0, Pp - P)),
                         constant_values=5)
     lens_row = jnp.pad(read_lens, (0, Pp - P)).reshape(1, Pp)
-    nL8 = L8 // 8
 
-    n_shift = int(np.ceil(np.log2(max(W8, 2))))
+    # pre-skew: row (i*B8 + d) = ref_win row (i + d); band rows beyond
+    # B-1 get OOB code 5 so they can never contribute
+    i_idx = jnp.repeat(jnp.arange(L8, dtype=jnp.int32), B8)
+    d_idx = jnp.tile(jnp.arange(B8, dtype=jnp.int32), L8)
+    skew = jnp.take(ref_win_t, i_idx + d_idx, axis=0, mode="clip")
+    skew = jnp.where((d_idx >= B)[:, None], jnp.int8(5), skew)
 
-    def kernel(lens_ref, reads_ref, refw_ref, out_ref, H_s, F_s):
+    n_shift = int(np.ceil(np.log2(max(B, 2))))
+
+    def kernel(lens_ref, reads_ref, skew_ref, out_ref, H_s, F_s):
         lb = pl.program_id(1)
 
         @pl.when(lb == 0)
         def _():
-            H_s[:, :] = jnp.zeros((W8, PT), jnp.float32)
-            F_s[:, :] = jnp.full((W8, PT), NEG, jnp.float32)
+            H_s[:, :] = jnp.zeros((B8, PT), jnp.float32)
+            F_s[:, :] = jnp.full((B8, PT), NEG, jnp.float32)
 
         lens = lens_ref[0:1, :]
-        refs = refw_ref[:, :].astype(jnp.int32)      # (W8, PT)
-        w_row = jax.lax.broadcasted_iota(jnp.int32, (W8, PT), 0)
         H = H_s[:, :]
         F = F_s[:, :]
         neg_row = jnp.full((1, PT), NEG, jnp.float32)
 
         for j in range(8):
             i = lb * 8 + j
-            rc = reads_ref[j:j + 1, :].astype(jnp.int32)   # (1, PT)
+            rc = reads_ref[j:j + 1, :].astype(jnp.int32)       # (1, PT)
+            refs = skew_ref[j * B8:(j + 1) * B8, :].astype(jnp.int32)
             match = (rc == refs) & (rc < 4) & (refs < 4)
             sub = jnp.where(match, ma, mp)
             sub = jnp.where(refs >= 5, OOB_PENALTY, sub)
-            in_band = (w_row >= i) & (w_row < i + B)
-            sub = jnp.where(in_band, sub, NEG)
 
-            F_n = jnp.maximum(F - ge, H - go - ge)
-            H_diag = jnp.concatenate([neg_row, H[:-1, :]], axis=0) + sub
-            H_nf = jnp.maximum(H_diag, F_n)
+            # gap-in-read: previous row at band offset d+1
+            F_n = jnp.maximum(
+                jnp.concatenate([F[1:, :], neg_row], axis=0) - ge,
+                jnp.concatenate([H[1:, :], neg_row], axis=0) - go - ge)
+            H_nf = jnp.maximum(H + sub, F_n)
+
+            # gap-in-ref: within-row max-plus prefix over the band
             X = H_nf - go
             sft = 1
             for _ in range(n_shift):
-                pad = jnp.full((min(sft, W8), PT), NEG, jnp.float32)
-                X = jnp.maximum(
-                    X, jnp.concatenate([pad, X[:-sft, :]], axis=0)
-                    - ge * sft) if sft < W8 else X
+                pad = jnp.full((min(sft, B8), PT), NEG, jnp.float32)
+                if sft < B8:
+                    X = jnp.maximum(
+                        X, jnp.concatenate([pad, X[:-sft, :]], axis=0)
+                        - ge * sft)
                 sft *= 2
             E = jnp.concatenate([neg_row, X[:-1, :]], axis=0) - ge
             H_new = jnp.maximum(H_nf, E)
 
-            active = i < lens                        # (1, PT)
+            active = i < lens
             H = jnp.where(active, H_new, H)
             F = jnp.where(active, F_n, F)
 
@@ -277,15 +333,15 @@ def _banded_scores_pallas(reads_t, ref_win_t, read_lens, bandwidth: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, PT), lambda t, l: (l, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((W8, PT), lambda t, l: (0, t),
+            pl.BlockSpec((8 * B8, PT), lambda t, l: (l, t),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, PT), lambda t, l: (0, t),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, Pp), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((W8, PT), jnp.float32),
-                        pltpu.VMEM((W8, PT), jnp.float32)],
-    )(lens_row, reads_t, ref_win_t)
+        scratch_shapes=[pltpu.VMEM((B8, PT), jnp.float32),
+                        pltpu.VMEM((B8, PT), jnp.float32)],
+    )(lens_row, reads_t, skew)
     return out.reshape(-1)[:P]
 
 

@@ -131,10 +131,26 @@ def device_index_arrays(idx: TranscriptomeIndex) -> dict:
         "occ_rows": jnp.asarray(occ_rows),
         "txp_lens": jnp.asarray(idx.lengths.astype(np.int32)),
         # transcript sequences for DP validation (int32 offsets cap the
-        # concatenated transcriptome at 2^31 bases)
+        # concatenated transcriptome at 2^31 bases); seq4 = nibble-packed
+        # words for fast contiguous window fetches
         "seq_codes": jnp.asarray(idx.seq_codes),
         "seq_off": jnp.asarray(idx.seq_offsets.astype(np.int32)),
+        "seq4": jnp.asarray(_seq4_words(idx)),
     }
+
+
+_SEQ4_SHIFT = 256
+_seq4_cache: dict = {}
+
+
+def _seq4_words(idx):
+    from salmon_tpu.mapping.align import pack_seq4
+    key = id(idx)
+    if key not in _seq4_cache:
+        words, _ = pack_seq4(idx.seq_codes, lead_pad=_SEQ4_SHIFT)
+        _seq4_cache.clear()
+        _seq4_cache[key] = words
+    return _seq4_cache[key]
 
 
 def _map_one_end(codes, lengths, dev, cfg: MapperConfig):
@@ -237,7 +253,8 @@ def _dp_scores(joined: dict, batch: dict, dev: dict, cfg: MapperConfig,
             jnp.take(flat(p), sel), tlen, dev["seq_codes"], toff,
             cfg.dp_bandwidth, float(cfg.match_score),
             float(cfg.mismatch_penalty), float(cfg.gap_open_penalty),
-            float(cfg.gap_extend_penalty))
+            float(cfg.gap_extend_penalty),
+            seq_words=dev.get("seq4"), seq_words_shift=_SEQ4_SHIFT)
         return jnp.where(sel_valid, scores, jnp.float32(-1e9))
 
     NEGS = jnp.full(R * T2, -1e9, jnp.float32)

@@ -176,6 +176,19 @@ def quantify(
     cfg = MapperConfig.from_index(index, opts)
     dev = device_index_arrays(index)
 
+    # multi-chip: shard each batch data-parallel over all local devices
+    # (reference analog: N worker threads over disjoint read batches,
+    # SURVEY.md §2.11 item 2). Single device -> plain jit path.
+    import jax as _jax
+    mesh = None
+    n_dev = len(_jax.devices())
+    if n_dev > 1:
+        from salmon_tpu.parallel import (make_mesh, parallel_map_paired,
+                                         parallel_map_single,
+                                         shard_batch_arrays)
+        mesh = make_mesh()
+        logger.info("mapping data-parallel over %d devices", n_dev)
+
     fld = FragmentLengthDistribution(
         max_val=opts.max_frag_length, prior_mu=opts.frag_len_prior_mean,
         prior_sigma=opts.frag_len_prior_sd)
@@ -245,13 +258,24 @@ def quantify(
                 "codes_r": jnp.asarray(chunk.right.codes),
                 "lengths_r": jnp.asarray(chunk.right.lengths),
             }
-            out = map_paired_batch(batch, dev, cfg, fld_logpmf, cp, co)
+            if mesh is not None:
+                batch = shard_batch_arrays(mesh, batch)
+                out = parallel_map_paired(mesh, batch, dev, cfg,
+                                          fld_logpmf, cp, co)
+            else:
+                out = map_paired_batch(batch, dev, cfg, fld_logpmf, cp,
+                                       co)
         else:
             batch = {
                 "codes": jnp.asarray(chunk.codes),
                 "lengths": jnp.asarray(chunk.lengths),
             }
-            out = map_single_batch(batch, dev, cfg, fld_logpmf, cs)
+            if mesh is not None:
+                batch = shard_batch_arrays(mesh, batch)
+                out = parallel_map_single(mesh, batch, dev, cfg,
+                                          fld_logpmf, cs)
+            else:
+                out = map_single_batch(batch, dev, cfg, fld_logpmf, cs)
 
         if resolved_format is None:
             resolved_format = _detect_library_format(
@@ -262,9 +286,16 @@ def quantify(
             cp, co, cs = compat_arrays(expected)
             # remap the first chunk under the detected format
             if paired:
-                out = map_paired_batch(batch, dev, cfg, fld_logpmf, cp, co)
+                out = (parallel_map_paired(mesh, batch, dev, cfg,
+                                           fld_logpmf, cp, co)
+                       if mesh is not None else
+                       map_paired_batch(batch, dev, cfg, fld_logpmf,
+                                        cp, co))
             else:
-                out = map_single_batch(batch, dev, cfg, fld_logpmf, cs)
+                out = (parallel_map_single(mesh, batch, dev, cfg,
+                                           fld_logpmf, cs)
+                       if mesh is not None else
+                       map_single_batch(batch, dev, cfg, fld_logpmf, cs))
 
         acc.add_batch(np.asarray(out["eq_txp"]),
                       np.asarray(out["eq_weight"]),

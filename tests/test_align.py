@@ -95,3 +95,46 @@ def test_batch_of_problems():
         jnp.asarray([500] * 8, jnp.int32), jnp.asarray(seqs),
         jnp.asarray([0] * 8, jnp.int32), BW, MA, MP, GO, GE)
     np.testing.assert_allclose(np.asarray(out), 80.0)
+
+
+def test_packed_window_fetch_matches_bytes():
+    """pack_seq4 + _fetch_windows_packed reproduce the byte-gather
+    windows exactly (incl. unaligned starts)."""
+    import numpy as np
+    from salmon_tpu.mapping.align import (_fetch_windows_packed,
+                                          pack_seq4)
+    rng = np.random.default_rng(7)
+    seq = rng.integers(0, 5, 1000).astype(np.uint8)  # incl. N codes
+    words, shift = pack_seq4(seq, lead_pad=256)
+    W = 83
+    starts = rng.integers(0, 900, 64).astype(np.int32)
+    out = np.asarray(_fetch_windows_packed(
+        jnp.asarray(words), jnp.asarray(starts + shift), W))
+    for i, s in enumerate(starts):
+        want = seq[s:s + W]
+        np.testing.assert_array_equal(out[i, :want.shape[0]], want)
+
+
+def test_banded_scores_packed_path_matches():
+    """Full DP via the packed-word fetch equals the byte-gather path."""
+    import numpy as np
+    from salmon_tpu.mapping.align import banded_scores, pack_seq4
+    rng = np.random.default_rng(8)
+    seq = rng.integers(0, 4, 2000).astype(np.uint8)
+    words, shift = pack_seq4(seq)
+    n, L = 32, 40
+    reads, bases = [], []
+    for _ in range(n):
+        s = int(rng.integers(0, 1900))
+        r = seq[s:s + L].copy()
+        r[int(rng.integers(0, L))] ^= 1
+        reads.append(r)
+        bases.append(s)
+    args = (jnp.asarray(np.stack(reads)), jnp.asarray([L] * n, jnp.int32),
+            jnp.asarray(bases, jnp.int32),
+            jnp.asarray([2000] * n, jnp.int32), jnp.asarray(seq),
+            jnp.asarray([0] * n, jnp.int32), BW, MA, MP, GO, GE)
+    plain = np.asarray(banded_scores(*args))
+    packed = np.asarray(banded_scores(
+        *args, seq_words=jnp.asarray(words), seq_words_shift=shift))
+    np.testing.assert_array_equal(plain, packed)

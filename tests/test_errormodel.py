@@ -137,3 +137,44 @@ def test_alignment_mode_with_error_model(tmp_path, sample_data_dir):
     t = np.array([truth[k] for k in truth], dtype=float)
     e = np.array([est.get(k, 0.0) for k in truth])
     assert spearmanr(t, e).statistic >= 0.999
+
+
+def test_ont_model_end_to_end(tmp_path, sample_data_dir):
+    """--ont: single-end long-ish reads with NM-based error model."""
+    import os
+    from salmon_tpu.cli import main
+    from salmon_tpu.io.writers import read_quant_sf
+    from salmon_tpu.io.fasta import load_transcripts
+
+    rng = np.random.default_rng(5)
+    records, _ = load_transcripts(
+        os.path.join(sample_data_dir, "transcripts.fasta"),
+        noclip_polya=True)
+    names = [r.name for r in records]
+    lens = [r.seq_codes.shape[0] for r in records]
+    recs = []
+    counts = {}
+    for i in range(2000):
+        tid = int(rng.integers(0, len(names)))
+        L = int(rng.integers(200, 400))
+        s = int(rng.integers(0, max(1, lens[tid] - L)))
+        seq = "".join("ACGT"[c] for c in records[tid].seq_codes[s:s + L])
+        recs.append(dict(name=f"ont{i}", refid=tid, pos=s, flag=0,
+                         cigar=f"{L}M", seq=seq,
+                         tags={"NM": int(rng.integers(0, L // 10))}))
+        counts[names[tid]] = counts.get(names[tid], 0) + 1
+    bam = str(tmp_path / "ont.bam")
+    from salmon_tpu.alignment import bamio
+    bamio.write_bam(bam, names, lens, recs)
+    out = str(tmp_path / "q")
+    rc = main(["quant", "-t",
+               os.path.join(sample_data_dir, "transcripts.fasta"),
+               "-l", "U", "-a", bam, "--ont", "-o", out, "-q"])
+    assert rc == 0
+    q = read_quant_sf(os.path.join(out, "quant.sf"))
+    est = dict(zip(q["Name"], q["NumReads"]))
+    # unique alignments: counts recovered exactly
+    for nm, c in counts.items():
+        assert abs(est[nm] - c) < 1.0, (nm, est[nm], c)
+    # --ont forces noLengthCorrection -> effLen = 100 everywhere
+    assert np.allclose(q["EffectiveLength"], 100.0)
