@@ -200,10 +200,12 @@ int64_t bam_next_batch(void* h, int64_t cap, int64_t seq_cap,
                        int32_t* as_tag, int32_t* nm_tag,
                        uint64_t* name_hash,
                        uint8_t* seq_buf, uint8_t* cigar_op,
-                       uint32_t* cigar_oplen) {
+                       uint32_t* cigar_oplen,
+                       char* names_buf, int64_t names_cap) {
   auto* bf = static_cast<BamFile*>(h);
   int64_t n = 0;
   int64_t spos = 0, cpos = 0;
+  int64_t name_pos = 0;
   std::vector<uint8_t> rec;
   while (n < cap) {
     if (!bf->pending.empty()) {
@@ -249,7 +251,13 @@ int64_t bam_next_batch(void* h, int64_t cap, int64_t seq_cap,
     mate_pos[n] = next_pos;
     tlen[n] = tlen_;
     read_len[n] = l_seq;
-    name_hash[n] = fnv1a(rname, l_read_name ? size_t(l_read_name) - 1 : 0);
+    size_t rn_len = l_read_name ? size_t(l_read_name) - 1 : 0;
+    name_hash[n] = fnv1a(rname, rn_len);
+    if (names_buf && name_pos + int64_t(rn_len) + 1 <= names_cap) {
+      std::memcpy(names_buf + name_pos, rname, rn_len);
+      name_pos += rn_len;
+      names_buf[name_pos++] = 0;
+    }
 
     seq_off[n] = spos;
     for (int32_t i = 0; i < l_seq; ++i) {

@@ -54,6 +54,7 @@ class BamBatch:
     cigar_op: np.ndarray
     cigar_oplen: np.ndarray
     n: int
+    names: list = None
 
 
 def _load_native():
@@ -100,9 +101,11 @@ def native_lib():
 class BamReader:
     """Streaming BAM reader (native if available, else pure Python)."""
 
-    def __init__(self, path: str, batch_records: int = 65536):
+    def __init__(self, path: str, batch_records: int = 65536,
+                 want_names: bool = False):
         self.path = path
         self.batch_records = batch_records
+        self.want_names = want_names
         self._lib = native_lib()
         if self._lib is not None:
             self._h = self._lib.bam_open(path.encode())
@@ -128,7 +131,8 @@ class BamReader:
         if self._lib is not None:
             yield from self._native_batches()
         else:
-            yield from self._py.batches(self.batch_records)
+            yield from self._py.batches(self.batch_records,
+                                        self.want_names)
 
     def _native_batches(self):
         cap = self.batch_records
@@ -147,6 +151,9 @@ class BamReader:
                 seq_buf=np.zeros(seq_cap, np.uint8),
                 cigar_op=np.zeros(cigar_cap, np.uint8),
                 cigar_oplen=np.zeros(cigar_cap, np.uint32), n=0)
+            names_cap = cap * 256 if self.want_names else 0
+            names_buf = (ctypes.create_string_buffer(names_cap)
+                         if self.want_names else None)
             ptr = lambda a: a.ctypes.data_as(ctypes.c_void_p)
             n = self._lib.bam_next_batch(
                 ctypes.c_void_p(self._h), ctypes.c_int64(cap),
@@ -156,12 +163,15 @@ class BamReader:
                 ptr(b.read_len), ptr(b.seq_off), ptr(b.cigar_off),
                 ptr(b.cigar_n), ptr(b.as_tag), ptr(b.nm_tag),
                 ptr(b.name_hash), ptr(b.seq_buf), ptr(b.cigar_op),
-                ptr(b.cigar_oplen))
+                ptr(b.cigar_oplen), names_buf,
+                ctypes.c_int64(names_cap))
             if n <= 0:
                 if n < 0:
                     raise IOError("BAM record larger than batch buffers")
                 return
             b.n = int(n)
+            if self.want_names:
+                b.names = names_buf.raw.split(b"\0")[:b.n]
             yield b
 
 
@@ -190,11 +200,12 @@ class _PyBam:
             self.ref_names.append(nm)
             self.ref_lens.append(lr)
 
-    def batches(self, cap: int) -> Iterator[BamBatch]:
-        import io
+    def batches(self, cap: int,
+                want_names: bool = False) -> Iterator[BamBatch]:
         while True:
             rows = []
             hashes = []
+            names = []
             seqs = []
             cigars = []
             while len(rows) < cap:
@@ -225,6 +236,8 @@ class _PyBam:
                 rows.append((refid, pos, flag, mapq, nrefid, npos, tlen,
                              lseq, as_v, nm_v))
                 hashes.append(h)
+                if want_names:
+                    names.append(bytes(rname))
                 seqs.append(seq)
                 cigars.append(cig)
             if not rows:
@@ -258,6 +271,7 @@ class _PyBam:
                 as_tag=arr[:, 8].astype(np.int32),
                 nm_tag=arr[:, 9].astype(np.int32),
                 name_hash=np.array(hashes, dtype=np.uint64),
+                names=names if want_names else None,
                 seq_buf=(np.concatenate(seqs) if seqs
                          else np.zeros(0, np.uint8)),
                 cigar_op=(cig_all & 0xF).astype(np.uint8),

@@ -95,6 +95,84 @@ def _group_fragments(b, paired: bool):
             np.minimum(p1, p2), i1, i2)
 
 
+def _posterior_sample_bam(args, opts, out_dir, counts, eff, name_to_id,
+                          fld, lib_fmt, paired: bool) -> None:
+    """--sampleOut: re-walk the BAM and emit one posterior-sampled record
+    (pair) per fragment as postSample.bam (reference
+    salmon::sampler::sampleLibrary; the sampling weight here is
+    abundance/effLen x FLD x compat — the error-model term is omitted in
+    this pass)."""
+    from salmon_tpu.alignment.sampler import BamWriter, sample_fragments
+
+    rng = np.random.default_rng(getattr(args, "seed", 271828))
+    log_alpha = np.log(np.maximum(counts / np.maximum(eff, 1.0), 1e-300))
+    log_pmf = fld.log_pmf()
+    fmt = libformat.parse_library_format(lib_fmt)
+    writer = None
+    n_out = 0
+    for bam_path in args.alignments:
+        rdr = BamReader(bam_path, want_names=True)
+        if writer is None:
+            writer = BamWriter(os.path.join(out_dir, "postSample.bam"),
+                               rdr.ref_names, rdr.ref_lens)
+        ref_map = np.array(
+            [name_to_id.get(nm, -1) for nm in rdr.ref_names],
+            dtype=np.int64)
+        for b in rdr.batches():
+            (frag_id, keep, refid, flen, obs, score, fw, pos, i1, i2) = \
+                _group_fragments(b, paired)
+            txp = np.where(keep & (refid >= 0),
+                           ref_map[np.clip(refid, 0,
+                                           len(ref_map) - 1)], -1)
+            keep = keep & (txp >= 0)
+            if not keep.any():
+                continue
+            k = np.nonzero(keep)[0]
+            if paired:
+                compat = libformat.paired_compat_table(fmt)[
+                    np.clip(obs[k], 0, 5)]
+                lf = log_pmf[np.clip(flen[k], 0, opts.max_frag_length)]
+            else:
+                compat = libformat.single_compat_table(fmt)[
+                    np.clip(obs[k], 0, 1)]
+                lf = 0.0
+            logw = log_alpha[txp[k]] + lf + np.where(compat, 0.0, -30.0)
+            w = np.exp(logw - logw.max())
+            sel = sample_fragments(rng, frag_id[k], w)
+            for s in sel:
+                ridx = int(i1[k[s]])
+                co = b.cigar_op[b.cigar_off[ridx]:
+                                b.cigar_off[ridx] + b.cigar_n[ridx]]
+                cl = b.cigar_oplen[b.cigar_off[ridx]:
+                                   b.cigar_off[ridx] + b.cigar_n[ridx]]
+                seq = b.seq_buf[b.seq_off[ridx]:
+                                b.seq_off[ridx] + b.read_len[ridx]]
+                writer.add_record(
+                    b.names[ridx], int(b.refid[ridx]), int(b.pos[ridx]),
+                    int(b.flag[ridx]), int(b.mapq[ridx]), co, cl, seq,
+                    int(b.mate_refid[ridx]), int(b.mate_pos[ridx]),
+                    int(b.tlen[ridx]), zw=float(w[s]))
+                if paired:
+                    r2 = int(i2[k[s]])
+                    co2 = b.cigar_op[b.cigar_off[r2]:
+                                     b.cigar_off[r2] + b.cigar_n[r2]]
+                    cl2 = b.cigar_oplen[b.cigar_off[r2]:
+                                        b.cigar_off[r2] + b.cigar_n[r2]]
+                    seq2 = b.seq_buf[b.seq_off[r2]:
+                                     b.seq_off[r2] + b.read_len[r2]]
+                    writer.add_record(
+                        b.names[r2], int(b.refid[r2]), int(b.pos[r2]),
+                        int(b.flag[r2]), int(b.mapq[r2]), co2, cl2, seq2,
+                        int(b.mate_refid[r2]), int(b.mate_pos[r2]),
+                        int(b.tlen[r2]), zw=float(w[s]))
+                n_out += 1
+        rdr.close()
+    if writer is not None:
+        writer.close()
+    logger.info("posterior-sampled BAM: %d fragments -> %s", n_out,
+                os.path.join(out_dir, "postSample.bam"))
+
+
 def quantify_alignments(args, opts, cmd_args) -> int:
     from salmon_tpu.inference import em as em_mod
     from salmon_tpu.io import writers
@@ -395,6 +473,9 @@ def quantify_alignments(args, opts, cmd_args) -> int:
         "em_converged": res["converged"],
     })
     writers.write_fld(out, "aux_info", fld.pmf())
+    if getattr(args, "sampleOut", False):
+        _posterior_sample_bam(args, opts, out, counts, eff, name_to_id,
+                              fld, lib_fmt, bool(paired_detect))
     if args.dumpEq or args.dumpEqWeights:
         writers.write_eq_classes(out, "aux_info", names, eq,
                                  dump_weights=True, eff_lens=eff)

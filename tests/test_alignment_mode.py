@@ -122,3 +122,28 @@ def test_alignment_mode_quant(truth_bam, sample_data_dir, tmp_path):
         meta = json.load(fh)
     assert meta["mapping_type"] == "alignment"
     assert meta["num_processed"] == 10000
+
+
+def test_sample_out(truth_bam, sample_data_dir, tmp_path):
+    """--sampleOut writes a readable posterior-sampled BAM with one
+    record pair per fragment."""
+    from salmon_tpu.cli import main
+
+    path, names = truth_bam
+    out = str(tmp_path / "so")
+    rc = main(["quant", "-t",
+               os.path.join(sample_data_dir, "transcripts.fasta"),
+               "-l", "IU", "-a", path, "-o", out, "--sampleOut", "-q"])
+    assert rc == 0
+    ps = os.path.join(out, "postSample.bam")
+    assert os.path.exists(ps)
+    rdr = bamio.BamReader(ps, want_names=True)
+    total = 0
+    seen_names = set()
+    for b in rdr.batches():
+        total += b.n
+        for nm in (b.names or [])[:5]:
+            seen_names.add(nm)
+    rdr.close()
+    assert total == 2 * 10000  # one record pair per fragment
+    assert len(seen_names) > 0
