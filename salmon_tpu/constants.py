@@ -44,6 +44,7 @@ class SalmonDefaults:
     full_length_alignment: bool = False
     allow_dovetail: bool = False
     recover_orphans: bool = False
+    rescue_bandwidth: int = 80           # rescue DP band (~3 sigma of FLD)
     max_read_occs: int = 200
     max_occs_per_hit: int = 1000
     decoy_threshold: float = 1.0

@@ -79,6 +79,9 @@ class MapperConfig:
     gap_open_penalty: int = DEFAULTS.gap_open_penalty
     gap_extend_penalty: int = DEFAULTS.gap_extend_penalty
     dp_bandwidth: int = DEFAULTS.dp_bandwidth
+    # orphan rescue (reference recoverOrphans, opt-in)
+    recover_orphans: bool = DEFAULTS.recover_orphans
+    rescue_bandwidth: int = DEFAULTS.rescue_bandwidth
 
     @staticmethod
     def from_index(idx: TranscriptomeIndex, opts: SalmonDefaults = DEFAULTS,
@@ -110,6 +113,8 @@ class MapperConfig:
             gap_open_penalty=opts.gap_open_penalty,
             gap_extend_penalty=opts.gap_extend_penalty,
             dp_bandwidth=opts.dp_bandwidth,
+            recover_orphans=opts.recover_orphans,
+            rescue_bandwidth=opts.rescue_bandwidth,
         )
         cfg.update(overrides)
         return MapperConfig(**cfg)
@@ -271,6 +276,107 @@ def _dp_scores(joined: dict, batch: dict, dev: dict, cfg: MapperConfig,
     return score, jnp.broadcast_to(perfect, (R, T2))
 
 
+def _rescue_orphans(joined: dict, batch: dict, dev: dict,
+                    cfg: MapperConfig, fld_logpmf, aln_score,
+                    perfect_score):
+    """Orphan rescue (reference recoverOrphans ->
+    selective_alignment::utils::recoverOrphans, consumed at
+    SalmonQuantify.cpp:1356-1364, edlib-based).
+
+    For each orphan fragment's best candidate, the missing mate is
+    DP-aligned at its FLD-mean-predicted position with a widened band
+    (rescue_bandwidth covers +-3 sigma of typical FLDs, vs the
+    reference's full-window edlib search — narrower but kernel-reusing).
+    On success the fragment is upgraded to paired with the rescue score
+    folded in. Problems are batch-globally compacted to R/4.
+    """
+    from salmon_tpu.mapping.align import banded_scores_indexed
+
+    codes_l, len_l = batch["codes_l"], batch["lengths_l"]
+    codes_r, len_r = batch["codes_r"], batch["lengths_r"]
+    R, L = codes_l.shape
+    reads_all = jnp.concatenate(
+        [codes_l, _device_revcomp(codes_l, len_l),
+         codes_r, _device_revcomp(codes_r, len_r)], axis=0)
+
+    ms = joined["mate_status"]
+    is_orph = ms != MS_PAIRED
+    txp0 = joined["txp"][:, 0]
+    pos0 = joined["pos"][:, 0]
+    fw0 = joined["fw"][:, 0]
+    cand_ok = joined["valid"][:, 0] & is_orph
+
+    # FLD mean (the predicted fragment length)
+    mean_fl = jnp.sum(jnp.exp(fld_logpmf)
+                      * jnp.arange(fld_logpmf.shape[0],
+                                   dtype=jnp.float32))
+    mean_fl = jnp.round(mean_fl).astype(jnp.int32)
+
+    left_orph = ms == MS_LEFT_ORPHAN
+    miss_len = jnp.where(left_orph, len_r, len_l)
+    mapped_len = jnp.where(left_orph, len_l, len_r)
+    # missing-mate read variant (0=l fw,1=l rc,2=r fw,3=r rc): inward
+    # pairing means the missing mate has the opposite orientation
+    var = jnp.where(left_orph, jnp.where(fw0, 3, 2),
+                    jnp.where(fw0, 1, 0))
+    mate_left = jnp.where(fw0, pos0 + mean_fl - miss_len,
+                          pos0 + mapped_len - mean_fl)
+
+    # compact to K problems
+    K = max(1, R // 4)
+    prio = jnp.where(cand_ok, jnp.uint32(0), jnp.uint32(1))
+    sel = jnp.argsort(prio)[:K]
+    s_ok = jnp.take(cand_ok, sel)
+    s_txp = jnp.take(txp0, sel)
+    toff = jnp.take(dev["seq_off"], jnp.clip(s_txp, 0, None), mode="clip")
+    tlen = jnp.take(dev["txp_lens"], s_txp, mode="clip")
+    ids = sel.astype(jnp.int32) + jnp.take(var, sel) * R
+    scores = banded_scores_indexed(
+        reads_all, ids,
+        jnp.take(miss_len, sel), jnp.take(mate_left, sel), tlen,
+        dev["seq_codes"], toff, cfg.rescue_bandwidth,
+        float(cfg.match_score), float(cfg.mismatch_penalty),
+        float(cfg.gap_open_penalty), float(cfg.gap_extend_penalty),
+        seq_words=dev.get("seq4"), seq_words_shift=_SEQ4_SHIFT)
+    good = s_ok & (scores >= cfg.min_score_fraction
+                   * cfg.match_score
+                   * jnp.take(miss_len, sel).astype(jnp.float32))
+    resc = jnp.zeros(R, bool).at[sel].set(good)
+    resc_score = jnp.zeros(R, jnp.float32).at[sel].set(
+        jnp.where(good, scores, 0.0))
+
+    # upgrade fragment state (column 0 carries the rescued pair)
+    from salmon_tpu.mapping.pair import observed_paired_code
+    s1 = pos0
+    s2 = mate_left
+    obs_new = observed_paired_code(s1, fw0, s2, ~fw0)
+    new_flen = jnp.abs(jnp.maximum(s1 + jnp.where(left_orph, len_l,
+                                                  len_r),
+                                   s2 + miss_len)
+                       - jnp.minimum(s1, s2))
+
+    joined = dict(joined)
+    joined["mate_status"] = jnp.where(resc, MS_PAIRED, ms)
+    joined["frag_len"] = jnp.where(
+        resc[:, None],
+        jnp.broadcast_to(new_flen[:, None], joined["frag_len"].shape),
+        joined["frag_len"])
+    joined["obs_code"] = joined["obs_code"].at[:, 0].set(
+        jnp.where(resc, obs_new, joined["obs_code"][:, 0]))
+    joined["pos"] = joined["pos"].at[:, 0].set(
+        jnp.where(resc, jnp.minimum(s1, s2), joined["pos"][:, 0]))
+    if aln_score is not None:
+        aln_score = aln_score.at[:, 0].add(
+            jnp.where(resc, resc_score, 0.0))
+        perfect_score = jnp.where(
+            resc[:, None],
+            (cfg.match_score * (len_l + len_r)[:, None]).astype(
+                jnp.float32),
+            perfect_score)
+    n_rescued = jnp.sum(resc.astype(jnp.int32))
+    return joined, aln_score, perfect_score, n_rescued
+
+
 def _filter_and_weight(joined: dict, fld_logpmf, compat_paired,
                        compat_orphan, lengths_sum, cfg: MapperConfig,
                        aln_score=None, perfect_score=None):
@@ -410,9 +516,13 @@ def map_paired_batch_impl(batch: dict, dev: dict, cfg: MapperConfig,
                                        cfg.discard_orphans)
 
     aln_score = perfect = None
+    n_rescued = jnp.int32(0)
     if cfg.validate_mappings:
         aln_score, perfect = _dp_scores(joined, batch, dev, cfg,
                                         single_end=False)
+        if cfg.recover_orphans:
+            joined, aln_score, perfect, n_rescued = _rescue_orphans(
+                joined, batch, dev, cfg, fld_logpmf, aln_score, perfect)
 
     real_row = batch["lengths_l"] > 0  # padding rows never count
     eq_txp, eq_w, frag_ok, aln_valid, wn, eq_bins = _filter_and_weight(
@@ -454,6 +564,7 @@ def map_paired_batch_impl(batch: dict, dev: dict, cfg: MapperConfig,
 
     n_real = jnp.sum(real_row.astype(jnp.int32))
     return {
+        "num_orphans_rescued": n_rescued,
         "best_txp": best_txp,
         "best_pos": best_pos,
         "best_flen": best_flen,
@@ -526,6 +637,7 @@ def map_single_batch_impl(batch: dict, dev: dict, cfg: MapperConfig,
         "num_mapped": jnp.sum(frag_ok.astype(jnp.int32)),
         "num_paired": jnp.int32(0),
         "num_orphans": jnp.int32(0),
+        "num_orphans_rescued": jnp.int32(0),
         "fld_hist": jnp.zeros(cfg.fld_max + 1, jnp.float32),
         "fmt_hist": fmt_hist,
     }

@@ -37,7 +37,8 @@ READS_AXIS = "reads"
 
 # per-batch outputs that are fixed-size statistics -> psum-merged
 _PSUM_KEYS = ("txp_mass", "fld_hist", "fmt_hist", "num_processed",
-              "num_mapped", "num_paired", "num_orphans")
+              "num_mapped", "num_paired", "num_orphans",
+              "num_orphans_rescued")
 # everything else (eq tensors, best-hit fields) stays sharded by reads
 
 

@@ -42,6 +42,7 @@ class QuantResult:
     num_mapped: int
     num_paired: int
     num_orphans: int
+    num_orphans_rescued: int = 0
     em_info: dict
     fmt_counts: dict
     eq_classes: object = None
@@ -197,7 +198,7 @@ def quantify(
     acc = EquivalenceClassAccumulator()
     online_mass = np.zeros(index.num_targets, dtype=np.float64)
     totals = {"num_processed": 0, "num_mapped": 0, "num_paired": 0,
-              "num_orphans": 0}
+              "num_orphans": 0, "num_orphans_rescued": 0}
     fmt_hist_total = np.zeros(6, dtype=np.int64)
 
     # --- bias model state (observed stats collected per batch on device)
@@ -409,6 +410,7 @@ def quantify(
         num_mapped=totals["num_mapped"],
         num_paired=totals["num_paired"],
         num_orphans=totals["num_orphans"],
+        num_orphans_rescued=totals["num_orphans_rescued"],
         em_info=res, fmt_counts=fmt_counts, eq_classes=eq, fld=fld,
         lib_format=resolved_format or lib_format, bias=bias_state)
 
@@ -499,6 +501,7 @@ def write_outputs(result: QuantResult, index: TranscriptomeIndex,
         "index_name_hash": index.info.get("NameHash256", ""),
         "num_processed": result.num_processed,
         "num_mapped": result.num_mapped,
+        "num_orphans_rescued": result.num_orphans_rescued,
         "num_decoy_fragments": 0,
         "num_dovetail_fragments": 0,
         "num_fragments_filtered_vm": 0,

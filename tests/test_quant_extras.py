@@ -83,3 +83,59 @@ def test_write_mappings_sam(tmp_path, sample_data_dir):
                 pos_close += 1
     assert match_txp / checked >= 0.85
     assert pos_close / max(match_txp, 1) >= 0.95
+
+
+def test_orphan_rescue(tmp_path, sample_data_dir):
+    """A pair whose right mate is error-riddled (unseedable) but
+    alignable gets rescued when --recoverOrphans is on."""
+    import numpy as np
+    from salmon_tpu.index.builder import build_index
+    from salmon_tpu.mapping.pipeline import (MapperConfig,
+                                             device_index_arrays,
+                                             map_paired_batch)
+    from salmon_tpu.models.fld import FragmentLengthDistribution
+    from salmon_tpu.utils import libformat
+    from salmon_tpu.utils.dna import decode_seq, revcomp_codes
+    from salmon_tpu.io.fastq import pack_seqs
+    import jax.numpy as jnp
+
+    idx = build_index(os.path.join(sample_data_dir, "transcripts.fasta"),
+                      k=31)
+    rng = np.random.default_rng(0)
+    # rescue compaction budgets R // 4 problems per batch: keep the
+    # orphan count under it
+    R, RL = 160, 76
+    s1, s2 = [], []
+    for i in range(32):
+        tid = int(rng.integers(0, idx.num_valid_targets))
+        codes = idx.transcript_codes(tid)
+        L = codes.shape[0]
+        fl = 250
+        start = int(rng.integers(0, L - fl))
+        left = codes[start:start + RL].copy()
+        right = revcomp_codes(codes[start + fl - RL:start + fl]).copy()
+        # kill every seed of the right mate: a mismatch every 12 bases
+        # (k=31 windows all broken) but alignment still scores >0.65
+        for p in range(5, RL, 12):
+            right[p] = (right[p] + 1) % 4
+        s1.append(decode_seq(left).encode())
+        s2.append(decode_seq(right).encode())
+    c1, l1 = pack_seqs(s1, R, RL)
+    c2, l2 = pack_seqs(s2, R, RL)
+    batch = {"codes_l": jnp.asarray(c1), "lengths_l": jnp.asarray(l1),
+             "codes_r": jnp.asarray(c2), "lengths_r": jnp.asarray(l2)}
+    dev = device_index_arrays(idx)
+    fld = FragmentLengthDistribution(max_val=1000)
+    flp = jnp.asarray(fld.log_pmf(), jnp.float32)
+    fmt = libformat.parse_library_format("IU")
+    cp = jnp.asarray(libformat.paired_compat_table(fmt))
+    co = jnp.asarray(libformat.orphan_compat_table(fmt))
+
+    cfg_off = MapperConfig.from_index(idx)
+    out_off = map_paired_batch(batch, dev, cfg_off, flp, cp, co)
+    cfg_on = MapperConfig.from_index(idx, recover_orphans=True)
+    out_on = map_paired_batch(batch, dev, cfg_on, flp, cp, co)
+
+    assert int(out_off["num_paired"]) < 5       # seeds destroyed
+    assert int(out_on["num_orphans_rescued"]) >= 25
+    assert int(out_on["num_paired"]) >= 25      # upgraded to paired
