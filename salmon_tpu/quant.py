@@ -42,9 +42,9 @@ class QuantResult:
     num_mapped: int
     num_paired: int
     num_orphans: int
-    num_orphans_rescued: int = 0
     em_info: dict
     fmt_counts: dict
+    num_orphans_rescued: int = 0
     eq_classes: object = None
     fld: object = None
     lib_format: str = ""
