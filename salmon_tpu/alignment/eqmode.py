@@ -104,7 +104,7 @@ def quantify_eqclasses(args, opts, cmd_args) -> int:
         per_transcript_prior=opts.per_transcript_prior,
         rel_diff_tolerance=opts.relative_diff_tolerance,
         max_iterations=opts.max_em_iterations,
-        min_iterations=opts.min_required_iterations)
+        min_iterations=opts.min_em_iterations)
     # reference forces uniform init in eq-class mode (:1420-1424)
     res = em_mod.optimize(eq, n, eff, config=emc, init_uniform=True)
     counts = res["alphas"]

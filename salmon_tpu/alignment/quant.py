@@ -448,7 +448,7 @@ def quantify_alignments(args, opts, cmd_args) -> int:
         per_transcript_prior=opts.per_transcript_prior,
         rel_diff_tolerance=opts.relative_diff_tolerance,
         max_iterations=opts.max_em_iterations,
-        min_iterations=opts.min_required_iterations)
+        min_iterations=opts.min_em_iterations)
     res = em_mod.optimize(eq, len(names), eff, config=emc)
     counts = res["alphas"]
 

@@ -230,7 +230,8 @@ def _opts_from_args(args):
     o.use_em = args.useEM
     o.use_vb_opt = not args.useEM
     o.vb_prior = args.vbPrior
-    o.per_transcript_prior = args.perTranscriptPrior
+    o.per_transcript_prior = (args.perTranscriptPrior
+                              and not args.perNucleotidePrior)
     o.per_nucleotide_prior = args.perNucleotidePrior
     o.range_factorization_bins = args.rangeFactorizationBins
     o.num_bootstraps = args.numBootstraps
@@ -323,7 +324,7 @@ def cmd_quant(args) -> int:
     write_outputs(result, index, args.output, opts=opts,
                   cmd_args=cmd_args,
                   dump_eq=args.dumpEq or args.dumpEqWeights,
-                  seed=args.seed)
+                  dump_eq_weights=args.dumpEqWeights, seed=args.seed)
     if args.geneMap:
         from salmon_tpu.utils.genemap import aggregate_quant_sf
         aggregate_quant_sf(os.path.join(args.output, "quant.sf"),

@@ -368,7 +368,12 @@ def quantify(
         per_transcript_prior=opts.per_transcript_prior,
         rel_diff_tolerance=opts.relative_diff_tolerance,
         max_iterations=opts.max_em_iterations,
-        min_iterations=opts.min_required_iterations)
+        # reference: minIter 100 when bias-correcting, else 50
+        # (CollapsedEMOptimizer.cpp:741-742)
+        min_iterations=(opts.min_required_iterations
+                        if (opts.seq_bias_correct or opts.gc_bias_correct
+                            or opts.pos_bias_correct)
+                        else opts.min_em_iterations))
     # normalizeAlphas (reference SalmonUtils.cpp:462): scale the
     # forgetting-mass-weighted online estimates back to count scale
     om_sum = online_mass[:n_valid].sum()
@@ -452,7 +457,8 @@ def _posterior_samples(result: QuantResult, opts: SalmonDefaults,
 def write_outputs(result: QuantResult, index: TranscriptomeIndex,
                   out_dir: str, opts: SalmonDefaults = DEFAULTS,
                   cmd_args: Optional[dict] = None,
-                  dump_eq: bool = False, seed: int = 271828) -> None:
+                  dump_eq: bool = False, dump_eq_weights: bool = True,
+                  seed: int = 271828) -> None:
     """Write the full output directory (reference:
     stageFinalizeMappingOutputs, MappingPipelineStages.cpp:37-203)."""
     n_valid = index.num_valid_targets
@@ -520,5 +526,6 @@ def write_outputs(result: QuantResult, index: TranscriptomeIndex,
         writers.write_ambig_info(out_dir, aux, n_valid, result.eq_classes)
         if dump_eq:
             writers.write_eq_classes(out_dir, aux, result.names,
-                                     result.eq_classes, dump_weights=True,
+                                     result.eq_classes,
+                                     dump_weights=dump_eq_weights,
                                      eff_lens=result.eff_lens)
