@@ -35,6 +35,11 @@ def _enable_compilation_cache():
             "SALMON_TPU_COMPILE_CACHE",
             _os.path.join(_os.path.expanduser("~"), ".cache",
                           "salmon_tpu_xla"))
+        # partition by platform: executables cached under a TPU-plugin
+        # session must not be loaded into pure-CPU processes (machine
+        # feature mismatch -> potential SIGILL)
+        d = _os.path.join(
+            d, _os.environ.get("JAX_PLATFORMS", "default") or "default")
         _os.makedirs(d, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", d)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)

@@ -16,7 +16,6 @@ import gzip
 import os
 import struct
 import zlib
-from typing import Iterator, Optional
 
 import numpy as np
 

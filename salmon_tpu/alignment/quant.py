@@ -19,10 +19,9 @@ from typing import Optional
 
 import numpy as np
 
-from salmon_tpu.alignment.bamio import (BamReader, FLAG_MATE_REVERSE,
-                                        FLAG_PAIRED, FLAG_READ1,
-                                        FLAG_READ2, FLAG_REVERSE,
-                                        FLAG_UNMAPPED)
+from salmon_tpu.alignment.bamio import (BamReader, FLAG_PAIRED,
+                                        FLAG_READ1, FLAG_READ2,
+                                        FLAG_REVERSE, FLAG_UNMAPPED)
 from salmon_tpu.inference.eqclasses import EquivalenceClassAccumulator
 from salmon_tpu.models.fld import FragmentLengthDistribution
 from salmon_tpu.utils import libformat

@@ -11,11 +11,10 @@ the output directory.
 from __future__ import annotations
 
 import struct
-import zlib
 
 import numpy as np
 
-from salmon_tpu.alignment.bamio import CIGAR_OPS, _bgzf_block
+from salmon_tpu.alignment.bamio import _bgzf_block
 
 _B2C = {0: "A", 1: "C", 2: "G", 3: "T", 4: "N"}
 

@@ -9,7 +9,6 @@ plus TPU-specific shape/batching knobs that have no reference analog
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 
 @dataclasses.dataclass

@@ -16,7 +16,6 @@ replicates vmap over the same dense update (SURVEY.md §2.11 item 6).
 
 from __future__ import annotations
 
-import dataclasses
 
 import jax
 import jax.numpy as jnp

@@ -30,7 +30,6 @@ no-overhang policy (softclipOverhangs=false).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -21,15 +21,12 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from salmon_tpu.constants import DEFAULTS, SalmonDefaults
 from salmon_tpu.index.builder import TranscriptomeIndex
-from salmon_tpu.mapping import pair as pair_mod
 from salmon_tpu.mapping.kmers import extract_kmers
 from salmon_tpu.mapping.lookup import hash_lookup
 from salmon_tpu.mapping.pair import (MS_LEFT_ORPHAN, MS_PAIRED,
@@ -37,7 +34,6 @@ from salmon_tpu.mapping.pair import (MS_LEFT_ORPHAN, MS_PAIRED,
                                      merge_paired_with_orphans, orphan_hits)
 from salmon_tpu.mapping.score import (candidate_read_start,
                                       expand_occurrences, score_candidates)
-from salmon_tpu.utils import libformat
 
 INVALID_TXP = jnp.int32(0x7FFFFFFF)
 

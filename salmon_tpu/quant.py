@@ -249,8 +249,9 @@ def quantify(
                                     opts.max_read_len,
                                     want_names=want_names)
 
-    n_batches = 0
-    for chunk in chunks:
+    def submit(chunk):
+        """Launch the jitted map for one chunk (async dispatch: returns
+        immediately with device futures)."""
         fld_logpmf = jnp.asarray(fld.log_pmf(), jnp.float32)
         if paired:
             batch = {
@@ -277,27 +278,12 @@ def quantify(
                                           fld_logpmf, cs)
             else:
                 out = map_single_batch(batch, dev, cfg, fld_logpmf, cs)
+        return batch, out
 
-        if resolved_format is None:
-            resolved_format = _detect_library_format(
-                np.asarray(out["fmt_hist"]), paired,
-                int(out["num_mapped"]))
-            logger.info("auto-detected library format: %s", resolved_format)
-            expected = libformat.parse_library_format(resolved_format)
-            cp, co, cs = compat_arrays(expected)
-            # remap the first chunk under the detected format
-            if paired:
-                out = (parallel_map_paired(mesh, batch, dev, cfg,
-                                           fld_logpmf, cp, co)
-                       if mesh is not None else
-                       map_paired_batch(batch, dev, cfg, fld_logpmf,
-                                        cp, co))
-            else:
-                out = (parallel_map_single(mesh, batch, dev, cfg,
-                                           fld_logpmf, cs)
-                       if mesh is not None else
-                       map_single_batch(batch, dev, cfg, fld_logpmf, cs))
+    n_batches = 0
 
+    def _consume(chunk, batch, out):
+        nonlocal n_batches
         acc.add_batch(np.asarray(out["eq_txp"]),
                       np.asarray(out["eq_weight"]),
                       np.asarray(out["eq_bins"])
@@ -313,12 +299,13 @@ def quantify(
                 & (bt < index.num_valid_targets),
                 jnp.ones_like(bs, jnp.float32))
             bias_state.obs.add_batch(bo)
-        fld.add_observations(np.asarray(out["fld_hist"], dtype=np.float64))
-        online_mass += (np.exp(fmass.next_log_mass())
-                        * np.asarray(out["txp_mass"], dtype=np.float64))
+        fld.add_observations(np.asarray(out["fld_hist"],
+                                        dtype=np.float64))
+        online_mass_local = np.asarray(out["txp_mass"], dtype=np.float64)
+        online_mass[:] += np.exp(fmass.next_log_mass()) * online_mass_local
         for k in totals:
             totals[k] += int(out[k])
-        fmt_hist_total += np.asarray(out["fmt_hist"], dtype=np.int64)
+        fmt_hist_total[:] += np.asarray(out["fmt_hist"], dtype=np.int64)
         if unmapped_fh is not None or sam_fh is not None:
             names = (chunk.left.names if paired else chunk.names) or []
             ok = np.asarray(out["frag_ok"])
@@ -334,11 +321,38 @@ def quantify(
         n_batches += 1
         if progress and n_batches % 25 == 0:
             el = time.time() - t0
-            logger.info("processed %d fragments (%.0f frags/s), mapped %.2f%%",
-                        totals["num_processed"],
-                        totals["num_processed"] / max(el, 1e-9),
-                        100.0 * totals["num_mapped"]
-                        / max(totals["num_processed"], 1))
+            logger.info(
+                "processed %d fragments (%.0f frags/s), mapped %.2f%%",
+                totals["num_processed"],
+                totals["num_processed"] / max(el, 1e-9),
+                100.0 * totals["num_mapped"]
+                / max(totals["num_processed"], 1))
+
+    pending = None  # 1-deep host/device pipeline
+    for chunk in chunks:
+        batch, out = submit(chunk)
+
+        if resolved_format is None:
+            # first batch runs synchronously: library-format detection
+            # needs its results, then the chunk is remapped under the
+            # detected format
+            resolved_format = _detect_library_format(
+                np.asarray(out["fmt_hist"]), paired,
+                int(out["num_mapped"]))
+            logger.info("auto-detected library format: %s",
+                        resolved_format)
+            expected = libformat.parse_library_format(resolved_format)
+            cp, co, cs = compat_arrays(expected)
+            batch, out = submit(chunk)
+
+        # consume the PREVIOUS batch's results while this one computes
+        # (the FLD fed to batch N+1 is one batch stale — the reference's
+        # racing online threads have the same benign staleness)
+        if pending is not None:
+            _consume(*pending)
+        pending = (chunk, batch, out)
+    if pending is not None:
+        _consume(*pending)
 
     if unmapped_fh is not None:
         unmapped_fh.close()

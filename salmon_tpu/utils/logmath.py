@@ -12,7 +12,7 @@ import math
 import jax.numpy as jnp
 import numpy as np
 
-from salmon_tpu.constants import LOG_0, LOG_1, LOG_EPSILON  # noqa: F401
+from salmon_tpu.constants import LOG_0  # noqa: F401
 
 
 def log_add(x, y):
