@@ -552,11 +552,16 @@ def map_paired_batch_impl(batch: dict, dev: dict, cfg: MapperConfig,
         jnp.clip(best_flen, 0, cfg.fld_max)].add(
         jnp.where(is_paired, 1.0, 0.0))
 
-    # --- observed library-format counts (lib_format_counts.json)
+    # --- observed library-format counts (lib_format_counts.json).
+    # Counted over fragments with a concordant mapping BEFORE the compat
+    # filter (the reference's counters track observed hit types in
+    # processReads, independent of the expected-format filtering).
     obs_best = jnp.take_along_axis(joined["obs_code"], best_i[:, None],
                                    axis=1)[:, 0]
+    is_paired_obs = ((joined["mate_status"] == MS_PAIRED)
+                     & joined["valid"][:, 0] & real_row)
     fmt_hist = jnp.zeros(6, jnp.int32).at[jnp.clip(obs_best, 0, 5)].add(
-        jnp.where(is_paired, 1, 0))
+        jnp.where(is_paired_obs, 1, 0))
 
     n_real = jnp.sum(real_row.astype(jnp.int32))
     return {
