@@ -147,3 +147,49 @@ def test_sample_out(truth_bam, sample_data_dir, tmp_path):
     rdr.close()
     assert total == 2 * 10000  # one record pair per fragment
     assert len(seen_names) > 0
+
+
+def test_alignment_mode_multimappers(sample_data_dir, tmp_path):
+    """Multimapped BAM records: fragments aligning to two paralogs split
+    mass via the error model + EM, totals conserved."""
+    from salmon_tpu.cli import main
+    from salmon_tpu.io.writers import read_quant_sf
+
+    rng = np.random.default_rng(3)
+    L = 200
+    base = rng.integers(0, 4, 1000).astype(np.uint8)
+    # two identical paralogs + one distinct transcript
+    seqs = {"PARA1": base, "PARA2": base.copy(),
+            "SOLO": rng.integers(0, 4, 1000).astype(np.uint8)}
+    fa = tmp_path / "t.fa"
+    with open(fa, "w") as fh:
+        for nm, s in seqs.items():
+            fh.write(f">{nm}\n" + "".join("ACGT"[c] for c in s) + "\n")
+    names = list(seqs)
+    recs = []
+    for i in range(300):
+        s = int(rng.integers(0, 1000 - 80))
+        seq = "".join("ACGT"[c] for c in base[s:s + 80])
+        # two records for the same read: hits both paralogs
+        for rid in (0, 1):
+            recs.append(dict(name=f"m{i}", refid=rid, pos=s,
+                             flag=0x100 if rid == 1 else 0,
+                             cigar="80M", seq=seq, tags={"AS": 160}))
+    for i in range(100):
+        s = int(rng.integers(0, 1000 - 80))
+        seq = "".join("ACGT"[c] for c in seqs["SOLO"][s:s + 80])
+        recs.append(dict(name=f"u{i}", refid=2, pos=s, flag=0,
+                         cigar="80M", seq=seq, tags={"AS": 160}))
+    bam = str(tmp_path / "m.bam")
+    bamio.write_bam(bam, names, [1000, 1000, 1000], recs)
+    out = str(tmp_path / "q")
+    rc = main(["quant", "-t", str(fa), "-l", "U", "-a", bam, "-o", out,
+               "-q"])
+    assert rc == 0
+    q = read_quant_sf(os.path.join(out, "quant.sf"))
+    est = dict(zip(q["Name"], q["NumReads"]))
+    np.testing.assert_allclose(est["SOLO"], 100, atol=1.5)
+    # identical paralogs split the 300 multimapped reads ~evenly
+    np.testing.assert_allclose(est["PARA1"] + est["PARA2"], 300,
+                               atol=1.5)
+    assert abs(est["PARA1"] - est["PARA2"]) < 60
