@@ -124,6 +124,31 @@ def _posterior_sample_bam(args, opts, out_dir, counts, eff, name_to_id,
                            ref_map[np.clip(refid, 0,
                                            len(ref_map) - 1)], -1)
             keep = keep & (txp >= 0)
+
+            def emit(ridx, zw=None):
+                co = b.cigar_op[b.cigar_off[ridx]:
+                                b.cigar_off[ridx] + b.cigar_n[ridx]]
+                cl = b.cigar_oplen[b.cigar_off[ridx]:
+                                   b.cigar_off[ridx] + b.cigar_n[ridx]]
+                seq = b.seq_buf[b.seq_off[ridx]:
+                                b.seq_off[ridx] + b.read_len[ridx]]
+                writer.add_record(
+                    b.names[ridx], int(b.refid[ridx]), int(b.pos[ridx]),
+                    int(b.flag[ridx]), int(b.mapq[ridx]), co, cl, seq,
+                    int(b.mate_refid[ridx]), int(b.mate_pos[ridx]),
+                    int(b.tlen[ridx]), zw=zw)
+
+            if getattr(args, "sampleUnaligned", False):
+                # pass unassigned fragments through verbatim (reference
+                # --sampleUnaligned)
+                uniq, first = np.unique(frag_id, return_index=True)
+                has_keep = np.zeros(int(frag_id.max()) + 1, bool)
+                has_keep[frag_id[keep]] = True
+                for s in first[~has_keep[uniq]]:
+                    emit(int(i1[s]))
+                    if paired:
+                        emit(int(i2[s]))
+
             if not keep.any():
                 continue
             k = np.nonzero(keep)[0]
@@ -139,31 +164,9 @@ def _posterior_sample_bam(args, opts, out_dir, counts, eff, name_to_id,
             w = np.exp(logw - logw.max())
             sel = sample_fragments(rng, frag_id[k], w)
             for s in sel:
-                ridx = int(i1[k[s]])
-                co = b.cigar_op[b.cigar_off[ridx]:
-                                b.cigar_off[ridx] + b.cigar_n[ridx]]
-                cl = b.cigar_oplen[b.cigar_off[ridx]:
-                                   b.cigar_off[ridx] + b.cigar_n[ridx]]
-                seq = b.seq_buf[b.seq_off[ridx]:
-                                b.seq_off[ridx] + b.read_len[ridx]]
-                writer.add_record(
-                    b.names[ridx], int(b.refid[ridx]), int(b.pos[ridx]),
-                    int(b.flag[ridx]), int(b.mapq[ridx]), co, cl, seq,
-                    int(b.mate_refid[ridx]), int(b.mate_pos[ridx]),
-                    int(b.tlen[ridx]), zw=float(w[s]))
+                emit(int(i1[k[s]]), zw=float(w[s]))
                 if paired:
-                    r2 = int(i2[k[s]])
-                    co2 = b.cigar_op[b.cigar_off[r2]:
-                                     b.cigar_off[r2] + b.cigar_n[r2]]
-                    cl2 = b.cigar_oplen[b.cigar_off[r2]:
-                                        b.cigar_off[r2] + b.cigar_n[r2]]
-                    seq2 = b.seq_buf[b.seq_off[r2]:
-                                     b.seq_off[r2] + b.read_len[r2]]
-                    writer.add_record(
-                        b.names[r2], int(b.refid[r2]), int(b.pos[r2]),
-                        int(b.flag[r2]), int(b.mapq[r2]), co2, cl2, seq2,
-                        int(b.mate_refid[r2]), int(b.mate_pos[r2]),
-                        int(b.tlen[r2]), zw=float(w[s]))
+                    emit(int(i2[k[s]]), zw=float(w[s]))
                 n_out += 1
         rdr.close()
     if writer is not None:

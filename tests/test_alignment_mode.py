@@ -193,3 +193,48 @@ def test_alignment_mode_multimappers(sample_data_dir, tmp_path):
     np.testing.assert_allclose(est["PARA1"] + est["PARA2"], 300,
                                atol=1.5)
     assert abs(est["PARA1"] - est["PARA2"]) < 60
+
+
+def test_sample_unaligned(sample_data_dir, tmp_path):
+    """--sampleUnaligned passes unassignable fragments through."""
+    from salmon_tpu.cli import main
+    from salmon_tpu.io.fasta import load_transcripts
+
+    records, _ = load_transcripts(
+        os.path.join(sample_data_dir, "transcripts.fasta"),
+        noclip_polya=True)
+    names = [r.name for r in records]
+    lens = [r.seq_codes.shape[0] for r in records]
+    rng = np.random.default_rng(9)
+    recs = []
+    for i in range(200):
+        tid = int(rng.integers(0, len(names)))
+        s = int(rng.integers(0, lens[tid] - 60))
+        seq = "".join("ACGT"[c]
+                      for c in records[tid].seq_codes[s:s + 60])
+        recs.append(dict(name=f"a{i}", refid=tid, pos=s, flag=0,
+                         cigar="60M", seq=seq, tags={"AS": 120}))
+    # 20 unmapped records (flag 0x4, refid -1)
+    for i in range(20):
+        recs.append(dict(name=f"un{i}", refid=-1, pos=-1, flag=0x4,
+                         cigar="", seq="ACGT" * 15))
+    bam = str(tmp_path / "u.bam")
+    bamio.write_bam(bam, names, lens, recs)
+    out = str(tmp_path / "q")
+    rc = main(["quant", "-t",
+               os.path.join(sample_data_dir, "transcripts.fasta"),
+               "-l", "U", "-a", bam, "-o", out, "--sampleOut",
+               "--sampleUnaligned", "-q"]) 
+    assert rc == 0
+    rdr = bamio.BamReader(os.path.join(out, "postSample.bam"),
+                          want_names=True)
+    total = 0
+    unmapped_seen = 0
+    for b in rdr.batches():
+        total += b.n
+        for j in range(b.n):
+            if b.flag[j] & 0x4:
+                unmapped_seen += 1
+    rdr.close()
+    assert total == 220
+    assert unmapped_seen == 20
