@@ -113,8 +113,22 @@ struct BamFile {
   std::vector<int32_t> ref_lens;
   std::string text_header;
   bool ok{false};
-  // one pending record that didn't fit the previous batch
-  std::vector<uint8_t> pending;
+  // records deferred to the next batch (FIFO, stream order). Holds a
+  // whole read-name group when a group would otherwise straddle a batch
+  // boundary (the reference BAMQueue keeps a read's records together).
+  std::vector<std::vector<uint8_t>> pending;
+  size_t pending_head{0};
+
+  bool pop_pending(std::vector<uint8_t>& rec) {
+    if (pending_head >= pending.size()) return false;
+    rec.swap(pending[pending_head]);
+    ++pending_head;
+    if (pending_head >= pending.size()) {
+      pending.clear();
+      pending_head = 0;
+    }
+    return true;
+  }
 
   bool open(const char* path) {
     if (!r.open(path)) return false;
@@ -207,16 +221,37 @@ int64_t bam_next_batch(void* h, int64_t cap, int64_t seq_cap,
   int64_t spos = 0, cpos = 0;
   int64_t name_pos = 0;
   std::vector<uint8_t> rec;
+  // raw records of the current trailing read-name group, so a group that
+  // would straddle the batch boundary can be rolled back into `pending`
+  std::vector<std::vector<uint8_t>> group_raw;
+  uint64_t group_hash = 0;
+  int64_t group_n = 0, group_spos = 0, group_cpos = 0, group_name_pos = 0;
+  auto read_next = [&](std::vector<uint8_t>& out) -> bool {
+    if (bf->pop_pending(out)) return true;
+    int32_t block_size;
+    if (!bf->r.read(&block_size, 4)) return false;  // EOF
+    out.resize(size_t(block_size));
+    return bf->r.read(out.data(), size_t(block_size));
+  };
+  auto rollback_group = [&](std::vector<uint8_t>* lookahead) {
+    // move the trailing group (and the lookahead record continuing it)
+    // to the FRONT of pending, preserving stream order
+    std::vector<std::vector<uint8_t>> np;
+    np.reserve(group_raw.size() + 1 +
+               (bf->pending.size() - bf->pending_head));
+    for (auto& g : group_raw) np.emplace_back(std::move(g));
+    if (lookahead) np.emplace_back(std::move(*lookahead));
+    for (size_t i = bf->pending_head; i < bf->pending.size(); ++i)
+      np.emplace_back(std::move(bf->pending[i]));
+    bf->pending.swap(np);
+    bf->pending_head = 0;
+    n = group_n;
+    spos = group_spos;
+    cpos = group_cpos;
+    name_pos = group_name_pos;
+  };
   while (n < cap) {
-    if (!bf->pending.empty()) {
-      rec.swap(bf->pending);
-      bf->pending.clear();
-    } else {
-      int32_t block_size;
-      if (!bf->r.read(&block_size, 4)) break;  // EOF
-      rec.resize(size_t(block_size));
-      if (!bf->r.read(rec.data(), size_t(block_size))) break;
-    }
+    if (!read_next(rec)) break;  // EOF
     const uint8_t* p = rec.data();
     auto rd32 = [&](size_t off) {
       int32_t v; std::memcpy(&v, p + off, 4); return v;
@@ -237,11 +272,31 @@ int64_t bam_next_batch(void* h, int64_t cap, int64_t seq_cap,
     size_t qual_at = seq_at + size_t(l_seq + 1) / 2;
     size_t tags_at = qual_at + size_t(l_seq);
 
+    size_t rn_len0 = l_read_name ? size_t(l_read_name) - 1 : 0;
+    uint64_t h_ = fnv1a(rname, rn_len0);
+
     if (spos + l_seq > seq_cap || cpos + n_cigar > cigar_cap) {
       if (n == 0) return -1;  // first record too big for buffers
-      bf->pending.assign(rec.begin(), rec.end());
+      if (n == group_n || h_ != group_hash || group_n == 0) {
+        // record starts (or continues into) a fresh group: defer just it
+        bf->pending.insert(bf->pending.begin() + bf->pending_head,
+                           std::vector<uint8_t>(rec.begin(), rec.end()));
+      } else {
+        rollback_group(&rec);  // keep its name group together
+      }
       break;
     }
+
+    // track the trailing name group (counters BEFORE this record)
+    if (n == 0 || h_ != group_hash) {
+      group_hash = h_;
+      group_raw.clear();
+      group_n = n;
+      group_spos = spos;
+      group_cpos = cpos;
+      group_name_pos = name_pos;
+    }
+    group_raw.emplace_back(rec.begin(), rec.end());
 
     refid[n] = refID;
     pos[n] = pos_;
@@ -319,6 +374,24 @@ int64_t bam_next_batch(void* h, int64_t cap, int64_t seq_cap,
     as_tag[n] = as_v;
     nm_tag[n] = nm_v;
     ++n;
+  }
+  if (n == cap && n > 0) {
+    // lookahead: if the next record continues the last name group, move
+    // the whole group to the next batch so groups never straddle
+    std::vector<uint8_t> la;
+    if (read_next(la)) {
+      uint8_t l_rn = la.size() > 8 ? la[8] : 0;
+      size_t rn_len = l_rn ? size_t(l_rn) - 1 : 0;
+      uint64_t h_ = la.size() >= 32 + size_t(l_rn)
+          ? fnv1a(reinterpret_cast<const char*>(la.data() + 32), rn_len)
+          : 0;
+      if (h_ == group_hash && group_n > 0) {
+        rollback_group(&la);
+      } else {
+        bf->pending.insert(bf->pending.begin() + bf->pending_head,
+                           std::vector<uint8_t>(la.begin(), la.end()));
+      }
+    }
   }
   return n;
 }

@@ -199,48 +199,75 @@ class _PyBam:
             self.ref_names.append(nm)
             self.ref_lens.append(lr)
 
+    def _records(self):
+        """Yield (row_tuple, hash, rname, seq, cigar) per BAM record."""
+        while True:
+            hdr = self._fh.read(4)
+            if len(hdr) < 4:
+                return
+            (bs,) = struct.unpack("<i", hdr)
+            rec = self._fh.read(bs)
+            (refid, pos, lrn, mapq, _bin, ncig, flag, lseq, nrefid,
+             npos, tlen) = struct.unpack("<iiBBHHHiiii", rec[:32])
+            rname = rec[32:32 + lrn - 1]
+            cig_at = 32 + lrn
+            seq_at = cig_at + ncig * 4
+            qual_at = seq_at + (lseq + 1) // 2
+            tags_at = qual_at + lseq
+            cig = np.frombuffer(rec[cig_at:seq_at], dtype=np.uint32)
+            s4 = np.frombuffer(rec[seq_at:qual_at], dtype=np.uint8)
+            hi = _SEQ4[s4 >> 4]
+            lo = _SEQ4[s4 & 0xF]
+            seq = np.empty(hi.size * 2, dtype=np.uint8)
+            seq[0::2] = hi
+            seq[1::2] = lo
+            seq = seq[:lseq]
+            as_v, nm_v = self._tags(rec[tags_at:])
+            h = 1469598103934665603
+            for ch in rname:
+                h = ((h ^ ch) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+            yield ((refid, pos, flag, mapq, nrefid, npos, tlen,
+                    lseq, as_v, nm_v), h, bytes(rname), seq, cig)
+
     def batches(self, cap: int,
                 want_names: bool = False) -> Iterator[BamBatch]:
-        while True:
-            rows = []
-            hashes = []
-            names = []
-            seqs = []
-            cigars = []
-            while len(rows) < cap:
-                hdr = self._fh.read(4)
-                if len(hdr) < 4:
+        it = self._records()
+        carry = []  # deferred records (a name group moved whole)
+        eof = False
+        while not eof:
+            items = carry
+            carry = []
+            while len(items) < cap:
+                nxt = next(it, None)
+                if nxt is None:
+                    eof = True
                     break
-                (bs,) = struct.unpack("<i", hdr)
-                rec = self._fh.read(bs)
-                (refid, pos, lrn, mapq, _bin, ncig, flag, lseq, nrefid,
-                 npos, tlen) = struct.unpack("<iiBBHHHiiii", rec[:32])
-                rname = rec[32:32 + lrn - 1]
-                cig_at = 32 + lrn
-                seq_at = cig_at + ncig * 4
-                qual_at = seq_at + (lseq + 1) // 2
-                tags_at = qual_at + lseq
-                cig = np.frombuffer(rec[cig_at:seq_at], dtype=np.uint32)
-                s4 = np.frombuffer(rec[seq_at:qual_at], dtype=np.uint8)
-                hi = _SEQ4[s4 >> 4]
-                lo = _SEQ4[s4 & 0xF]
-                seq = np.empty(hi.size * 2, dtype=np.uint8)
-                seq[0::2] = hi
-                seq[1::2] = lo
-                seq = seq[:lseq]
-                as_v, nm_v = self._tags(rec[tags_at:])
-                h = 1469598103934665603
-                for ch in rname:
-                    h = ((h ^ ch) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
-                rows.append((refid, pos, flag, mapq, nrefid, npos, tlen,
-                             lseq, as_v, nm_v))
-                hashes.append(h)
-                if want_names:
-                    names.append(bytes(rname))
-                seqs.append(seq)
-                cigars.append(cig)
-            if not rows:
+                items.append(nxt)
+            if not eof and len(items) == cap:
+                # never split a read-name group across batches (the
+                # reference BAMQueue keeps a read's records together)
+                nxt = next(it, None)
+                if nxt is None:
+                    eof = True
+                elif nxt[1] == items[-1][1]:
+                    gh = items[-1][1]
+                    gstart = len(items)
+                    while gstart > 0 and items[gstart - 1][1] == gh:
+                        gstart -= 1
+                    if gstart > 0:
+                        carry = items[gstart:] + [nxt]
+                        items = items[:gstart]
+                    else:  # whole batch is one group: split anyway
+                        carry = [nxt]
+                else:
+                    carry = [nxt]
+            if not items:
                 return
+            rows = [x[0] for x in items]
+            hashes = [x[1] for x in items]
+            names = [x[2] for x in items] if want_names else []
+            seqs = [x[3] for x in items]
+            cigars = [x[4] for x in items]
             n = len(rows)
             arr = np.array(rows, dtype=np.int64)
             seq_off = np.zeros(n, np.int64)

@@ -25,18 +25,22 @@ def read_eq_classes(path: str):
 
     Returns (names, eff_lens_or_None, PackedEqClasses). Lines per class:
       group_size  txp_ids...  [aux_weights...]  count
-    An optional header extension carries effective lengths (one per name
-    line, tab-separated) — tolerated if absent.
+    Effective lengths arrive as trailing `name  efflen` pairs after the
+    class section (the reference layout, SalmonUtils.cpp:1095-1106);
+    the legacy header extension (`name\\tefflen` on the name lines) is
+    also tolerated for round-1 dumps.
     """
     opener = gzip.open if path.endswith(".gz") else open
     with opener(path, "rt") as fh:
         n_txps = int(fh.readline())
         n_classes = int(fh.readline())
         names, eff = [], []
-        for _ in range(n_txps):
+        name_to_i = {}
+        for i in range(n_txps):
             parts = fh.readline().rstrip("\n").split("\t")
             names.append(parts[0])
-            if len(parts) > 1:
+            name_to_i[parts[0]] = i
+            if len(parts) > 1:  # legacy header-extension efflens
                 eff.append(float(parts[1]))
         labels_l, weights_l, counts_l, sizes_l = [], [], [], []
         for _ in range(n_classes):
@@ -58,6 +62,19 @@ def read_eq_classes(path: str):
             weights_l.append(w)
             counts_l.append(count)
             sizes_l.append(sz)
+        # trailing effective-length section: `name efflen` pairs
+        trail = np.full(n_txps, np.nan)
+        n_trail = 0
+        for line in fh:
+            f = line.split()
+            if len(f) != 2:
+                continue
+            i = name_to_i.get(f[0])
+            if i is not None:
+                trail[i] = float(f[1])
+                n_trail += 1
+        if n_trail == n_txps:
+            eff = list(trail)
     sizes = np.array(sizes_l, dtype=np.int32)
     offsets = np.zeros(sizes.shape[0] + 1, dtype=np.int64)
     offsets[1:] = np.cumsum(sizes)

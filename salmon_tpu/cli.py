@@ -273,6 +273,9 @@ def _opts_from_args(args):
         o.discard_orphans = args.discardOrphans
         o.recover_orphans = args.recoverOrphans
         o.mismatch_seed_skip = args.mismatchSeedSkip
+        # the seed-skip stride IS the mismatchSeedSkip analog: it sets the
+        # base-position step between queried k-mer windows
+        o.kmer_stride = max(1, args.mismatchSeedSkip)
         o.hit_filter_policy = args.hitFilterPolicy
     return o
 

@@ -137,20 +137,18 @@ def write_eq_classes(out_dir: str, aux_dir: str, names: Sequence[str],
     """eq_classes.txt.gz (reference writeEquivCounts, GZipWriter.cpp:65-130):
       num_txps \n num_classes \n names... \n
       per class: group_size txp_ids... [weights...] count
-    Name lines optionally carry effective lengths (`name\\tefflen`), the
-    extension salmon::utils::readEquivCounts understands — this makes
-    `quant -e` re-quantification exact.
+    Effective lengths, when given, are appended AFTER the class section as
+    trailing `name\\tefflen` pairs — the layout
+    salmon::utils::readEquivCounts (SalmonUtils.cpp:1026-1119) parses —
+    making `quant -e` re-quantification exact in both directions.
     """
     d = os.path.join(out_dir, aux_dir)
     os.makedirs(d, exist_ok=True)
     path = os.path.join(d, "eq_classes.txt.gz")
     with gzip.open(path, "wt") as fh:
         fh.write(f"{len(names)}\n{eq.num_classes}\n")
-        for i, nm in enumerate(names):
-            if eff_lens is not None:
-                fh.write(f"{nm}\t{eff_lens[i]:.6f}\n")
-            else:
-                fh.write(f"{nm}\n")
+        for nm in names:
+            fh.write(f"{nm}\n")
         for j in range(eq.num_classes):
             lo, hi = eq.offsets[j], eq.offsets[j + 1]
             lab = eq.labels[lo:hi]
@@ -159,6 +157,9 @@ def write_eq_classes(out_dir: str, aux_dir: str, names: Sequence[str],
                 parts += [f"{w:.8g}" for w in eq.weights[lo:hi]]
             parts.append(str(int(eq.counts[j])))
             fh.write("\t".join(parts) + "\n")
+        if eff_lens is not None:
+            for i, nm in enumerate(names):
+                fh.write(f"{nm}\t{eff_lens[i]:.6f}\n")
     return path
 
 

@@ -141,17 +141,17 @@ def device_index_arrays(idx: TranscriptomeIndex) -> dict:
 
 
 _SEQ4_SHIFT = 256
-_seq4_cache: dict = {}
 
 
 def _seq4_words(idx):
-    from salmon_tpu.mapping.align import pack_seq4
-    key = id(idx)
-    if key not in _seq4_cache:
+    # cached as an attribute on the index object itself (an id(idx)-keyed
+    # dict can alias a stale entry after GC reuses the id)
+    words = getattr(idx, "_seq4_words_cache", None)
+    if words is None:
+        from salmon_tpu.mapping.align import pack_seq4
         words, _ = pack_seq4(idx.seq_codes, lead_pad=_SEQ4_SHIFT)
-        _seq4_cache.clear()
-        _seq4_cache[key] = words
-    return _seq4_cache[key]
+        object.__setattr__(idx, "_seq4_words_cache", words)
+    return words
 
 
 def _map_one_end(codes, lengths, dev, cfg: MapperConfig):
@@ -169,9 +169,19 @@ def _map_one_end(codes, lengths, dev, cfg: MapperConfig):
         cfg.occ_cap, cfg.max_occs_per_hit, stride=cfg.kmer_stride)
     R = codes.shape[0]
     n = key.shape[1] * key.shape[2]
+    # window field must hold every window index (long reads overflow the
+    # 8-bit default: P windows -> ceil(log2(P)) bits)
+    n_windows = key.shape[1]
+    window_bits = max(8, int(np.ceil(np.log2(max(n_windows, 2)))))
+    if (2 * cfg.num_txps + 2) << window_bits >= 0xFFFFFFFF:
+        raise ValueError(
+            f"num_txps={cfg.num_txps} with {n_windows} seed windows "
+            f"overflows the packed 32-bit sort key "
+            f"(window_bits={window_bits}); reduce max_read_len or "
+            f"raise kmer_stride")
     cand = score_candidates(
         key.reshape(R, n), rpos.reshape(R, n), diag.reshape(R, n),
-        cfg.max_cands, stride=cfg.kmer_stride)
+        cfg.max_cands, stride=cfg.kmer_stride, window_bits=window_bits)
     start = candidate_read_start(cand, lengths, cfg.k)
     return cand, start
 

@@ -238,3 +238,52 @@ def test_sample_unaligned(sample_data_dir, tmp_path):
     rdr.close()
     assert total == 220
     assert unmapped_seen == 20
+
+
+def test_batch_boundary_keeps_name_groups(sample_data_dir, tmp_path):
+    """A read-name group must never straddle a batch boundary (reference
+    BAMQueue keeps a read's records together) — for BOTH readers."""
+    from salmon_tpu.io.fasta import load_transcripts
+
+    records, _ = load_transcripts(
+        os.path.join(sample_data_dir, "transcripts.fasta"),
+        noclip_polya=True)
+    names = [r.name for r in records]
+    lens = [r.seq_codes.shape[0] for r in records]
+    rng = np.random.default_rng(7)
+    recs = []
+    # 40 fragments x 3 alignments each = 120 records; cap=32 puts
+    # boundaries mid-group repeatedly
+    for i in range(40):
+        for j in range(3):
+            tid = int(rng.integers(0, len(names)))
+            s = int(rng.integers(0, lens[tid] - 60))
+            seq = "".join("ACGT"[c]
+                          for c in records[tid].seq_codes[s:s + 60])
+            recs.append(dict(name=f"g{i}", refid=tid, pos=s, flag=0,
+                             cigar="60M", seq=seq, tags={"AS": 120}))
+    bam = str(tmp_path / "grp.bam")
+    bamio.write_bam(bam, names, lens, recs)
+
+    def group_spans(batches):
+        spans = []
+        total = 0
+        for b in batches:
+            total += b.n
+            h = b.name_hash[:b.n]
+            assert b.n > 0
+            spans.append((h[0], h[-1]))
+            # every group within a batch must be complete: count runs
+            _, counts = np.unique(h, return_counts=True)
+            assert (counts == 3).all(), "split name group inside batch"
+        # no group may span adjacent batches
+        for (_, last), (first, _) in zip(spans, spans[1:]):
+            assert last != first, "name group straddles batch boundary"
+        assert total == 120
+
+    r_nat = bamio.BamReader(bam, batch_records=32)
+    if r_nat._lib is not None:
+        group_spans(r_nat.batches())
+        r_nat.close()
+    py = bamio._PyBam(bam)
+    group_spans(py.batches(32))
