@@ -277,7 +277,48 @@ def _opts_from_args(args):
         # base-position step between queried k-mer windows
         o.kmer_stride = max(1, args.mismatchSeedSkip)
         o.hit_filter_policy = args.hitFilterPolicy
+        o.mimic_bt2 = args.mimicBT2
+        o.mimic_strict_bt2 = args.mimicStrictBT2
+        o.write_orphan_links = args.writeOrphanLinks
+        o.skip_quant = args.skipQuant
+        o.aux_target_file = args.auxTargetFile or ""
+        _process_quant_options(o)
     return o
+
+
+def _process_quant_options(o) -> None:
+    """Option-interaction rules (reference processQuantOptions,
+    QuantOptionsUtils.cpp:105-296)."""
+    if o.mimic_bt2 and o.mimic_strict_bt2:
+        raise SystemExit(
+            "You passed both the --mimicBT2 and --mimicStrictBT2 "
+            "parameters. These are mutually exclusive.")
+    if o.mimic_bt2 or o.mimic_strict_bt2 or o.hard_filter:
+        # these flags imply mapping validation (:105-109)
+        o.validate_mappings = True
+    if o.mimic_bt2 or o.mimic_strict_bt2:
+        # Bowtie2-like presets (:256-293)
+        o.max_read_occs = 1000
+        o.consensus_slack = 0.5
+        o.discard_orphans = True
+        o.softclip_overhangs = False
+        if o.mimic_bt2:
+            o.match_score = 2
+            o.mismatch_penalty = -4
+            o.gap_open_penalty = 5
+            o.gap_extend_penalty = 3
+        else:
+            o.min_score_fraction = 0.8
+            o.match_score = 1
+            o.mismatch_penalty = 0
+            o.gap_open_penalty = 25
+            o.gap_extend_penalty = 25
+    if o.hit_filter_policy != "AFTER":
+        # this engine scores whole candidate sets in fixed-shape tensors;
+        # there is no pre-chaining hit filter stage to reorder
+        raise SystemExit(
+            f"--hitFilterPolicy {o.hit_filter_policy} is not supported by "
+            "salmon_tpu (only AFTER, the reference default)")
 
 
 def cmd_quant(args) -> int:
@@ -307,16 +348,21 @@ def cmd_quant(args) -> int:
     opts = _opts_from_args(args)
     index = load_index(args.index)
     unmapped_path = None
+    orphan_links_path = None
+    aux = os.path.join(args.output, "aux_info")
     if args.writeUnmappedNames:
-        aux = os.path.join(args.output, "aux_info")
         os.makedirs(aux, exist_ok=True)
         unmapped_path = os.path.join(aux, "unmapped_names.txt")
+    if args.writeOrphanLinks:
+        os.makedirs(aux, exist_ok=True)
+        orphan_links_path = os.path.join(aux, "orphan_links.txt")
     try:
         result = quantify(
             index, args.libType,
             args.mates1 or args.unmatedReads, args.mates2, opts=opts,
             progress=not args.quiet, unmapped_path=unmapped_path,
-            sam_path=args.writeMappings)
+            sam_path=args.writeMappings,
+            orphan_links_path=orphan_links_path)
     except InsufficientAssignedFragments as e:
         logger.error(str(e))
         n = index.num_valid_targets
@@ -328,7 +374,7 @@ def cmd_quant(args) -> int:
                   cmd_args=cmd_args,
                   dump_eq=args.dumpEq or args.dumpEqWeights,
                   dump_eq_weights=args.dumpEqWeights, seed=args.seed)
-    if args.geneMap:
+    if args.geneMap and not opts.skip_quant:
         from salmon_tpu.utils.genemap import aggregate_quant_sf
         aggregate_quant_sf(os.path.join(args.output, "quant.sf"),
                            args.geneMap)

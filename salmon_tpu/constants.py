@@ -49,6 +49,11 @@ class SalmonDefaults:
     decoy_threshold: float = 1.0
     min_aln_prob: float = 1e-5
     hit_filter_policy: str = "AFTER"
+    mimic_bt2: bool = False
+    mimic_strict_bt2: bool = False
+    write_orphan_links: bool = False
+    skip_quant: bool = False
+    aux_target_file: str = ""
 
     # --- fragment length distribution ---------------------------------
     max_frag_length: int = 1000          # fldMax

@@ -112,9 +112,26 @@ def run_em(eqd: dict, alpha0: jax.Array, prior: jax.Array,
            eff_lens: Optional[jax.Array] = None):
     """Full optimization loop as one XLA program.
 
-    Returns (alpha, n_iters, max_rel_diff).
+    Returns (alpha, n_iters, max_rel_diff, n_degenerate, available).
     """
     cw = combined_weights(eqd, eff_lens)
+
+    # markDegenerateClasses (reference CollapsedEMOptimizer.cpp:331-394):
+    # classes whose members' combined initial weight is ~zero are dropped
+    # from every update (their counts contribute nothing); transcripts in
+    # surviving classes are "available" for bias length recomputation.
+    n_cl = eqd["counts"].shape[0]
+    g0 = jnp.take(alpha0, eqd["labels"], mode="clip") * cw
+    g0 = jnp.where(eqd["seg"] < n_cl, g0, 0.0)
+    denom0 = jax.ops.segment_sum(g0, eqd["seg"], num_segments=n_cl + 1)
+    degenerate = (denom0[:n_cl] <= MIN_EQ_WEIGHT) & (eqd["class_sizes"] > 0)
+    n_degenerate = jnp.sum(degenerate.astype(jnp.int32))
+    eqd = dict(eqd)
+    eqd["counts"] = jnp.where(degenerate, 0.0, eqd["counts"])
+    entry_live = (eqd["seg"] < n_cl) & ~jnp.take(
+        degenerate, jnp.clip(eqd["seg"], 0, n_cl - 1), mode="clip")
+    available = jnp.zeros(num_txps, bool).at[
+        jnp.clip(eqd["labels"], 0, num_txps - 1)].max(entry_live)
 
     if use_vbem:
         def exptheta(a):
@@ -148,7 +165,7 @@ def run_em(eqd: dict, alpha0: jax.Array, prior: jax.Array,
     alpha, iters, converged, mrd = jax.lax.while_loop(
         cond, body, (alpha0, jnp.int32(0), jnp.bool_(False),
                      jnp.float32(jnp.inf)))
-    return alpha, iters, mrd
+    return alpha, iters, mrd, n_degenerate, available
 
 
 def initial_alphas(num_txps: int, online_mass: Optional[np.ndarray],
@@ -186,7 +203,7 @@ def optimize(eq: PackedEqClasses, num_txps: int, eff_lens: np.ndarray,
     a0 = initial_alphas(num_txps, online_mass, total_mapped, init_uniform)
     pri = prior_alphas(num_txps, eff_lens, config.vb_prior,
                        config.per_transcript_prior)
-    alpha, iters, mrd = run_em(
+    alpha, iters, mrd, n_degen, available = run_em(
         eqd, jnp.asarray(a0, jnp.float32), jnp.asarray(pri, jnp.float32),
         num_txps, config.use_vbem, config.rel_diff_tolerance,
         config.min_iterations, config.max_iterations, 0,
@@ -199,6 +216,8 @@ def optimize(eq: PackedEqClasses, num_txps: int, eff_lens: np.ndarray,
         "iterations": int(iters),
         "max_rel_diff": float(mrd),
         "converged": float(mrd) <= config.rel_diff_tolerance,
+        "num_degenerate_classes": int(n_degen),
+        "available": np.asarray(available),
     }
 
 
@@ -219,6 +238,11 @@ def em_numpy(eq: PackedEqClasses, num_txps: int, eff_lens: np.ndarray,
     wsum = np.bincount(seg, weights=w, minlength=eq.num_classes)
     cw = w / wsum[seg]
     alpha = initial_alphas(num_txps, online_mass, total_mapped)
+    # markDegenerateClasses parity
+    denom0 = np.bincount(seg, weights=alpha[eq.labels] * cw,
+                         minlength=eq.num_classes)
+    counts_cls = np.where(denom0 <= MIN_EQ_WEIGHT, 0.0, eq.counts)
+    eq = dataclasses.replace(eq, counts=counts_cls)
     pri = prior_alphas(num_txps, eff_lens, config.vb_prior,
                        config.per_transcript_prior)
     singleton = eq.class_sizes[seg] == 1

@@ -70,18 +70,48 @@ def read_quant_sf(path: str) -> dict:
 def write_lib_format_counts(out_dir: str, expected_format: str,
                             fmt_counts: dict, num_compatible: int,
                             num_processed: int, num_mapped: int) -> str:
+    """lib_format_counts.json (reference ReadExperiment.inl:226-345):
+    agree/disagree counts and the strand_mapping_bias ratio derived from
+    the observed-format histogram against the expected format."""
     total_fmt = sum(fmt_counts.values())
+    ef = expected_format.strip().upper()
+    paired6 = set(fmt_counts) >= {"ISF", "ISR", "MSF", "MSR"}
+    if paired6:
+        orient = ef[0] if ef and ef[0] in "IOM" else "I"
+        # fmt1/fmt2: the two stranded variants of the expected
+        # orientation (SAME/NONE pool to M)
+        o_key = orient if orient in "IOM" else "I"
+        n_fmt1 = int(fmt_counts.get(o_key + "SF", 0))
+        n_fmt2 = int(fmt_counts.get(o_key + "SR", 0))
+        stranded = ef.endswith("SF") or ef.endswith("SR")
+        if stranded:
+            num_agree = int(fmt_counts.get(ef, 0))
+        else:
+            num_agree = n_fmt1 + n_fmt2
+        num_disagree = total_fmt - num_agree
+        denom = n_fmt1 + n_fmt2
+        ratio = (n_fmt1 / denom) if (num_agree > 0 and denom > 0) else 0.0
+    else:
+        n_fmt1 = int(fmt_counts.get("SF", 0))
+        n_fmt2 = int(fmt_counts.get("SR", 0))
+        if ef in ("SF", "SR"):
+            num_agree = int(fmt_counts.get(ef, 0))
+        else:
+            num_agree = n_fmt1 + n_fmt2 + int(fmt_counts.get("U", 0))
+        num_disagree = total_fmt - num_agree
+        denom = n_fmt1 + n_fmt2
+        ratio = (n_fmt1 / denom) if (num_agree > 0 and denom > 0) else 0.0
     doc = {
         "read_files": "",
         "expected_format": expected_format,
         "compatible_fragment_ratio":
-            num_compatible / num_processed if num_processed else 0.0,
+            num_compatible / num_mapped if num_mapped else 0.0,
         "num_compatible_fragments": num_compatible,
         "num_assigned_fragments": num_mapped,
-        "num_frags_with_concordant_consistent_mappings": total_fmt,
+        "num_frags_with_concordant_consistent_mappings": num_agree,
         "num_frags_with_inconsistent_or_orphan_mappings":
-            num_mapped - total_fmt,
-        "strand_mapping_bias": 0.0,
+            num_mapped - num_agree,
+        "strand_mapping_bias": ratio,
     }
     for k, v in fmt_counts.items():
         doc[k] = int(v)

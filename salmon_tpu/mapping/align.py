@@ -49,13 +49,15 @@ def _use_pallas() -> bool:
         return False
 
 
-def _subst_scores(read_codes, ref_codes, ma: float, mp: float):
+def _subst_scores(read_codes, ref_codes, ma: float, mp: float,
+                  oob_score: float = OOB_PENALTY):
     """(P, B) substitution scores; invalid bases (>=4) mismatch, ref OOB
-    heavily penalized (code 5)."""
+    heavily penalized (code 5) unless overhang softclip is on
+    (oob_score=0: the overhanging base is clipped for free)."""
     is_oob = ref_codes >= 5
     match = (read_codes == ref_codes) & (read_codes < 4) & (ref_codes < 4)
     s = jnp.where(match, ma, mp)
-    return jnp.where(is_oob, OOB_PENALTY, s)
+    return jnp.where(is_oob, oob_score, s)
 
 
 def banded_scores(read_codes, read_lens, ref_base, txp_lens, seq_codes,
@@ -153,7 +155,9 @@ def _fetch_windows_packed(seq_word_rows, a0, W: int):
 def _banded_scores_impl(read_codes, read_ids, read_lens, ref_base,
                         txp_lens, seq_codes, seq_off, bandwidth: int,
                         ma: float, mp: float, go: float, ge: float,
-                        seq_words=None, seq_words_shift: int = 0):
+                        seq_words=None, seq_words_shift: int = 0,
+                        softclip: bool = False,
+                        softclip_overhangs: bool = False):
     if read_ids is None:
         P, L = read_codes.shape
     else:
@@ -180,6 +184,10 @@ def _banded_scores_impl(read_codes, read_ids, read_lens, ref_base,
                                     seq_codes.shape[0] - 1),
                            mode="clip").astype(jnp.int8)
     ref_win = jnp.where(w_oob, jnp.int8(5), ref_win)  # (P, W)
+    # --softclipOverhangs: bases hanging off the transcript ends are
+    # clipped for free instead of penalized (reference
+    # aconf.allowOverhangSoftclip, SalmonMappingUtils.hpp:195)
+    oob_score = 0.0 if softclip_overhangs else OOB_PENALTY
 
     if read_ids is not None:
         reads_p = jnp.take(read_codes, read_ids, axis=0, mode="clip")
@@ -193,17 +201,19 @@ def _banded_scores_impl(read_codes, read_ids, read_lens, ref_base,
 
     if _use_pallas():
         return _banded_scores_pallas(reads_t, ref_win_t, read_lens,
-                                     bandwidth, ma, mp, go, ge)
+                                     bandwidth, ma, mp, go, ge,
+                                     softclip=softclip,
+                                     oob_score=oob_score)
 
     n_shift = int(np.ceil(np.log2(max(B, 2))))
 
     def step(carry, i):
-        H_prev, F_prev = carry     # (B, P)
+        H_prev, F_prev, Hmax_prev = carry     # (B, P)
         rc = jax.lax.dynamic_slice_in_dim(reads_t, i, 1,
                                           axis=0).astype(jnp.int32)
         refs = jax.lax.dynamic_slice_in_dim(ref_win_t, i, B,
                                             axis=0).astype(jnp.int32)
-        sub = _subst_scores(rc, refs, ma, mp)  # (B, P) via broadcast
+        sub = _subst_scores(rc, refs, ma, mp, oob_score)
 
         # gap-in-read: ref consumed without read base — comes from the
         # previous row at band offset d+1
@@ -226,24 +236,35 @@ def _banded_scores_impl(read_codes, read_ids, read_lens, ref_base,
         E = jnp.concatenate(
             [jnp.full((1, P), NEG, X.dtype), X[:-1, :]], axis=0) - ge
         H = jnp.maximum(H_nf, E)
+        if softclip:
+            # --softclip: read ends may be clipped for free; clamping at
+            # zero makes every cell a legal alignment start (and the
+            # running max below a legal end) — Smith-Waterman-style free
+            # read ends (reference aconf.allowSoftclip)
+            H = jnp.maximum(H, 0.0)
 
         # past-the-end rows must not change the final score: freeze
         active = (i < read_lens)[None, :]
         H = jnp.where(active, H, H_prev)
         F = jnp.where(active, F, F_prev)
-        return (H, F), None
+        Hmax = jnp.maximum(Hmax_prev, jnp.where(active, H, NEG))
+        return (H, F, Hmax), None
 
     # derive the initial carry from an input so its sharding "varying"
     # status matches the loop body under shard_map
     zero_like_in = (0.0 * ref_base.astype(jnp.float32))[None, :]
     H0 = jnp.zeros((B, P), jnp.float32) + zero_like_in
     F0 = jnp.full((B, P), NEG, jnp.float32) + zero_like_in
-    (H, _), _ = jax.lax.scan(step, (H0, F0), jnp.arange(L))
-    return jnp.max(H, axis=0)
+    (H, _, Hmax), _ = jax.lax.scan(step, (H0, F0, H0 + NEG),
+                                   jnp.arange(L))
+    # softclip: the best alignment may end mid-read (free suffix clip)
+    return jnp.max(Hmax if softclip else H, axis=0)
 
 
 def _banded_scores_pallas(reads_t, ref_win_t, read_lens, bandwidth: int,
-                          ma: float, mp: float, go: float, ge: float):
+                          ma: float, mp: float, go: float, ge: float,
+                          softclip: bool = False,
+                          oob_score: float = OOB_PENALTY):
     """Pallas TPU kernel for the banded DP.
 
     The H/F wavefront lives in VMEM scratch across the whole read scan in
@@ -285,17 +306,19 @@ def _banded_scores_pallas(reads_t, ref_win_t, read_lens, bandwidth: int,
 
     n_shift = int(np.ceil(np.log2(max(B, 2))))
 
-    def kernel(lens_ref, reads_ref, skew_ref, out_ref, H_s, F_s):
+    def kernel(lens_ref, reads_ref, skew_ref, out_ref, H_s, F_s, M_s):
         lb = pl.program_id(1)
 
         @pl.when(lb == 0)
         def _():
             H_s[:, :] = jnp.zeros((B8, PT), jnp.float32)
             F_s[:, :] = jnp.full((B8, PT), NEG, jnp.float32)
+            M_s[:, :] = jnp.full((B8, PT), NEG, jnp.float32)
 
         lens = lens_ref[0:1, :]
         H = H_s[:, :]
         F = F_s[:, :]
+        Hm = M_s[:, :]
         neg_row = jnp.full((1, PT), NEG, jnp.float32)
 
         for j in range(8):
@@ -304,7 +327,7 @@ def _banded_scores_pallas(reads_t, ref_win_t, read_lens, bandwidth: int,
             refs = skew_ref[j * B8:(j + 1) * B8, :].astype(jnp.int32)
             match = (rc == refs) & (rc < 4) & (refs < 4)
             sub = jnp.where(match, ma, mp)
-            sub = jnp.where(refs >= 5, OOB_PENALTY, sub)
+            sub = jnp.where(refs >= 5, oob_score, sub)
 
             # gap-in-read: previous row at band offset d+1
             F_n = jnp.maximum(
@@ -324,17 +347,22 @@ def _banded_scores_pallas(reads_t, ref_win_t, read_lens, bandwidth: int,
                 sft *= 2
             E = jnp.concatenate([neg_row, X[:-1, :]], axis=0) - ge
             H_new = jnp.maximum(H_nf, E)
+            if softclip:
+                H_new = jnp.maximum(H_new, 0.0)
 
             active = i < lens
             H = jnp.where(active, H_new, H)
             F = jnp.where(active, F_n, F)
+            Hm = jnp.maximum(Hm, jnp.where(active, H, NEG))
 
         H_s[:, :] = H
         F_s[:, :] = F
+        M_s[:, :] = Hm
 
         @pl.when(lb == nL8 - 1)
         def _():
-            out_ref[0:1, :] = jnp.max(H, axis=0, keepdims=True)
+            out_ref[0:1, :] = jnp.max(Hm if softclip else H, axis=0,
+                                      keepdims=True)
 
     out = pl.pallas_call(
         kernel,
@@ -351,12 +379,14 @@ def _banded_scores_pallas(reads_t, ref_win_t, read_lens, bandwidth: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, Pp), jnp.float32),
         scratch_shapes=[pltpu.VMEM((B8, PT), jnp.float32),
+                        pltpu.VMEM((B8, PT), jnp.float32),
                         pltpu.VMEM((B8, PT), jnp.float32)],
     )(lens_row, reads_t, skew)
     return out.reshape(-1)[:P]
 
 
-def banded_scores_numpy(read, ref, bandwidth, ma, mp, go, ge):
+def banded_scores_numpy(read, ref, bandwidth, ma, mp, go, ge,
+                        softclip=False, softclip_overhangs=False):
     """Unvectorized float reference DP for tests: same band semantics.
 
     read/ref: code arrays; ref indexed so read[i] aligns near ref[i].
@@ -365,6 +395,7 @@ def banded_scores_numpy(read, ref, bandwidth, ma, mp, go, ge):
     B = 2 * bandwidth + 1
     H = np.zeros(B)
     F = np.full(B, NEG)
+    hmax = NEG
     for i in range(L):
         Hn = np.full(B, NEG)
         Fn = np.full(B, NEG)
@@ -377,7 +408,7 @@ def banded_scores_numpy(read, ref, bandwidth, ma, mp, go, ge):
                 if read[i] >= 4 or ref[j] >= 4:
                     sub = mp
             else:
-                sub = OOB_PENALTY
+                sub = 0.0 if softclip_overhangs else OOB_PENALTY
             # diag
             best = H[db] + sub
             # gap in read (from previous row, d+1)
@@ -392,5 +423,8 @@ def banded_scores_numpy(read, ref, bandwidth, ma, mp, go, ge):
             for dp in range(db):
                 best_e = max(best_e, pre[dp] - go - ge * (db - dp))
             Hn[db] = max(Hn[db], best_e)
+        if softclip:
+            Hn = np.maximum(Hn, 0.0)
         H, F = Hn, Fn
-    return H.max()
+        hmax = max(hmax, H.max())
+    return hmax if softclip else H.max()

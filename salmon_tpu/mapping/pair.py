@@ -119,6 +119,12 @@ def join_pairs(cand_l: dict, cand_r: dict, start_l, start_r,
     obs = observed_paired_code(s1, fw1, s2, fw2)
     pair_score = jnp.where(ok, score_s + nxt(score_s, 0), 0)
 
+    # fragments whose only pairings were dovetail-rejected (feeds the
+    # num_dovetail_fragments counter, SalmonQuantify.cpp:2729)
+    dove_rej = is_pair & dovetail & (frag_len > 0) \
+        & (frag_len <= fld_max) & ~ok
+    has_dovetail_only = dove_rej.any(axis=1) & ~(ok.any(axis=1))
+
     # top-T2 by score with payloads riding one descending sort
     T2 = max_pair_cands
     _, t_score, t_key, t_flen, t_pos, t_obs, t_fw = jax.lax.sort(
@@ -135,6 +141,7 @@ def join_pairs(cand_l: dict, cand_r: dict, start_l, start_r,
         "fw": t_fw[:, :T2].astype(bool),
         "valid": valid_out,
         "has_pair": has_pair,
+        "has_dovetail_only": has_dovetail_only,
     }
 
 

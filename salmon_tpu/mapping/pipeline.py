@@ -78,6 +78,16 @@ class MapperConfig:
     # orphan rescue (reference recoverOrphans, opt-in)
     recover_orphans: bool = DEFAULTS.recover_orphans
     rescue_bandwidth: int = DEFAULTS.rescue_bandwidth
+    # single-end/orphan ambiguous fragment-length model (reference
+    # LogCMFCache, DistributionUtils.hpp:84 / SalmonQuantify.cpp:640-650)
+    model_single_frag_prob: bool = not DEFAULTS.no_single_frag_prob
+    no_frag_length_dist: bool = DEFAULTS.no_frag_length_dist
+    # DP end policies (reference aconf.allowSoftclip /
+    # allowOverhangSoftclip, SalmonMappingUtils.hpp:194-195)
+    softclip: bool = DEFAULTS.softclip
+    softclip_overhangs: bool = DEFAULTS.softclip_overhangs
+    # --writeOrphanLinks side output (SalmonQuantify.cpp:1409-1421)
+    write_orphan_links: bool = DEFAULTS.write_orphan_links
 
     @staticmethod
     def from_index(idx: TranscriptomeIndex, opts: SalmonDefaults = DEFAULTS,
@@ -111,6 +121,11 @@ class MapperConfig:
             dp_bandwidth=opts.dp_bandwidth,
             recover_orphans=opts.recover_orphans,
             rescue_bandwidth=opts.rescue_bandwidth,
+            model_single_frag_prob=not opts.no_single_frag_prob,
+            no_frag_length_dist=opts.no_frag_length_dist,
+            softclip=opts.softclip,
+            softclip_overhangs=opts.softclip_overhangs,
+            write_orphan_links=opts.write_orphan_links,
         )
         cfg.update(overrides)
         return MapperConfig(**cfg)
@@ -265,7 +280,9 @@ def _dp_scores(joined: dict, batch: dict, dev: dict, cfg: MapperConfig,
             cfg.dp_bandwidth, float(cfg.match_score),
             float(cfg.mismatch_penalty), float(cfg.gap_open_penalty),
             float(cfg.gap_extend_penalty),
-            seq_words=dev.get("seq4"), seq_words_shift=_SEQ4_SHIFT)
+            seq_words=dev.get("seq4"), seq_words_shift=_SEQ4_SHIFT,
+            softclip=cfg.softclip,
+            softclip_overhangs=cfg.softclip_overhangs)
         return jnp.where(sel_valid, scores, jnp.float32(-1e9))
 
     NEGS = jnp.full(R * T2, -1e9, jnp.float32)
@@ -343,7 +360,9 @@ def _rescue_orphans(joined: dict, batch: dict, dev: dict,
         dev["seq_codes"], toff, cfg.rescue_bandwidth,
         float(cfg.match_score), float(cfg.mismatch_penalty),
         float(cfg.gap_open_penalty), float(cfg.gap_extend_penalty),
-        seq_words=dev.get("seq4"), seq_words_shift=_SEQ4_SHIFT)
+        seq_words=dev.get("seq4"), seq_words_shift=_SEQ4_SHIFT,
+        softclip=cfg.softclip,
+        softclip_overhangs=cfg.softclip_overhangs)
     good = s_ok & (scores >= cfg.min_score_fraction
                    * cfg.match_score
                    * jnp.take(miss_len, sel).astype(jnp.float32))
@@ -383,19 +402,38 @@ def _rescue_orphans(joined: dict, batch: dict, dev: dict,
     return joined, aln_score, perfect_score, n_rescued
 
 
-def _filter_and_weight(joined: dict, fld_logpmf, compat_paired,
+LOG_EPSILON = -87.33654475055311  # SalmonMath.hpp LOG_EPSILON
+
+
+def _fld_inputs(fld):
+    """Normalize the fld argument: either a bare (M+1,) log-pmf (legacy;
+    log-CMF derived in-graph, mode=1) or a dict with keys
+    logpmf/logcmf/mode. mode: 0 = ignore FLD (pre-pre-burn-in), 1 =
+    unconditional pmf, 2 = pmf conditioned on transcript length
+    (burned-in; reference SalmonQuantify.cpp:661-668)."""
+    if isinstance(fld, dict):
+        return fld["logpmf"], fld["logcmf"], fld["mode"]
+    logcmf = jnp.log(jnp.maximum(jnp.cumsum(jnp.exp(fld)), 1e-30))
+    return fld, logcmf, jnp.int32(1)
+
+
+def _filter_and_weight(joined: dict, fld, compat_paired,
                        compat_orphan, lengths_sum, cfg: MapperConfig,
-                       aln_score=None, perfect_score=None):
+                       aln_score=None, perfect_score=None,
+                       tlen=None, rlen_mapped=None, single_end=False):
     """Stages 5-6: decoy-aware filtering and aux-probability weights.
 
     joined: dict of (R, T2) from pair-merging, plus (R,) mate_status.
-    fld_logpmf: (fld_max + 1,) current fragment-length log-pmf.
+    fld: see _fld_inputs.
     compat_paired: (6,) bool table; compat_orphan: (2, 2) bool table.
+    tlen: (R, T2) transcript length per candidate; rlen_mapped: (R,)
+    length of the mapped read (for the orphan/single-end virtual mate).
     Returns (eq_txp, eq_weight, frag_ok, aln_valid, extras...).
     """
     txp = joined["txp"]
     score = joined["score"]
     valid = joined["valid"]
+    valid_pre = valid
     ms = joined["mate_status"]
 
     is_decoy = valid & (txp >= cfg.first_decoy_index)
@@ -435,11 +473,45 @@ def _filter_and_weight(joined: dict, fld_logpmf, compat_paired,
                              keepdims=True).astype(jnp.float32))
 
     # --- aux probabilities (processMiniBatch, SalmonQuantify.cpp:599-803)
-    flen = jnp.clip(joined["frag_len"], 0, cfg.fld_max)
-    log_flen_prob = jnp.where(
-        ms[:, None] == MS_PAIRED,
-        jnp.take(fld_logpmf, flen, mode="clip"),
-        0.0)
+    logpmf, logcmf, fld_mode = _fld_inputs(fld)
+    M = cfg.fld_max
+    flen = jnp.clip(joined["frag_len"], 0, M)
+    lenprob = jnp.take(logpmf, flen, mode="clip")
+    is_pair_row = (ms[:, None] == MS_PAIRED) & ~jnp.bool_(single_end)
+    if cfg.no_frag_length_dist:
+        # --noFragLengthDist: pairs get LOG_1; unexpected orphans a
+        # fixed eps penalty (SalmonQuantify.cpp:651-655)
+        log_flen_prob = jnp.where(is_pair_row | jnp.bool_(single_end),
+                                  0.0, LOG_EPSILON)
+    elif tlen is None:
+        log_flen_prob = jnp.where(is_pair_row, lenprob, 0.0)
+    else:
+        tl = jnp.maximum(tlen, 0)
+        logcmf_t = jnp.take(logcmf, jnp.minimum(tl, M), mode="clip")
+        cmf_ok = logcmf_t > LOG_EPSILON  # CMF(tlen) has mass
+        # paired pmf, conditioned on txp length once burned in
+        # (reference SalmonQuantify.cpp:661-668)
+        cond_ok = cmf_ok & (joined["frag_len"] < tl)
+        paired_prob = jnp.where(
+            fld_mode >= 2,
+            jnp.where(cond_ok, lenprob - logcmf_t, LOG_EPSILON),
+            jnp.where(fld_mode == 1, lenprob, 0.0))
+        # ambiguous-length prob for single-end / unexpected-orphan hits
+        # (LogCMFCache::getAmbigFragLengthProb,
+        # DistributionUtils.cpp:151-172): mass of fragments no longer
+        # than the room left in the virtual mate's direction
+        if cfg.model_single_frag_prob:
+            pos = joined["pos"]
+            rl = rlen_mapped[:, None]
+            maxfl = jnp.where(joined["fw"], tl - jnp.clip(pos, 0, tl),
+                              jnp.clip(pos + rl, 0, tl))
+            ambig = jnp.where(
+                cmf_ok,
+                jnp.take(logcmf, jnp.clip(maxfl, 0, M), mode="clip")
+                - logcmf_t, LOG_EPSILON)
+        else:
+            ambig = jnp.where(jnp.bool_(single_end), 0.0, LOG_EPSILON)
+        log_flen_prob = jnp.where(is_pair_row, paired_prob, ambig)
 
     obs = joined["obs_code"]
     paired_compat = jnp.take(compat_paired, jnp.clip(obs, 0, 5))
@@ -494,7 +566,19 @@ def _filter_and_weight(joined: dict, fld_logpmf, compat_paired,
     range_count = jnp.sqrt(n_valid) + float(cfg.range_bins)
     eq_bins = jnp.where(aln_valid & (cfg.range_bins > 0),
                         (wn * range_count).astype(jnp.int32), -1)
-    return eq_txp, eq_w, frag_ok, aln_valid, wn, eq_bins
+    # mapping statistics (reference MappingStatistics /
+    # SalmonQuantify.cpp counters): fragments whose best hit is a decoy;
+    # alignments that failed the validation threshold; fragments with
+    # pre-validation hits but none surviving
+    extras = {
+        "decoy_frag": is_decoy.any(axis=1)
+        & (best_decoy > jnp.maximum(best_real, NEG / 2))[:, 0],
+        "below_thresh": jnp.sum(
+            (valid_pre & ~valid & (txp < cfg.first_decoy_index))
+            .astype(jnp.int32), axis=1),
+        "had_pre": valid_pre.any(axis=1),
+    }
+    return eq_txp, eq_w, frag_ok, aln_valid, wn, eq_bins, extras
 
 
 def map_paired_batch_impl(batch: dict, dev: dict, cfg: MapperConfig,
@@ -528,13 +612,22 @@ def map_paired_batch_impl(batch: dict, dev: dict, cfg: MapperConfig,
                                         single_end=False)
         if cfg.recover_orphans:
             joined, aln_score, perfect, n_rescued = _rescue_orphans(
-                joined, batch, dev, cfg, fld_logpmf, aln_score, perfect)
+                joined, batch, dev, cfg, _fld_inputs(fld_logpmf)[0],
+                aln_score, perfect)
 
     real_row = batch["lengths_l"] > 0  # padding rows never count
-    eq_txp, eq_w, frag_ok, aln_valid, wn, eq_bins = _filter_and_weight(
-        joined, fld_logpmf, compat_paired, compat_orphan,
-        batch["lengths_l"] + batch["lengths_r"], cfg,
-        aln_score=aln_score, perfect_score=perfect)
+    tlen = jnp.take(dev["txp_lens"],
+                    jnp.clip(joined["txp"], 0, cfg.num_txps - 1),
+                    mode="clip")
+    left_orph = joined["mate_status"] == MS_LEFT_ORPHAN
+    rlen_mapped = jnp.where(left_orph, batch["lengths_l"],
+                            batch["lengths_r"])
+    eq_txp, eq_w, frag_ok, aln_valid, wn, eq_bins, fextras = \
+        _filter_and_weight(
+            joined, fld_logpmf, compat_paired, compat_orphan,
+            batch["lengths_l"] + batch["lengths_r"], cfg,
+            aln_score=aln_score, perfect_score=perfect,
+            tlen=tlen, rlen_mapped=rlen_mapped)
     frag_ok = frag_ok & real_row
     aln_valid = aln_valid & real_row[:, None]
     eq_txp = jnp.where(aln_valid, eq_txp, INVALID_TXP)
@@ -574,7 +667,7 @@ def map_paired_batch_impl(batch: dict, dev: dict, cfg: MapperConfig,
         jnp.where(is_paired_obs, 1, 0))
 
     n_real = jnp.sum(real_row.astype(jnp.int32))
-    return {
+    out = {
         "num_orphans_rescued": n_rescued,
         "best_txp": best_txp,
         "best_pos": best_pos,
@@ -592,9 +685,30 @@ def map_paired_batch_impl(batch: dict, dev: dict, cfg: MapperConfig,
         "num_orphans": jnp.sum(
             (frag_ok & (joined["mate_status"] != MS_PAIRED)).astype(
                 jnp.int32)),
+        "num_decoy_fragments": jnp.sum(
+            (fextras["decoy_frag"] & real_row).astype(jnp.int32)),
+        "num_dovetail_fragments": jnp.sum(
+            (paired["has_dovetail_only"] & ~frag_ok & real_row).astype(
+                jnp.int32)),
+        "num_frags_filtered_vm": jnp.sum(
+            (fextras["had_pre"] & ~frag_ok & ~fextras["decoy_frag"]
+             & real_row).astype(jnp.int32)),
+        "num_alns_below_threshold": jnp.sum(
+            jnp.where(frag_ok & real_row, fextras["below_thresh"], 0)),
         "fld_hist": fld_hist,
         "fmt_hist": fmt_hist,
     }
+    if cfg.write_orphan_links:
+        # orphaned mappings of BOTH ends for fragments without a
+        # concordant pair (--writeOrphanLinks side output; the host
+        # formats the `txp,pos\t...:txp,pos\t...` lines)
+        no_pair = (~paired["has_pair"]) & real_row
+        out["orphl_txp"] = jnp.where(orph_l["valid"], orph_l["txp"], -1)
+        out["orphl_pos"] = orph_l["pos"]
+        out["orphr_txp"] = jnp.where(orph_r["valid"], orph_r["txp"], -1)
+        out["orphr_pos"] = orph_r["pos"]
+        out["orph_link_row"] = no_pair
+    return out
 
 
 def map_single_batch_impl(batch: dict, dev: dict, cfg: MapperConfig,
@@ -619,10 +733,15 @@ def map_single_batch_impl(batch: dict, dev: dict, cfg: MapperConfig,
         aln_score, perfect = _dp_scores(joined, batch, dev, cfg,
                                         single_end=True)
     real_row = batch["lengths"] > 0
-    eq_txp, eq_w, frag_ok, aln_valid, wn, eq_bins = _filter_and_weight(
-        joined, fld_logpmf, compat6,
-        jnp.ones((2, 2), dtype=bool), batch["lengths"], cfg,
-        aln_score=aln_score, perfect_score=perfect)
+    tlen = jnp.take(dev["txp_lens"],
+                    jnp.clip(joined["txp"], 0, cfg.num_txps - 1),
+                    mode="clip")
+    eq_txp, eq_w, frag_ok, aln_valid, wn, eq_bins, fextras = \
+        _filter_and_weight(
+            joined, fld_logpmf, compat6,
+            jnp.ones((2, 2), dtype=bool), batch["lengths"], cfg,
+            aln_score=aln_score, perfect_score=perfect,
+            tlen=tlen, rlen_mapped=batch["lengths"], single_end=True)
     frag_ok = frag_ok & real_row
     aln_valid = aln_valid & real_row[:, None]
     eq_txp = jnp.where(aln_valid, eq_txp, INVALID_TXP)
@@ -649,6 +768,14 @@ def map_single_batch_impl(batch: dict, dev: dict, cfg: MapperConfig,
         "num_paired": jnp.int32(0),
         "num_orphans": jnp.int32(0),
         "num_orphans_rescued": jnp.int32(0),
+        "num_decoy_fragments": jnp.sum(
+            (fextras["decoy_frag"] & real_row).astype(jnp.int32)),
+        "num_dovetail_fragments": jnp.int32(0),
+        "num_frags_filtered_vm": jnp.sum(
+            (fextras["had_pre"] & ~frag_ok & ~fextras["decoy_frag"]
+             & real_row).astype(jnp.int32)),
+        "num_alns_below_threshold": jnp.sum(
+            jnp.where(frag_ok & real_row, fextras["below_thresh"], 0)),
         "fld_hist": jnp.zeros(cfg.fld_max + 1, jnp.float32),
         "fmt_hist": fmt_hist,
     }

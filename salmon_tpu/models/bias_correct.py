@@ -107,6 +107,12 @@ class BiasState:
 
         weights = np.where(alphas >= BE.MIN_ALPHA_BG,
                            alphas / np.maximum(eff_in, 1.0), 0.0)
+        skip = getattr(self, "skip_bias", None)
+        if skip is not None:
+            # --auxTargetFile targets are excluded from the background
+            # and never bias-corrected (reference skipBiasCorrection,
+            # SalmonUtils.cpp:1507)
+            weights[skip[:weights.shape[0]]] = 0.0
         n_bg = int((weights > 0).sum())
         cutoff = min(150, max(1, int(0.1 * n_bg)))
         if n_bg < cutoff or n_bg == 0:
@@ -158,6 +164,8 @@ class BiasState:
         eff_out = eff_in.copy()
         process = (alphas >= BE.MIN_ALPHA_BG) & (
             self.index.lengths[:alphas.shape[0]] - eff_in > 0)
+        if skip is not None:
+            process &= ~skip[:process.shape[0]]
         for idxs, mat in self.buckets:
             eff_b = _efflen_bucket_jit(
                 jnp.asarray(mat),

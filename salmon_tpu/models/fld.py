@@ -82,6 +82,13 @@ class FragmentLengthDistribution:
     def cmf(self) -> np.ndarray:
         return np.cumsum(self.pmf())
 
+    def log_cmf(self) -> np.ndarray:
+        """Log cumulative mass, the evaluateLogCMF analog
+        (reference DistributionUtils.cpp:95-116 + LogCMFCache). The CMF
+        snapshot backs single-end/orphan ambiguous fragment-length
+        probabilities and txp-length conditioning of the paired pmf."""
+        return np.log(np.maximum(self.cmf(), 1e-300))
+
     def summary(self) -> dict:
         """FLD summary for meta_info.json (reference writeMeta)."""
         p = self.pmf()

@@ -84,6 +84,17 @@ def run_em_sharded(mesh: Mesh, eqd: dict, alpha0, prior, num_txps: int,
                  "counts": counts, "class_sizes": class_sizes}
         cw = _local_combined_weights(local, eff_lens, n_classes)
 
+        # markDegenerateClasses (parity with inference.em.run_em):
+        # counts is replicated, so the identical mask lands everywhere
+        g0 = jnp.take(alpha0, labels, mode="clip") * cw
+        g0 = jnp.where(seg < n_classes, g0, 0.0)
+        denom0 = jax.lax.psum(
+            jax.ops.segment_sum(g0, seg, num_segments=n_classes + 1),
+            ENTRIES_AXIS)
+        degenerate = (denom0[:n_classes] <= MIN_EQ_WEIGHT) \
+            & (class_sizes > 0)
+        local["counts"] = jnp.where(degenerate, 0.0, counts)
+
         if use_vbem:
             def exptheta(a):
                 ap = a + prior

@@ -37,7 +37,9 @@ READS_AXIS = "reads"
 # per-batch outputs that are fixed-size statistics -> psum-merged
 _PSUM_KEYS = ("txp_mass", "fld_hist", "fmt_hist", "num_processed",
               "num_mapped", "num_paired", "num_orphans",
-              "num_orphans_rescued")
+              "num_orphans_rescued", "num_decoy_fragments",
+              "num_dovetail_fragments", "num_frags_filtered_vm",
+              "num_alns_below_threshold")
 # everything else (eq tensors, best-hit fields) stays sharded by reads
 
 

@@ -49,6 +49,7 @@ class QuantResult:
     fld: object = None
     lib_format: str = ""
     bias: object = None
+    mapping_stats: dict = dataclasses.field(default_factory=dict)
 
 
 class InsufficientAssignedFragments(RuntimeError):
@@ -74,10 +75,14 @@ class ForgettingMass:
         return self.log_mass
 
 
-def _detect_library_format(fmt_hist: np.ndarray, paired: bool,
-                           num_mapped: int) -> str:
-    """Auto-detect '-l A' from the first chunk's observed orientation
-    histogram (reference: LibraryTypeDetector.hpp:32-163)."""
+DETECT_SAMPLES_NEEDED = 50_000  # LibraryTypeDetector numSamplesNeeded_
+
+
+def _detect_library_format(fmt_hist: np.ndarray, paired: bool) -> str:
+    """Auto-detect '-l A' from the accumulated observed orientation
+    histogram (reference LibraryTypeDetector::mostLikelyType,
+    model/LibraryTypeDetector.hpp:34-143): orientation by argmax, then
+    strandedness with the 30%/70% forward-ratio bands."""
     names = libformat.format_names_paired()
     if not paired:
         fw, rc = int(fmt_hist[0]), int(fmt_hist[1])
@@ -85,27 +90,65 @@ def _detect_library_format(fmt_hist: np.ndarray, paired: bool,
         if tot == 0:
             return "U"
         ratio = fw / tot
-        return "SF" if ratio > 0.95 else ("SR" if ratio < 0.05 else "U")
+        if ratio < 0.3:
+            return "SR"
+        if ratio < 0.7:
+            return "U"
+        return "SF"
     counts = {names[i]: int(fmt_hist[i]) for i in range(6)}
-    tot = sum(counts.values())
-    if tot == 0:
-        return "IU"
-    # pick dominant orientation class (I/O/M), then strandedness
     o_tot = {"I": counts["ISF"] + counts["ISR"],
              "O": counts["OSF"] + counts["OSR"],
              "M": counts["MSF"] + counts["MSR"]}
-    o = max(o_tot, key=o_tot.get)
-    sf = counts[o + "SF"] if o != "M" else counts["MSF"]
-    sr = counts[o + "SR"] if o != "M" else counts["MSR"]
+    if sum(o_tot.values()) == 0:
+        return "IU"
+    # argmax with the reference's tie order (inward >= outward >= same)
+    o = "I"
+    if o_tot["O"] > o_tot["I"]:
+        o = "O"
+    if o_tot["M"] > o_tot[o]:
+        o = "M"
+    # strandedness ratio pools ALL orientations (reference nsf/nsr)
+    sf = counts["ISF"] + counts["OSF"] + counts["MSF"]
+    sr = counts["ISR"] + counts["OSR"] + counts["MSR"]
     st = sf + sr
     if st == 0:
         return o + "U"
     ratio = sf / st
-    if ratio > 0.95:
-        return o + "SF"
-    if ratio < 0.05:
+    if ratio < 0.3:
         return o + "SR"
-    return o + "U"
+    if ratio < 0.7:
+        return o + "U"
+    return o + "SF"
+
+
+def _mark_auxiliary_targets(index, opts):
+    """--auxTargetFile (reference salmon::utils::markAuxiliaryTargets,
+    SalmonUtils.cpp:1133-1194): transcripts named in the file are marked
+    to skip bias correction. Returns a bool mask over valid targets (or
+    None) and records the ids for aux_target_ids.json."""
+    path = getattr(opts, "aux_target_file", "") or ""
+    if not path:
+        return None
+    import os
+    if not os.path.exists(path):
+        logger.warning("The auxiliary target file %s does not exist. "
+                       "No targets will be treated as auxiliary.", path)
+        return None
+    with open(path) as fh:
+        names = set(fh.read().split())
+    logger.info("Parsed %d auxiliary targets from %s", len(names), path)
+    n = index.num_valid_targets
+    mask = np.zeros(n, dtype=bool)
+    for i, nm in enumerate(index.names[:n]):
+        if nm in names:
+            mask[i] = True
+    found = int(mask.sum())
+    if found != len(names):
+        logger.warning("While %d auxiliary target names were found in "
+                       "%s, only %d matched index transcripts.",
+                       len(names), path, found)
+    opts._aux_target_ids = np.nonzero(mask)[0].tolist()
+    return mask
 
 
 def _write_sam_batch(fh, index, names, chunk, out, paired: bool) -> None:
@@ -165,6 +208,7 @@ def quantify(
     progress: bool = True,
     unmapped_path: Optional[str] = None,
     sam_path: Optional[str] = None,
+    orphan_links_path: Optional[str] = None,
 ) -> QuantResult:
     """Mapping-based quantification (reference: salmonQuantify,
     src/quant/SalmonQuantify.cpp:2777). When `unmapped_path` is given,
@@ -198,13 +242,16 @@ def quantify(
     acc = EquivalenceClassAccumulator()
     online_mass = np.zeros(index.num_targets, dtype=np.float64)
     totals = {"num_processed": 0, "num_mapped": 0, "num_paired": 0,
-              "num_orphans": 0, "num_orphans_rescued": 0}
+              "num_orphans": 0, "num_orphans_rescued": 0,
+              "num_decoy_fragments": 0, "num_dovetail_fragments": 0,
+              "num_frags_filtered_vm": 0, "num_alns_below_threshold": 0}
     fmt_hist_total = np.zeros(6, dtype=np.int64)
 
     # --- bias model state (observed stats collected per batch on device)
     bias_state = None
     bias_collect = None
     bdev = None
+    aux_skip_bias = _mark_auxiliary_targets(index, opts)
     if paired and (opts.seq_bias_correct or opts.gc_bias_correct
                    or opts.pos_bias_correct):
         from salmon_tpu.models.bias import (bias_device_arrays,
@@ -212,6 +259,8 @@ def quantify(
         from salmon_tpu.models.bias_correct import BiasState
         import jax as _jax
         bias_state = BiasState(index, opts)
+        if aux_skip_bias is not None:
+            bias_state.skip_bias = aux_skip_bias
         bdev = bias_device_arrays(index)
         bias_collect = _jax.jit(collect_bias_observations)
 
@@ -225,10 +274,21 @@ def quantify(
                 jnp.asarray(libformat.orphan_compat_table(fmt)),
                 jnp.asarray(libformat.single_compat_table(fmt)))
 
-    cp, co, cs = compat_arrays(expected)
+    if auto_detect:
+        # while detecting, every format is compatible (the reference runs
+        # with a neutral incompatPrior until the detector can guess,
+        # SalmonQuantify.cpp:691-700)
+        cp = jnp.ones(6, dtype=bool)
+        co = jnp.ones((2, 2), dtype=bool)
+        cs = jnp.ones(2, dtype=bool)
+        detect_hist = np.zeros(6, dtype=np.int64)
+    else:
+        cp, co, cs = compat_arrays(expected)
 
     want_names = unmapped_path is not None or sam_path is not None
     unmapped_fh = open(unmapped_path, "w") if unmapped_path else None
+    orphan_fh = (open(orphan_links_path, "w")
+                 if (orphan_links_path and paired) else None)
     sam_fh = None
     if sam_path is not None:
         import sys as _sys
@@ -252,7 +312,21 @@ def quantify(
     def submit(chunk):
         """Launch the jitted map for one chunk (async dispatch: returns
         immediately with device futures)."""
-        fld_logpmf = jnp.asarray(fld.log_pmf(), jnp.float32)
+        # FLD snapshot for this minibatch (the LogCMFCache refresh
+        # analog, DistributionUtils.cpp:128-149); mode selects the
+        # fragment-prob formulation by burn-in stage
+        processed = totals["num_processed"]
+        if processed < opts.num_pre_burnin_frags:
+            mode = 0
+        elif processed >= opts.num_burnin_frags:
+            mode = 2
+        else:
+            mode = 1
+        fld_logpmf = {
+            "logpmf": jnp.asarray(fld.log_pmf(), jnp.float32),
+            "logcmf": jnp.asarray(fld.log_cmf(), jnp.float32),
+            "mode": jnp.int32(mode),
+        }
         if paired:
             batch = {
                 "codes_l": jnp.asarray(chunk.left.codes),
@@ -306,6 +380,22 @@ def quantify(
         for k in totals:
             totals[k] += int(out[k])
         fmt_hist_total[:] += np.asarray(out["fmt_hist"], dtype=np.int64)
+        if orphan_fh is not None and "orph_link_row" in out:
+            # --writeOrphanLinks (reference SalmonQuantify.cpp:1409-1421):
+            # per fragment: left `txp,pos` fields, ':', right fields
+            rowsel = np.asarray(out["orph_link_row"])
+            lt = np.asarray(out["orphl_txp"])
+            lp = np.asarray(out["orphl_pos"])
+            rt = np.asarray(out["orphr_txp"])
+            rp = np.asarray(out["orphr_pos"])
+            for i in np.nonzero(rowsel[:chunk.n_valid])[0]:
+                left = "\t".join(f"{t},{p}" for t, p in
+                                  zip(lt[i][lt[i] >= 0], lp[i][lt[i] >= 0]))
+                right = "\t".join(f"{t},{p}" for t, p in
+                                   zip(rt[i][rt[i] >= 0],
+                                       rp[i][rt[i] >= 0]))
+                if left or right:
+                    orphan_fh.write(f"{left}:{right}\n")
         if unmapped_fh is not None or sam_fh is not None:
             names = (chunk.left.names if paired else chunk.names) or []
             ok = np.asarray(out["frag_ok"])
@@ -333,17 +423,18 @@ def quantify(
         batch, out = submit(chunk)
 
         if resolved_format is None:
-            # first batch runs synchronously: library-format detection
-            # needs its results, then the chunk is remapped under the
-            # detected format
-            resolved_format = _detect_library_format(
-                np.asarray(out["fmt_hist"]), paired,
-                int(out["num_mapped"]))
-            logger.info("auto-detected library format: %s",
-                        resolved_format)
-            expected = libformat.parse_library_format(resolved_format)
-            cp, co, cs = compat_arrays(expected)
-            batch, out = submit(chunk)
+            # detection batches run synchronously: accumulate observed
+            # formats until the detector has enough samples (reference
+            # LibraryTypeDetector: 50k samples, neutral compat until
+            # then), then switch the expected format mid-stream
+            detect_hist += np.asarray(out["fmt_hist"], dtype=np.int64)
+            if detect_hist.sum() >= DETECT_SAMPLES_NEEDED:
+                resolved_format = _detect_library_format(detect_hist,
+                                                         paired)
+                logger.info("auto-detected library format: %s",
+                            resolved_format)
+                expected = libformat.parse_library_format(resolved_format)
+                cp, co, cs = compat_arrays(expected)
 
         # consume the PREVIOUS batch's results while this one computes
         # (the FLD fed to batch N+1 is one batch stale — the reference's
@@ -353,9 +444,16 @@ def quantify(
         pending = (chunk, batch, out)
     if pending is not None:
         _consume(*pending)
+    if auto_detect and resolved_format is None:
+        # input ended before 50k samples: guess from what we saw
+        resolved_format = _detect_library_format(detect_hist, paired)
+        logger.info("auto-detected library format (short input): %s",
+                    resolved_format)
 
     if unmapped_fh is not None:
         unmapped_fh.close()
+    if orphan_fh is not None:
+        orphan_fh.close()
     if sam_fh is not None and sam_path != "-":
         sam_fh.close()
     map_seconds = time.time() - t0
@@ -395,11 +493,19 @@ def quantify(
         online_mass = online_mass * (totals["num_mapped"] / om_sum)
 
     t_em = time.time()
-    res = em_mod.optimize(eq, n_valid, eff,
-                          online_mass=online_mass[:n_valid],
-                          total_mapped=float(totals["num_mapped"]),
-                          config=emc, init_uniform=opts.init_uniform)
-    if bias_state is not None and bias_state.enabled:
+    if opts.skip_quant:
+        # --skipQuant (reference MappingPipelineStages.cpp:45): no
+        # optimizer; eq classes/aux outputs only
+        res = {"alphas": np.zeros(n_valid), "iterations": 0,
+               "max_rel_diff": 0.0, "converged": False,
+               "skipped": True}
+    else:
+        res = em_mod.optimize(eq, n_valid, eff,
+                              online_mass=online_mass[:n_valid],
+                              total_mapped=float(totals["num_mapped"]),
+                              config=emc, init_uniform=opts.init_uniform)
+    if bias_state is not None and bias_state.enabled \
+            and not opts.skip_quant:
         # bias-aware effective-length recompute + re-optimize (reference:
         # the mid-loop needsBiasLengthRecompute step,
         # CollapsedEMOptimizer.cpp:900-928)
@@ -431,7 +537,10 @@ def quantify(
         num_orphans=totals["num_orphans"],
         num_orphans_rescued=totals["num_orphans_rescued"],
         em_info=res, fmt_counts=fmt_counts, eq_classes=eq, fld=fld,
-        lib_format=resolved_format or lib_format, bias=bias_state)
+        lib_format=resolved_format or lib_format, bias=bias_state,
+        mapping_stats={k: totals[k] for k in (
+            "num_decoy_fragments", "num_dovetail_fragments",
+            "num_frags_filtered_vm", "num_alns_below_threshold")})
 
 
 def _posterior_samples(result: QuantResult, opts: SalmonDefaults,
@@ -476,20 +585,41 @@ def write_outputs(result: QuantResult, index: TranscriptomeIndex,
     """Write the full output directory (reference:
     stageFinalizeMappingOutputs, MappingPipelineStages.cpp:37-203)."""
     n_valid = index.num_valid_targets
-    writers.write_quant_sf(out_dir, result.names,
-                           index.complete_lengths[:n_valid],
-                           result.eff_lens, result.counts,
-                           sig_digits=opts.sig_digits)
+    if not getattr(opts, "skip_quant", False):
+        writers.write_quant_sf(out_dir, result.names,
+                               index.complete_lengths[:n_valid],
+                               result.eff_lens, result.counts,
+                               sig_digits=opts.sig_digits)
     writers.write_cmd_info(out_dir, cmd_args or {})
-    num_compat = sum(result.fmt_counts.get(k, 0) for k in
-                     (result.lib_format,)) if result.lib_format in \
-        result.fmt_counts else result.num_mapped
+    aux_ids = getattr(opts, "_aux_target_ids", None)
+    if aux_ids is not None:
+        import json as _json
+        os_mod = __import__("os")
+        d = os_mod.path.join(out_dir, "aux_info")
+        os_mod.makedirs(d, exist_ok=True)
+        with open(os_mod.path.join(d, "aux_target_ids.json"), "w") as fh:
+            _json.dump({"aux_target_ids": aux_ids}, fh)
+    # numCompat: observed formats compatible with the expected one
+    # (reference ReadLibrary::numCompat via salmon::utils::compatibleHit)
+    try:
+        fmt = libformat.parse_library_format(result.lib_format)
+        compat = libformat.paired_compat_table(fmt) \
+            if set(result.fmt_counts) >= {"ISF", "ISR"} \
+            else libformat.single_compat_table(fmt)
+        names = (libformat.format_names_paired()
+                 if set(result.fmt_counts) >= {"ISF", "ISR"}
+                 else libformat.format_names_single())
+        num_compat = sum(int(result.fmt_counts.get(nm, 0))
+                         for i, nm in enumerate(names) if compat[i])
+    except Exception:
+        num_compat = result.num_mapped
     writers.write_lib_format_counts(
         out_dir, result.lib_format, result.fmt_counts, num_compat,
         result.num_processed, result.num_mapped)
     aux = "aux_info"
     samples, samp_type = (None, "none")
-    if result.eq_classes is not None and result.eq_classes.num_classes:
+    if (result.eq_classes is not None and result.eq_classes.num_classes
+            and not getattr(opts, "skip_quant", False)):
         samples, samp_type = _posterior_samples(result, opts, seed)
     if samples is not None:
         writers.write_bootstraps(out_dir, aux, result.names, samples)
@@ -522,10 +652,14 @@ def write_outputs(result: QuantResult, index: TranscriptomeIndex,
         "num_processed": result.num_processed,
         "num_mapped": result.num_mapped,
         "num_orphans_rescued": result.num_orphans_rescued,
-        "num_decoy_fragments": 0,
-        "num_dovetail_fragments": 0,
-        "num_fragments_filtered_vm": 0,
-        "num_alignments_below_threshold_for_mapped_fragments_vm": 0,
+        "num_decoy_fragments":
+        result.mapping_stats.get("num_decoy_fragments", 0),
+        "num_dovetail_fragments":
+        result.mapping_stats.get("num_dovetail_fragments", 0),
+        "num_fragments_filtered_vm":
+        result.mapping_stats.get("num_frags_filtered_vm", 0),
+        "num_alignments_below_threshold_for_mapped_fragments_vm":
+        result.mapping_stats.get("num_alns_below_threshold", 0),
         "percent_mapped": pm,
         "call": "quant",
         "num_em_iterations": result.em_info.get("iterations", 0),

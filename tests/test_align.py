@@ -138,3 +138,67 @@ def test_banded_scores_packed_path_matches():
     packed = np.asarray(banded_scores(
         *args, seq_words=jnp.asarray(words), seq_words_shift=shift))
     np.testing.assert_array_equal(plain, packed)
+
+
+def _run_jax_opts(read, ref, ref_base=0, bw=BW, **kw):
+    L = len(read)
+    seq = np.asarray(ref, dtype=np.uint8)
+    out = banded_scores(
+        jnp.asarray(np.asarray(read, np.uint8)[None, :]),
+        jnp.asarray([L], jnp.int32),
+        jnp.asarray([ref_base], jnp.int32),
+        jnp.asarray([len(ref)], jnp.int32),
+        jnp.asarray(seq), jnp.asarray([0], jnp.int32),
+        bw, MA, MP, GO, GE, **kw)
+    return float(out[0])
+
+
+def test_softclip_overhangs():
+    """--softclipOverhangs: bases hanging off the transcript end are
+    clipped for free (reference aconf.allowOverhangSoftclip)."""
+    rng = np.random.default_rng(5)
+    ref = rng.integers(0, 4, 40).tolist()
+    # read = last 10 ref bases + 10 bases off the end
+    read = ref[30:] + rng.integers(0, 4, 10).tolist()
+    hard = _run_jax_opts(read, ref, ref_base=30)
+    soft = _run_jax_opts(read, ref, ref_base=30, softclip_overhangs=True)
+    # hard: best the DP can do is 10 matches then a 10-base insertion
+    # (overhang cells are -1000): 20 - (6 + 2*10) = -6
+    assert hard == 2.0 * 10 - (GO + GE * 10)
+    assert soft == 2.0 * 10       # 10 matches + free clipped overhang
+
+
+def test_softclip_read_ends():
+    """--softclip: mismatching read ends may be clipped for free."""
+    rng = np.random.default_rng(6)
+    ref = rng.integers(0, 4, 80).tolist()
+    read = list(ref[20:50])
+    read[:5] = [(b + 1) % 4 for b in read[:5]]    # garbage prefix
+    read[-5:] = [(b + 1) % 4 for b in read[-5:]]  # garbage suffix
+    hard = _run_jax_opts(read, ref, ref_base=20)
+    soft = _run_jax_opts(read, ref, ref_base=20, softclip=True)
+    assert soft == 2.0 * 20              # ends clipped free
+    assert hard < soft                   # ends forced to align/gap
+
+
+def test_softclip_matches_scalar_reference_random():
+    rng = np.random.default_rng(11)
+    for trial in range(8):
+        L = int(rng.integers(20, 60))
+        ref = rng.integers(0, 4, L + 40)
+        read = np.array(ref[20:20 + L])
+        nmut = int(rng.integers(0, 6))
+        for _ in range(nmut):
+            i = int(rng.integers(0, L))
+            read[i] = (read[i] + 1 + rng.integers(0, 3)) % 4
+        for sc, so in ((True, False), (False, True), (True, True)):
+            got = _run_jax_opts(read.tolist(), ref.tolist(), ref_base=20,
+                                softclip=sc, softclip_overhangs=so)
+            want = banded_scores_numpy(read, ref[20 - BW + BW:], BW, MA,
+                                       MP, GO, GE, softclip=sc,
+                                       softclip_overhangs=so)
+            # numpy ref indexes ref so read[i] aligns near ref[i]
+            want = banded_scores_numpy(read, np.array(ref[20:]), BW, MA,
+                                       MP, GO, GE, softclip=sc,
+                                       softclip_overhangs=so)
+            assert got == want, (trial, sc, so, got, want)

@@ -101,8 +101,8 @@ def test_sharded_em_matches_single(small_index, rng):
     pri = em_mod.prior_alphas(n, eff, 1e-2, True)
     args = (jnp.asarray(a0, jnp.float32), jnp.asarray(pri, jnp.float32),
             n, True, 0.01, 50, 1000)
-    alpha_1, it_1, _ = em_mod.run_em(eqd, *args,
-                                     eff_lens=jnp.asarray(eff, jnp.float32))
+    alpha_1, it_1, _, _, _ = em_mod.run_em(
+        eqd, *args, eff_lens=jnp.asarray(eff, jnp.float32))
     alpha_n, it_n, _ = run_em_sharded(
         mesh, eqd, args[0], args[1], n, True, 0.01, 50, 1000,
         eff_lens=jnp.asarray(eff, jnp.float32))

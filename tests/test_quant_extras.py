@@ -139,3 +139,125 @@ def test_orphan_rescue(tmp_path, sample_data_dir):
     assert int(out_off["num_paired"]) < 5       # seeds destroyed
     assert int(out_on["num_orphans_rescued"]) >= 25
     assert int(out_on["num_paired"]) >= 25      # upgraded to paired
+
+
+def test_ambig_frag_length_prob():
+    """The LogCMFCache::getAmbigFragLengthProb analog: single-end hits
+    near the 3' (fw) / 5' (rc) end must be penalized by the mass of
+    fragment lengths that no longer fit (DistributionUtils.cpp:151-172)."""
+    import jax.numpy as jnp
+    from salmon_tpu.mapping.pipeline import _fld_inputs, _filter_and_weight
+    from salmon_tpu.mapping.pipeline import MapperConfig
+    from salmon_tpu.models.fld import FragmentLengthDistribution
+
+    fld = FragmentLengthDistribution(max_val=1000)
+    logpmf = jnp.asarray(fld.log_pmf(), jnp.float32)
+    logcmf = jnp.asarray(fld.log_cmf(), jnp.float32)
+    fld_d = {"logpmf": logpmf, "logcmf": logcmf, "mode": jnp.int32(1)}
+
+    cfg = MapperConfig(k=25, n_slots=64, max_probes=4,
+                       first_decoy_index=10, num_txps=10)
+    R, T2 = 2, 2
+    # row 0: fw read at pos 10 vs pos 900 on a 1000bp txp; the pos-10 hit
+    # leaves room for any fragment, pos-900 leaves only 100bp
+    joined = {
+        "txp": jnp.array([[1, 2], [1, 2]], jnp.int32),
+        "score": jnp.array([[30, 30], [30, 30]], jnp.int32),
+        "valid": jnp.ones((R, T2), bool),
+        "mate_status": jnp.array([3, 3], jnp.int32),  # != MS_PAIRED
+        "pos": jnp.array([[10, 900], [10, 900]], jnp.int32),
+        "fw": jnp.array([[True, True], [False, False]]),
+        "frag_len": jnp.zeros((R, T2), jnp.int32),
+        "obs_code": jnp.zeros((R, T2), jnp.int32),
+    }
+    tlen = jnp.full((R, T2), 1000, jnp.int32)
+    rlen = jnp.full((R,), 50, jnp.int32)
+    eq_txp, eq_w, frag_ok, aln_valid, wn, _, _ = _filter_and_weight(
+        joined, fld_d, jnp.ones(6, bool), jnp.ones((2, 2), bool),
+        None, cfg, tlen=tlen, rlen_mapped=rlen, single_end=True)
+    w = np.asarray(wn)
+    # fw: pos 10 -> maxfl 990 (CMF ~1); pos 900 -> maxfl 100 (CMF ~0
+    # under the N(250,25) prior): the near-end hit must lose
+    row0 = {int(t): float(x) for t, x in zip(np.asarray(eq_txp)[0], w[0])}
+    assert row0[1] > 0.99 and row0[2] < 1e-6, row0
+    # rc: pos 900 + rlen 50 -> room 950 upstream (fine); pos 10 -> room
+    # 60 upstream (penalized)
+    row1 = {int(t): float(x) for t, x in zip(np.asarray(eq_txp)[1], w[1])}
+    assert row1[2] > 0.99 and row1[1] < 1e-6, row1
+
+
+def test_write_orphan_links_and_skip_quant(tmp_path, sample_idx_dir=None):
+    """--writeOrphanLinks emits aux_info/orphan_links.txt;
+    --skipQuant skips quant.sf but still dumps eq classes."""
+    import os
+    from salmon_tpu.cli import main
+
+    data = os.path.join(os.path.dirname(__file__), "data")
+    idx = str(tmp_path / "idx")
+    rc = main(["index", "-t", os.path.join(data, "transcripts.fasta"),
+               "-i", idx, "-k", "25"])
+    assert rc == 0
+    out = str(tmp_path / "q")
+    rc = main(["quant", "-i", idx, "-l", "IU",
+               "-1", os.path.join(data, "reads_1.fastq"),
+               "-2", os.path.join(data, "reads_2.fastq"),
+               "-o", out, "--writeOrphanLinks", "--skipQuant",
+               "--dumpEqWeights", "-q"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "aux_info",
+                                       "orphan_links.txt"))
+    assert not os.path.exists(os.path.join(out, "quant.sf"))
+    assert os.path.exists(os.path.join(out, "aux_info",
+                                       "eq_classes.txt.gz"))
+
+
+def test_mimic_bt2_presets():
+    from salmon_tpu.cli import build_parser, _opts_from_args
+    import pytest as _pytest
+
+    ap = build_parser()
+    args = ap.parse_args(["quant", "-i", "x", "-o", "y", "--mimicBT2"])
+    o = _opts_from_args(args)
+    assert o.gap_open_penalty == 5 and o.gap_extend_penalty == 3
+    assert o.max_read_occs == 1000 and o.discard_orphans
+    args = ap.parse_args(["quant", "-i", "x", "-o", "y",
+                          "--mimicStrictBT2"])
+    o = _opts_from_args(args)
+    assert o.min_score_fraction == 0.8 and o.match_score == 1
+    args = ap.parse_args(["quant", "-i", "x", "-o", "y", "--mimicBT2",
+                          "--mimicStrictBT2"])
+    with _pytest.raises(SystemExit):
+        _opts_from_args(args)
+    args = ap.parse_args(["quant", "-i", "x", "-o", "y",
+                          "--hitFilterPolicy", "BEFORE"])
+    with _pytest.raises(SystemExit):
+        _opts_from_args(args)
+
+
+def test_aux_target_file(tmp_path):
+    """--auxTargetFile marks targets to skip bias correction and dumps
+    aux_target_ids.json (reference markAuxiliaryTargets)."""
+    import json
+    import os
+    from salmon_tpu.cli import main
+
+    data = os.path.join(os.path.dirname(__file__), "data")
+    idx = str(tmp_path / "idx")
+    rc = main(["index", "-t", os.path.join(data, "transcripts.fasta"),
+               "-i", idx, "-k", "25"])
+    assert rc == 0
+    # first two transcript names from the index
+    from salmon_tpu.index.builder import load_index
+    index = load_index(idx)
+    auxf = str(tmp_path / "aux.txt")
+    with open(auxf, "w") as fh:
+        fh.write("\n".join(index.names[:2]) + "\n")
+    out = str(tmp_path / "q")
+    rc = main(["quant", "-i", idx, "-l", "IU",
+               "-1", os.path.join(data, "reads_1.fastq"),
+               "-2", os.path.join(data, "reads_2.fastq"),
+               "-o", out, "--auxTargetFile", auxf, "-q"])
+    assert rc == 0
+    ids = json.load(open(os.path.join(out, "aux_info",
+                                      "aux_target_ids.json")))
+    assert ids["aux_target_ids"] == [0, 1]
