@@ -188,18 +188,45 @@ def prior_alphas(num_txps: int, eff_lens: np.ndarray, prior_value: float,
     return prior_value * eff_lens
 
 
+# entry-count threshold above which the sort-routed engine takes over
+# (gather-free iterations ~8x faster at human scale; below this the
+# classic path compiles faster and the gap doesn't matter)
+ROUTED_MIN_ENTRIES = 65_536
+
+
 def optimize(eq: PackedEqClasses, num_txps: int, eff_lens: np.ndarray,
              online_mass: Optional[np.ndarray] = None,
              total_mapped: Optional[float] = None,
              config: EMConfig = EMConfig(),
-             init_uniform: bool = False) -> dict:
+             init_uniform: bool = False,
+             engine: str = "auto") -> dict:
     """Host-facing optimize: packs, runs the jitted loop, truncates.
 
+    engine: 'auto' (sort-routed above ROUTED_MIN_ENTRIES), 'routed',
+    or 'xla' (classic gather/segment_sum path).
     Returns dict with alphas (est. read counts), iterations, converged.
     """
-    eqd, (E, Cl, Ep, Clp) = pad_eqclasses(eq)
     if total_mapped is None:
         total_mapped = eq.num_fragments
+    use_routed = (engine == "routed"
+                  or (engine == "auto"
+                      and eq.labels.shape[0] >= ROUTED_MIN_ENTRIES))
+    if use_routed:
+        from salmon_tpu.inference import fastem
+        a0 = initial_alphas(num_txps, online_mass, total_mapped,
+                            init_uniform)
+        pri = prior_alphas(num_txps, eff_lens, config.vb_prior,
+                           config.per_transcript_prior)
+        res = fastem.optimize_routed(
+            eq, num_txps, eff_lens, a0, pri, config.use_vbem,
+            config.rel_diff_tolerance, config.min_iterations,
+            config.max_iterations,
+            alpha_cutoff=config.alpha_check_cutoff)
+        res["alphas"][res["alphas"] < config.min_alpha] = 0.0
+        res.pop("packed", None)
+        return res
+
+    eqd, (E, Cl, Ep, Clp) = pad_eqclasses(eq)
     a0 = initial_alphas(num_txps, online_mass, total_mapped, init_uniform)
     pri = prior_alphas(num_txps, eff_lens, config.vb_prior,
                        config.per_transcript_prior)
