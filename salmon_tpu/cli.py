@@ -322,6 +322,8 @@ def _process_quant_options(o) -> None:
 
 
 def cmd_quant(args) -> int:
+    from salmon_tpu.parallel.distributed import maybe_init_from_env
+    maybe_init_from_env()
     _setup_logging(args.output)
     cmd_args = {k: v for k, v in vars(args).items()
                 if v is not None and k != "command"}
@@ -350,12 +352,16 @@ def cmd_quant(args) -> int:
     unmapped_path = None
     orphan_links_path = None
     aux = os.path.join(args.output, "aux_info")
+    import jax as _jax
+    _suffix = (f".{_jax.process_index()}"
+               if _jax.process_count() > 1 else "")
     if args.writeUnmappedNames:
         os.makedirs(aux, exist_ok=True)
-        unmapped_path = os.path.join(aux, "unmapped_names.txt")
+        unmapped_path = os.path.join(aux, f"unmapped_names.txt{_suffix}")
     if args.writeOrphanLinks:
         os.makedirs(aux, exist_ok=True)
-        orphan_links_path = os.path.join(aux, "orphan_links.txt")
+        orphan_links_path = os.path.join(aux,
+                                         f"orphan_links.txt{_suffix}")
     try:
         result = quantify(
             index, args.libType,
@@ -370,6 +376,11 @@ def cmd_quant(args) -> int:
                                     index.names[:n],
                                     index.complete_lengths[:n])
         return 1
+    if _jax.process_count() > 1 and _jax.process_index() != 0:
+        # all processes compute identical results; only host 0 writes
+        logger.info("process %d done (host 0 writes outputs)",
+                    _jax.process_index())
+        return 0
     write_outputs(result, index, args.output, opts=opts,
                   cmd_args=cmd_args,
                   dump_eq=args.dumpEq or args.dumpEqWeights,

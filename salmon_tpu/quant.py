@@ -221,18 +221,31 @@ def quantify(
     cfg = MapperConfig.from_index(index, opts)
     dev = device_index_arrays(index)
 
-    # multi-chip: shard each batch data-parallel over all local devices
-    # (reference analog: N worker threads over disjoint read batches,
-    # SURVEY.md §2.11 item 2). Single device -> plain jit path.
+    # multi-chip: shard each batch data-parallel over all devices of the
+    # (possibly multi-host) mesh (reference analog: N worker threads over
+    # disjoint read batches, SURVEY.md §2.11 item 2). Single device ->
+    # plain jit path.
     import jax as _jax
     mesh = None
     n_dev = len(_jax.devices())
+    pid, nproc = _jax.process_index(), _jax.process_count()
+    multiproc = nproc > 1
     if n_dev > 1:
         from salmon_tpu.parallel import (make_mesh, parallel_map_paired,
                                          parallel_map_single,
                                          shard_batch_arrays)
         mesh = make_mesh()
-        logger.info("mapping data-parallel over %d devices", n_dev)
+        logger.info("mapping data-parallel over %d devices (%d hosts)",
+                    n_dev, nproc)
+    if multiproc:
+        from salmon_tpu.parallel import distributed as _dist
+        if (opts.seq_bias_correct or opts.gc_bias_correct
+                or opts.pos_bias_correct):
+            logger.warning("bias correction is not supported multi-host "
+                           "yet; disabling")
+            opts = dataclasses.replace(
+                opts, seq_bias_correct=False, gc_bias_correct=False,
+                pos_bias_correct=False)
 
     fld = FragmentLengthDistribution(
         max_val=opts.max_frag_length, prior_mu=opts.frag_len_prior_mean,
@@ -334,7 +347,11 @@ def quantify(
                 "codes_r": jnp.asarray(chunk.right.codes),
                 "lengths_r": jnp.asarray(chunk.right.lengths),
             }
-            if mesh is not None:
+            if multiproc:
+                batch = _dist.make_global_batch(mesh, batch)
+                out = parallel_map_paired(mesh, batch, dev, cfg,
+                                          fld_logpmf, cp, co)
+            elif mesh is not None:
                 batch = shard_batch_arrays(mesh, batch)
                 out = parallel_map_paired(mesh, batch, dev, cfg,
                                           fld_logpmf, cp, co)
@@ -346,7 +363,11 @@ def quantify(
                 "codes": jnp.asarray(chunk.codes),
                 "lengths": jnp.asarray(chunk.lengths),
             }
-            if mesh is not None:
+            if multiproc:
+                batch = _dist.make_global_batch(mesh, batch)
+                out = parallel_map_single(mesh, batch, dev, cfg,
+                                          fld_logpmf, cs)
+            elif mesh is not None:
                 batch = shard_batch_arrays(mesh, batch)
                 out = parallel_map_single(mesh, batch, dev, cfg,
                                           fld_logpmf, cs)
@@ -358,9 +379,13 @@ def quantify(
 
     def _consume(chunk, batch, out):
         nonlocal n_batches
-        acc.add_batch(np.asarray(out["eq_txp"]),
-                      np.asarray(out["eq_weight"]),
-                      np.asarray(out["eq_bins"])
+        if multiproc:
+            to_np = _dist.local_rows
+        else:
+            to_np = np.asarray
+        acc.add_batch(to_np(out["eq_txp"]),
+                      to_np(out["eq_weight"]),
+                      to_np(out["eq_bins"])
                       if cfg.range_bins > 0 else None)
         if bias_state is not None:
             bt = out["best_txp"]
@@ -398,14 +423,22 @@ def quantify(
                     orphan_fh.write(f"{left}:{right}\n")
         if unmapped_fh is not None or sam_fh is not None:
             names = (chunk.left.names if paired else chunk.names) or []
-            ok = np.asarray(out["frag_ok"])
+            ok = (to_np(out["frag_ok"]) if multiproc
+                  else np.asarray(out["frag_ok"]))
             if unmapped_fh is not None:
                 for i, nm in enumerate(names[:chunk.n_valid]):
                     if not ok[i]:
                         nm_s = nm.decode() if isinstance(nm, bytes) else nm
                         unmapped_fh.write(f"{nm_s} u\n")
             if sam_fh is not None:
-                _write_sam_batch(sam_fh, index, names, chunk, out, paired)
+                out_s = out
+                if multiproc:
+                    out_s = {k: (to_np(out[k]) if k in (
+                        "frag_ok", "best_txp", "best_pos", "best_fw",
+                        "best_flen", "best_is_paired") else out[k])
+                        for k in out}
+                _write_sam_batch(sam_fh, index, names, chunk, out_s,
+                                 paired)
         if totals["num_processed"] >= opts.num_burnin_frags:
             fld.freeze()
         n_batches += 1
@@ -417,6 +450,36 @@ def quantify(
                 totals["num_processed"] / max(el, 1e-9),
                 100.0 * totals["num_mapped"]
                 / max(totals["num_processed"], 1))
+
+    if multiproc:
+        # each process maps the pid-th chunk of every nproc-chunk group;
+        # missing tail chunks become all-padding rows
+        def my_chunks(it):
+            import itertools
+            group = []
+            empty = None
+            for c in it:
+                group.append(c)
+                if len(group) == nproc:
+                    yield group[pid]
+                    group = []
+            if group:
+                tmpl = group[0]
+                if pid < len(group):
+                    yield group[pid]
+                else:
+                    import copy
+                    e = copy.deepcopy(tmpl)
+                    if paired:
+                        e.left.lengths[:] = 0
+                        e.right.lengths[:] = 0
+                        e.left.codes[:] = 4
+                        e.right.codes[:] = 4
+                    else:
+                        e.lengths[:] = 0
+                        e.codes[:] = 4
+                    yield e
+        chunks = my_chunks(chunks)
 
     pending = None  # 1-deep host/device pipeline
     for chunk in chunks:
@@ -462,6 +525,23 @@ def quantify(
             f"salmon_tpu was only able to assign {totals['num_mapped']} "
             f"fragments (min required: {opts.min_assigned_frags})")
 
+    if multiproc:
+        # merge eq tables across hosts: every process ends with the
+        # identical table, so the replicated EM agrees everywhere
+        from salmon_tpu.inference.eqclasses import _dedupe_rows
+        acc._collapse()
+        if acc._chunks:
+            keys, cts, ws = acc._chunks[0]
+        else:
+            keys = np.zeros((0, 0), np.int32)
+            cts = np.zeros(0)
+            ws = np.zeros((0, 0))
+        k2, c2, w2 = _dist.allgather_eq_state(keys, cts, ws)
+        if k2.size:
+            acc._chunks = [_dedupe_rows(k2, c2, w2)]
+            acc._ncols = k2.shape[1]
+            acc._t2 = acc._t2 or cfg.max_pair_cands
+            acc._buffered = acc._chunks[0][0].shape[0]
     eq = acc.finish()
     # decoys never enter eq classes (filtered on device), but keep shapes for
     # valid targets only in the EM (reference dropDecoyTranscripts)

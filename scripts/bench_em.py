@@ -59,6 +59,15 @@ def main():
     print(f"routed: {N_IT} iters in {dt:.3f}s -> "
           f"{N_IT / dt:.1f} iters/s ({dt / N_IT * 1e3:.2f} ms/iter)",
           flush=True)
+    N2 = 200
+    t0 = time.perf_counter()
+    r = fastem.optimize_routed(eq, T, eff, a0, pri, True, 1e-12,
+                               N2, N2, packed=packed)
+    dt2b = time.perf_counter() - t0
+    marg = (dt2b - dt) / (N2 - N_IT)
+    print(f"routed: {N2} iters in {dt2b:.3f}s; marginal "
+          f"{marg * 1e3:.2f} ms/iter -> {1 / marg:.0f} iters/s "
+          f"steady-state", flush=True)
 
     # classic engine
     eqd, _ = em_mod.pad_eqclasses(eq)

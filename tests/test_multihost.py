@@ -1,0 +1,65 @@
+"""2-process multi-host quant (virtual CPU devices) matches single-process.
+
+Exercises jax.distributed init, the global-mesh shard_map path,
+make_array_from_process_local_data batching, and the cross-host eq-table
+allgather merge (salmon_tpu/parallel/distributed.py).
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DATA = os.path.join(REPO, "tests", "data")
+
+
+@pytest.mark.slow
+def test_two_process_quant_matches_single(tmp_path):
+    from salmon_tpu.io.writers import read_quant_sf
+
+    idx = str(tmp_path / "idx")
+    env0 = dict(os.environ)
+    env0["JAX_PLATFORMS"] = "cpu"
+    env0["PYTHONPATH"] = REPO
+    env0.pop("SALMON_TPU_COORDINATOR", None)
+    subprocess.run(
+        [sys.executable, "-m", "salmon_tpu", "index", "-t",
+         os.path.join(DATA, "transcripts.fasta"), "-i", idx, "-k", "25"],
+        env=env0, check=True, capture_output=True)
+
+    def quant(out, multihost):
+        procs = []
+        for pid in range(2 if multihost else 1):
+            env = dict(env0)
+            if multihost:
+                env["SALMON_TPU_COORDINATOR"] = "127.0.0.1:8891"
+                env["SALMON_TPU_NUM_PROCS"] = "2"
+                env["SALMON_TPU_PROC_ID"] = str(pid)
+                env["XLA_FLAGS"] = \
+                    "--xla_force_host_platform_device_count=2"
+            procs.append(subprocess.Popen(
+                [sys.executable, "-m", "salmon_tpu", "quant", "-i", idx,
+                 "-l", "IU", "-1", os.path.join(DATA, "reads_1.fastq"),
+                 "-2", os.path.join(DATA, "reads_2.fastq"),
+                 "-o", out, "-q"], env=env,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL))
+        for p in procs:
+            assert p.wait(timeout=600) == 0
+
+    q1 = str(tmp_path / "q1")
+    q2 = str(tmp_path / "q2")
+    quant(q1, multihost=False)
+    quant(q2, multihost=True)
+    a = read_quant_sf(os.path.join(q1, "quant.sf"))
+    b = read_quant_sf(os.path.join(q2, "quant.sf"))
+    assert a["Name"] == b["Name"]
+    # all 10k fragments must be processed exactly once across hosts
+    import json
+    meta = json.load(open(os.path.join(q2, "aux_info",
+                                       "meta_info.json")))
+    assert meta["num_processed"] == 10000
+    d = np.abs(a["NumReads"] - b["NumReads"]).max()
+    assert d <= 1.0, f"multihost counts diverge by {d}"
