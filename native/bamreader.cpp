@@ -199,6 +199,11 @@ int32_t bam_ref_len(void* h, int32_t i) {
   return static_cast<BamFile*>(h)->ref_lens[size_t(i)];
 }
 
+// NUL-terminated SAM text header (for @PG aligner detection)
+const char* bam_text_header(void* h) {
+  return static_cast<BamFile*>(h)->text_header.c_str();
+}
+
 // Fill caller-allocated arrays with up to `cap` records. The decoded
 // read sequences go into seq_buf (capacity seq_cap bytes), CIGAR ops
 // into cigar_op/cigar_len (capacity cigar_cap). Returns the number of

@@ -81,6 +81,8 @@ def _load_native():
     lib.bam_ref_name.argtypes = [ctypes.c_void_p, ctypes.c_int32]
     lib.bam_ref_len.restype = ctypes.c_int32
     lib.bam_ref_len.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    lib.bam_text_header.restype = ctypes.c_char_p
+    lib.bam_text_header.argtypes = [ctypes.c_void_p]
     lib.bam_next_batch.restype = ctypes.c_int64
     return lib
 
@@ -116,10 +118,13 @@ class BamReader:
             self.ref_lens = np.array(
                 [self._lib.bam_ref_len(self._h, i) for i in range(n)],
                 dtype=np.int32)
+            self.header_text = self._lib.bam_text_header(
+                self._h).decode(errors="replace")
         else:
             self._py = _PyBam(path)
             self.ref_names = self._py.ref_names
             self.ref_lens = np.array(self._py.ref_lens, dtype=np.int32)
+            self.header_text = self._py.header_text
 
     def close(self):
         if self._lib is not None and self._h:
@@ -189,7 +194,8 @@ class _PyBam:
         if magic != b"BAM\x01":
             raise IOError(f"{path}: not a BAM file")
         (l_text,) = struct.unpack("<i", self._fh.read(4))
-        self._fh.read(l_text)
+        self.header_text = self._fh.read(l_text).rstrip(
+            b"\x00").decode(errors="replace")
         (n_ref,) = struct.unpack("<i", self._fh.read(4))
         self.ref_names, self.ref_lens = [], []
         for _ in range(n_ref):

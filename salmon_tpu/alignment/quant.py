@@ -31,6 +31,55 @@ logger = logging.getLogger("salmon_tpu")
 INVALID_TXP = 0x7FFFFFFF
 
 
+ALIGNER_HINTS = {
+    "bowtie2": "Bowtie2", "bowtie": "Bowtie", "bwa": "BWA",
+    "star": "STAR", "hisat2": "HISAT2", "hisat": "HISAT",
+    "minimap2": "minimap2", "rapmap": "RapMap", "pufferfish":
+    "pufferfish", "salmon": "salmon"}
+
+
+def detect_aligner(header_text: str) -> str:
+    """@PG-based aligner detection (reference AlignmentCommon::
+    checkHeader, src/alignment/AlignmentCommon.cpp:12-60). Logs what
+    produced the BAM; warns when nothing recognizable is found."""
+    found = ""
+    for line in (header_text or "").splitlines():
+        if not line.startswith("@PG"):
+            continue
+        low = line.lower()
+        for key, pretty in ALIGNER_HINTS.items():
+            if key in low:
+                found = pretty
+                break
+        if found:
+            break
+    if found:
+        logger.info("alignments produced by %s", found)
+    else:
+        logger.warning("could not determine the aligner from the BAM "
+                       "header (@PG); proceeding anyway")
+    return found
+
+
+def _targets_index(names, tlens, records):
+    """A TranscriptomeIndex-shaped shim over the -t FASTA targets so
+    alignment mode shares quant.write_outputs / bias machinery."""
+    from salmon_tpu.index.builder import TranscriptomeIndex
+    seq_off = np.zeros(len(names) + 1, dtype=np.int64)
+    seq_off[1:] = np.cumsum([r.seq_codes.shape[0] for r in records])
+    seq = (np.concatenate([r.seq_codes for r in records])
+           if records else np.zeros(0, np.uint8))
+    lens32 = tlens.astype(np.int32)
+    return TranscriptomeIndex(
+        k=0, names=list(names), lengths=lens32,
+        complete_lengths=lens32, first_decoy_index=len(names),
+        kmers=np.zeros(0, np.uint64),
+        occ_offsets=np.zeros(1, np.int64),
+        occ_txp=np.zeros(0, np.int32), occ_pos=np.zeros(0, np.int32),
+        occ_fwd=np.zeros(0, bool), table=None,
+        seq_codes=seq, seq_offsets=seq_off, info={})
+
+
 def _load_targets(fasta_path: str):
     from salmon_tpu.io.fasta import load_transcripts
     records, info = load_transcripts(fasta_path, noclip_polya=True)
@@ -205,6 +254,23 @@ def quantify_alignments(args, opts, cmd_args) -> int:
     tseq_off[1:] = np.cumsum([r.seq_codes.shape[0] for r in _records])
     tseq_codes = (np.concatenate([r.seq_codes for r in _records])
                   if _records else np.zeros(0, np.uint8))
+    shim_index = _targets_index(names, tlens, _records)
+
+    # bias-model state (shared with mapping mode; reference enables the
+    # same finalize path for alignment inputs,
+    # AlignmentPipelineStages.cpp:61-90)
+    bias_state = None
+    bias_collect = None
+    bdev = None
+    if (opts.seq_bias_correct or opts.gc_bias_correct
+            or opts.pos_bias_correct):
+        from salmon_tpu.models.bias import (bias_device_arrays,
+                                            collect_bias_observations)
+        from salmon_tpu.models.bias_correct import BiasState
+        import jax as _jax
+        bias_state = BiasState(shim_index, opts)
+        bdev = bias_device_arrays(shim_index)
+        bias_collect = _jax.jit(collect_bias_observations)
 
     # --- error model training pass (reference: burn-in updates in
     # processMiniBatch, SalmonQuantifyAlignments.cpp:126+)
@@ -287,8 +353,12 @@ def quantify_alignments(args, opts, cmd_args) -> int:
                     "ONT" if ont is not None else "mismatch-transition",
                     trained)
 
+    aligner_checked = False
     for bam_path in args.alignments:
         rdr = BamReader(bam_path)
+        if not aligner_checked:
+            detect_aligner(getattr(rdr, "header_text", ""))
+            aligner_checked = True
         # map BAM refs -> target ids by name (reference validates the
         # header against the -t FASTA)
         ref_map = np.full(len(rdr.ref_names), -1, dtype=np.int64)
@@ -396,19 +466,22 @@ def quantify_alignments(args, opts, cmd_args) -> int:
             eq_txp[row[sel], col[sel]] = txp_k[sel]
             eq_w[row[sel], col[sel]] = w[sel]
             # collapse duplicate txps within a fragment + sort labels
+            # (vectorized run-merge: weights accumulate at run starts)
             o2 = np.argsort(eq_txp, axis=1, kind="stable")
             eq_txp = np.take_along_axis(eq_txp, o2, axis=1)
             eq_w = np.take_along_axis(eq_w, o2, axis=1)
-            dup = np.zeros_like(eq_txp, dtype=bool)
-            dup[:, 1:] = (eq_txp[:, 1:] == eq_txp[:, :-1]) & (
-                eq_txp[:, 1:] != INVALID_TXP)
-            # merge dup weights leftward
-            for j in range(1, T2):
-                m = dup[:, j]
-                if m.any():
-                    eq_w[m, j - 1] += eq_w[m, j]
-                    eq_w[m, j] = 0.0
-                    eq_txp[m, j] = INVALID_TXP
+            flat = eq_txp.ravel()
+            fw_ = eq_w.ravel().astype(np.float64)
+            new = np.ones(F * T2, dtype=bool)
+            new[1:] = flat[1:] != flat[:-1]
+            new[::T2] = True
+            gid = np.cumsum(new) - 1
+            sums = np.bincount(gid, weights=fw_)
+            fw_out = np.zeros_like(fw_)
+            fw_out[new] = sums
+            eq_w = fw_out.reshape(F, T2).astype(np.float32)
+            eq_txp = np.where(new, flat, INVALID_TXP).reshape(F, T2)
+            eq_w[eq_txp == INVALID_TXP] = 0.0
             o3 = np.argsort(
                 np.where(eq_txp == INVALID_TXP, INVALID_TXP, eq_txp),
                 axis=1, kind="stable")
@@ -419,17 +492,50 @@ def quantify_alignments(args, opts, cmd_args) -> int:
             num_mapped += int(has.sum())
             acc.add_batch(eq_txp, eq_w, None)
 
-            # FLD + format stats from the valid alignments
+            # FLD observations weighted by the per-fragment alignment
+            # posterior (reference processMiniBatch: each alignment
+            # contributes its posterior mass to its fragment-length bin)
+            wsum_f = np.bincount(
+                np.repeat(np.arange(F), counts),
+                weights=np.where(valid_w, w, 0.0), minlength=F)
+            wn = np.where(valid_w, w, 0.0) / np.maximum(
+                np.repeat(wsum_f, counts), 1e-300)
             if paired_detect:
                 good = (obs_k >= 0) & (flen_k > 0) & valid_w
                 hist = np.bincount(
                     np.clip(flen_k[good], 0, opts.max_frag_length),
+                    weights=wn[good],
                     minlength=opts.max_frag_length + 1).astype(np.float64)
-                # one FLD observation per fragment: divide by avg alns
-                hist *= F / max(1, good.sum())
                 fld.add_observations(hist)
-                fmt_hist += np.bincount(np.clip(obs_k[good], 0, 5),
+            # best alignment per fragment (first max-weight entry)
+            wv = np.where(valid_w, w, -1.0)
+            frag_of = np.repeat(np.arange(F), counts)
+            mx = np.maximum.reduceat(wv, starts)
+            is_best = wv == np.repeat(mx, counts)
+            bidx = np.nonzero(is_best)[0]
+            bsel = bidx[np.unique(frag_of[bidx], return_index=True)[1]]
+            bsel = bsel[mx[frag_of[bsel]] > 0]
+            if paired_detect:
+                # observed-format histogram: one count per fragment
+                fmt_hist += np.bincount(np.clip(obs_k[bsel], 0, 5),
                                         minlength=6)
+            # bias observations from each fragment's best alignment
+            if bias_state is not None and paired_detect and bsel.size:
+                import jax.numpy as _jnp
+                bt = txp_k[bsel].astype(np.int32)
+                bs = pos[keep][order][bsel].astype(np.int32)
+                be = (bs + np.maximum(flen_k[bsel], 1)
+                      - 1).astype(np.int32)
+                bfw = fw[keep][order][bsel]
+                rl1 = b.read_len[i1][keep][order][bsel].astype(np.int32)
+                rl2 = b.read_len[i2][keep][order][bsel].astype(np.int32)
+                bo = bias_collect(
+                    bdev, _jnp.asarray(bt), _jnp.asarray(bs),
+                    _jnp.asarray(be), _jnp.asarray(bfw),
+                    _jnp.asarray(rl1), _jnp.asarray(rl2),
+                    _jnp.asarray(flen_k[bsel] > 0),
+                    _jnp.asarray(np.ones(bt.shape, np.float32)))
+                bias_state.obs.add_batch(bo)
 
     if num_mapped < opts.min_assigned_frags:
         writers.write_empty_outputs(args.output, "aux_info", names,
@@ -439,8 +545,9 @@ def quantify_alignments(args, opts, cmd_args) -> int:
         return 1
 
     eq = acc.finish()
+    fld_pmf = fld.pmf()
     eff = effective_lengths(
-        tlens, fld.pmf(),
+        tlens, fld_pmf,
         no_length_correction=opts.no_length_correction,
         no_effective_length_correction=opts.no_effective_length_correction)
 
@@ -450,38 +557,43 @@ def quantify_alignments(args, opts, cmd_args) -> int:
         per_transcript_prior=opts.per_transcript_prior,
         rel_diff_tolerance=opts.relative_diff_tolerance,
         max_iterations=opts.max_em_iterations,
-        min_iterations=opts.min_em_iterations)
+        min_iterations=(opts.min_required_iterations
+                        if bias_state is not None
+                        else opts.min_em_iterations))
     res = em_mod.optimize(eq, len(names), eff, config=emc)
+    if bias_state is not None and bias_state.enabled:
+        # bias-aware effective-length recompute + re-optimize, exactly
+        # like mapping mode (CollapsedEMOptimizer.cpp:900-928)
+        logger.info("recomputing effective lengths with bias models")
+        eff2 = bias_state.corrected_effective_lengths(
+            res["alphas"], eff, fld_pmf)
+        if not np.allclose(eff2, eff):
+            eff = eff2
+            res = em_mod.optimize(eq, len(names), eff, config=emc)
     counts = res["alphas"]
 
-    out = args.output
-    writers.write_quant_sf(out, names, tlens, eff, counts,
-                           sig_digits=opts.sig_digits)
-    writers.write_cmd_info(out, cmd_args)
+    # share the full mapping-mode finalize path (gibbs/bootstraps, meta,
+    # fld, ambig_info, eq dumps) via QuantResult + write_outputs
+    from salmon_tpu.quant import QuantResult, write_outputs
     fmt_counts = {nm: int(fmt_hist[i]) for i, nm in
                   enumerate(libformat.format_names_paired())}
-    writers.write_lib_format_counts(out, lib_fmt, fmt_counts, num_mapped,
-                                    num_processed, num_mapped)
-    writers.write_meta_info(out, "aux_info", {
-        "opt_type": "vb" if emc.use_vbem else "em",
-        "mapping_type": "alignment",
-        "library_types": [lib_fmt],
-        "num_valid_targets": len(names),
-        "num_eq_classes": eq.num_classes,
-        "num_processed": num_processed,
-        "num_mapped": num_mapped,
-        "percent_mapped": 100.0 * num_mapped / max(1, num_processed),
-        "num_em_iterations": res["iterations"],
-        "em_converged": res["converged"],
-    })
-    writers.write_fld(out, "aux_info", fld.pmf())
+    result = QuantResult(
+        names=list(names), counts=counts, eff_lens=eff,
+        tpm=writers.compute_tpm(counts, eff),
+        num_processed=num_processed, num_mapped=num_mapped,
+        num_paired=num_mapped if paired_detect else 0,
+        num_orphans=0, em_info=res, fmt_counts=fmt_counts,
+        eq_classes=eq, fld=fld, lib_format=lib_fmt, bias=bias_state)
+    out = args.output
+    write_outputs(result, shim_index, out, opts=opts, cmd_args=cmd_args,
+                  dump_eq=args.dumpEq or args.dumpEqWeights,
+                  dump_eq_weights=True,
+                  seed=getattr(args, "seed", 271828),
+                  mapping_type="alignment")
     if getattr(args, "sampleOut", False):
         _posterior_sample_bam(args, opts, out, counts, eff, name_to_id,
                               fld, lib_fmt, bool(paired_detect))
-    if args.dumpEq or args.dumpEqWeights:
-        writers.write_eq_classes(out, "aux_info", names, eq,
-                                 dump_weights=True, eff_lens=eff)
-    if args.geneMap:
+    if args.geneMap and not opts.skip_quant:
         from salmon_tpu.utils.genemap import aggregate_quant_sf
         aggregate_quant_sf(os.path.join(out, "quant.sf"), args.geneMap)
     logger.info("alignment-mode quantification written to %s (%.1fs)",

@@ -661,7 +661,8 @@ def write_outputs(result: QuantResult, index: TranscriptomeIndex,
                   out_dir: str, opts: SalmonDefaults = DEFAULTS,
                   cmd_args: Optional[dict] = None,
                   dump_eq: bool = False, dump_eq_weights: bool = True,
-                  seed: int = 271828) -> None:
+                  seed: int = 271828,
+                  mapping_type: str = "mapping") -> None:
     """Write the full output directory (reference:
     stageFinalizeMappingOutputs, MappingPipelineStages.cpp:37-203)."""
     n_valid = index.num_valid_targets
@@ -717,7 +718,7 @@ def write_outputs(result: QuantResult, index: TranscriptomeIndex,
         "seq_bias_correct": opts.seq_bias_correct,
         "gc_bias_correct": opts.gc_bias_correct,
         "num_bias_bins": 4096,
-        "mapping_type": "mapping",
+        "mapping_type": mapping_type,
         "keep_duplicates": index.info.get("keep_duplicates", True),
         "num_valid_targets": n_valid,
         "num_decoy_targets": index.num_targets - n_valid,

@@ -287,3 +287,32 @@ def test_batch_boundary_keeps_name_groups(sample_data_dir, tmp_path):
         r_nat.close()
     py = bamio._PyBam(bam)
     group_spans(py.batches(32))
+
+
+def test_alignment_mode_gibbs_and_bias(truth_bam, sample_data_dir,
+                                       tmp_path):
+    """-a mode shares the full finalize path: Gibbs samples and bias
+    correction now run for alignment inputs too (reference
+    AlignmentPipelineStages.cpp:61-90)."""
+    from salmon_tpu.cli import main
+    from salmon_tpu.io.writers import read_bootstraps, read_quant_sf
+
+    path, names = truth_bam
+    out = str(tmp_path / "ag")
+    rc = main(["quant", "-t",
+               os.path.join(sample_data_dir, "transcripts.fasta"),
+               "-l", "IU", "-a", path, "-o", out,
+               "--numGibbsSamples", "8", "--gcBias", "-q"])
+    assert rc == 0
+    q = read_quant_sf(os.path.join(out, "quant.sf"))
+    nms, samples = read_bootstraps(out)
+    assert samples.shape == (8, len(q["Name"]))
+    # sample means track the point estimates
+    m = samples.mean(axis=0)
+    big = q["NumReads"] > 50
+    assert np.allclose(m[big], q["NumReads"][big], rtol=0.35)
+    import json
+    meta = json.load(open(os.path.join(out, "aux_info",
+                                       "meta_info.json")))
+    assert meta["mapping_type"] == "alignment"
+    assert meta["samp_type"] == "gibbs"
