@@ -1,17 +1,24 @@
-"""Benchmark: selective-alignment mapping throughput on the current chip.
+"""Benchmark: selective-alignment mapping + EM throughput on this chip.
 
 Prints ONE JSON line:
   {"metric": "reads/s/chip", "value": N, "unit": "fragments/s",
-   "vs_baseline": N}
+   "vs_baseline": N, "human_frags_per_s": N|null,
+   "em_iters_per_s": N, "mapped_fraction": N, ...}
 
-Measures the DEFAULT production configuration: full DP-validated
-selective alignment (validateMappings on, like the reference). Set
-BENCH_VALIDATE=0 for the coverage-only path.
+The headline value is DP-validated selective-alignment throughput on the
+bundled sample (15 txps, 50bp pairs) — comparable across rounds. The
+extra keys carry the human-scale numbers (200k-transcript synthetic
+index, 100bp pairs; built once into BENCH_CACHE) and the sort-routed
+VBEM iteration rate at the 250k-txp/~1M-entry metric-of-record fixture
+(reference harness analog: tests/benchmarks/quant_window.py).
 
-vs_baseline is measured throughput divided by an assumed reference-salmon
-throughput of 5e5 fragments/s on a 32-core CPU node (the reference publishes
-no absolute numbers — BASELINE.md; 5e5 frags/s is a conservative estimate of
-salmon selective alignment at 32 threads). North-star: vs_baseline >= 5.
+vs_baseline divides by an assumed reference-salmon throughput of 5e5
+fragments/s on a 32-core CPU node (the reference publishes no absolute
+numbers — BASELINE.md). North-star: vs_baseline >= 5.
+
+Env knobs: BENCH_PAIRS, BENCH_BATCH, BENCH_VALIDATE=0 (coverage-only),
+BENCH_FAST=1 (sample-only), BENCH_CACHE (default
+~/.cache/salmon_tpu_bench).
 """
 
 import json
@@ -28,71 +35,161 @@ BASELINE_FRAGS_PER_S = 5.0e5
 TARGET_PAIRS = int(os.environ.get("BENCH_PAIRS", 131072))
 BATCH = int(os.environ.get("BENCH_BATCH", 4096))
 VALIDATE = os.environ.get("BENCH_VALIDATE", "1") != "0"
+FAST = os.environ.get("BENCH_FAST", "0") == "1"
+CACHE = os.environ.get(
+    "BENCH_CACHE", os.path.join(os.path.expanduser("~"), ".cache",
+                                "salmon_tpu_bench"))
 
 
-def main():
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _load_reads(r1_path, r2_path, R, pad_len=None):
+    from salmon_tpu.io.fastq import _iter_fastq_seqs, pack_seqs
+    import jax.numpy as jnp
+    reads1 = list(_iter_fastq_seqs(r1_path))
+    reads2 = list(_iter_fastq_seqs(r2_path))
+    read_len = pad_len or max(len(s) for s in reads1 + reads2)
+    c1, l1 = pack_seqs(reads1, len(reads1), read_len)
+    c2, l2 = pack_seqs(reads2, len(reads2), read_len)
+    n = len(reads1)
+    reps = -(-R // n)
+    return {
+        "codes_l": jnp.asarray(np.tile(c1, (reps, 1))[:R]),
+        "lengths_l": jnp.asarray(np.tile(l1, reps)[:R]),
+        "codes_r": jnp.asarray(np.tile(c2, (reps, 1))[:R]),
+        "lengths_r": jnp.asarray(np.tile(l2, reps)[:R]),
+    }
+
+
+def _map_throughput(idx, batch, n_batches):
     import jax
     import jax.numpy as jnp
-
     from salmon_tpu.constants import DEFAULTS
-    from salmon_tpu.index.builder import build_index
-    from salmon_tpu.io.fastq import _iter_fastq_seqs, pack_seqs
     from salmon_tpu.mapping.pipeline import (MapperConfig,
                                              device_index_arrays,
                                              map_paired_batch)
     from salmon_tpu.models.fld import FragmentLengthDistribution
     from salmon_tpu.utils import libformat
 
-    dev_kind = jax.devices()[0].device_kind
-    print(f"# bench device: {dev_kind}", file=sys.stderr)
-
-    idx = build_index(os.path.join(DATA, "transcripts.fasta"), k=25)
     cfg = MapperConfig.from_index(idx, validate_mappings=VALIDATE)
     dev = device_index_arrays(idx)
-
-    reads1 = list(_iter_fastq_seqs(os.path.join(DATA, "reads_1.fastq")))
-    reads2 = list(_iter_fastq_seqs(os.path.join(DATA, "reads_2.fastq")))
-    read_len = max(len(s) for s in reads1 + reads2)
-
-    # pre-pack the whole sample once, then tile batches from it (host IO is
-    # excluded: this measures the device mapping pipeline, the reference's
-    # fragments/s metric-of-record is likewise mapping-loop throughput)
-    c1, l1 = pack_seqs(reads1, len(reads1), read_len)
-    c2, l2 = pack_seqs(reads2, len(reads2), read_len)
-    n = len(reads1)
-    reps = -(-BATCH // n)
-    c1 = np.tile(c1, (reps, 1))[:BATCH]
-    l1 = np.tile(l1, reps)[:BATCH]
-    c2 = np.tile(c2, (reps, 1))[:BATCH]
-    l2 = np.tile(l2, reps)[:BATCH]
-    batch = {"codes_l": jnp.asarray(c1), "lengths_l": jnp.asarray(l1),
-             "codes_r": jnp.asarray(c2), "lengths_r": jnp.asarray(l2)}
-
     fld = FragmentLengthDistribution(max_val=DEFAULTS.max_frag_length)
     fld_logpmf = jnp.asarray(fld.log_pmf(), jnp.float32)
     fmt = libformat.parse_library_format("IU")
     cp = jnp.asarray(libformat.paired_compat_table(fmt))
     co = jnp.asarray(libformat.orphan_compat_table(fmt))
 
-    # warmup / compile
     out = map_paired_batch(batch, dev, cfg, fld_logpmf, cp, co)
     jax.block_until_ready(out["txp_mass"])
     mapped_frac = float(out["num_mapped"]) / float(out["num_processed"])
-    print(f"# mapped fraction: {mapped_frac:.4f}", file=sys.stderr)
-
-    n_batches = max(1, TARGET_PAIRS // BATCH)
+    R = batch["lengths_l"].shape[0]
     t0 = time.perf_counter()
     for _ in range(n_batches):
         out = map_paired_batch(batch, dev, cfg, fld_logpmf, cp, co)
-    jax.block_until_ready(out["txp_mass"])
+    # force full completion (async dispatch does not block on this
+    # backend; a scalar readback does)
+    _ = float(out["txp_mass"].sum())
     dt = time.perf_counter() - t0
-    frags_per_s = n_batches * BATCH / dt
+    return n_batches * R / dt, mapped_frac
+
+
+def _em_iters_per_s():
+    """Sort-routed VBEM at the 250k-txp / ~1M-entry fixture."""
+    from salmon_tpu.inference import em as em_mod
+    from salmon_tpu.inference import fastem
+    from salmon_tpu.inference.eqclasses import PackedEqClasses
+
+    rng = np.random.default_rng(0)
+    T = 250_000
+    NCLS = 250_000
+    sizes = np.minimum(1 + rng.geometric(0.35, NCLS), 50).astype(np.int32)
+    seg = np.repeat(np.arange(NCLS), sizes)
+    E = int(sizes.sum())
+    labels = rng.integers(0, T, E).astype(np.int32)
+    weights = rng.random(E)
+    wsum = np.bincount(seg, weights=weights, minlength=NCLS)
+    weights = weights / wsum[seg]
+    counts = rng.integers(1, 50, NCLS).astype(np.float64)
+    offsets = np.zeros(NCLS + 1, np.int64)
+    offsets[1:] = np.cumsum(sizes)
+    eq = PackedEqClasses(labels=labels, weights=weights, offsets=offsets,
+                         counts=counts, class_sizes=sizes)
+    eff = np.full(T, 300.0)
+    a0 = em_mod.initial_alphas(T, None, eq.num_fragments)
+    pri = em_mod.prior_alphas(T, eff, 1e-2, True)
+    packed = fastem.pack_routed(eq, T, eff)
+    N_IT = 100
+    fastem.optimize_routed(eq, T, eff, a0, pri, True, 1e-12, N_IT, N_IT,
+                           packed=packed)  # compile+warm
+    t0 = time.perf_counter()
+    fastem.optimize_routed(eq, T, eff, a0, pri, True, 1e-12, N_IT, N_IT,
+                           packed=packed)
+    return N_IT / (time.perf_counter() - t0), E
+
+
+def _human_scale():
+    """Mapping throughput on the 200k-transcript synthetic index
+    (prebuilt into BENCH_CACHE by scripts/make_synthetic_txome.py +
+    index build; skipped when the cache is absent)."""
+    from salmon_tpu.index.builder import load_index
+
+    idx_dir = os.path.join(CACHE, "hs_idx")
+    r1 = os.path.join(CACHE, "reads_1.fastq")
+    r2 = os.path.join(CACHE, "reads_2.fastq")
+    if not (os.path.isdir(idx_dir) and os.path.exists(r1)):
+        _log("# human-scale cache absent; skipping "
+             f"(expected at {CACHE})")
+        return None, None
+    t0 = time.perf_counter()
+    idx = load_index(idx_dir)
+    _log(f"# human index: {idx.num_targets} txps, "
+         f"{idx.kmers.shape[0] / 1e6:.0f}M kmers "
+         f"(loaded in {time.perf_counter() - t0:.0f}s)")
+    batch = _load_reads(r1, r2, BATCH)
+    frags, mf = _map_throughput(idx, batch,
+                                max(1, TARGET_PAIRS // BATCH // 2))
+    _log(f"# human-scale mapped fraction: {mf:.4f}")
+    return frags, mf
+
+
+def main():
+    import jax
+
+    from salmon_tpu.index.builder import build_index
+
+    dev_kind = jax.devices()[0].device_kind
+    _log(f"# bench device: {dev_kind}")
+
+    idx = build_index(os.path.join(DATA, "transcripts.fasta"), k=25)
+    batch = _load_reads(os.path.join(DATA, "reads_1.fastq"),
+                        os.path.join(DATA, "reads_2.fastq"), BATCH)
+    frags_per_s, mapped_frac = _map_throughput(
+        idx, batch, max(1, TARGET_PAIRS // BATCH))
+    _log(f"# sample mapped fraction: {mapped_frac:.4f}")
+
+    human_fps = em_ips = em_entries = None
+    if not FAST:
+        try:
+            human_fps, _human_mf = _human_scale()
+        except Exception as e:  # never lose the headline number
+            _log(f"# human-scale bench failed: {e}")
+        try:
+            em_ips, em_entries = _em_iters_per_s()
+        except Exception as e:
+            _log(f"# EM bench failed: {e}")
 
     print(json.dumps({
         "metric": "reads/s/chip",
         "value": round(frags_per_s, 1),
         "unit": "fragments/s",
         "vs_baseline": round(frags_per_s / BASELINE_FRAGS_PER_S, 3),
+        "mapped_fraction": round(mapped_frac, 4),
+        "human_frags_per_s": (round(human_fps, 1)
+                              if human_fps else None),
+        "em_iters_per_s": round(em_ips, 1) if em_ips else None,
+        "em_fixture_entries": em_entries,
     }))
 
 

@@ -141,6 +141,7 @@ def _add_quant_parser(sub):
     p.add_argument("--bandwidth", type=int, default=15)
     p.add_argument("--mismatchSeedSkip", type=int, default=3)
     p.add_argument("--disableChainingHeuristic", action="store_true")
+    p.add_argument("--disableAlignmentCache", action="store_true")
     p.add_argument("--decoyThreshold", type=float, default=1.0)
     p.add_argument("--minAlnProb", type=float, default=1e-5)
     p.add_argument("--maxReadOcc", type=int, default=200)
@@ -282,6 +283,7 @@ def _opts_from_args(args):
         o.write_orphan_links = args.writeOrphanLinks
         o.skip_quant = args.skipQuant
         o.aux_target_file = args.auxTargetFile or ""
+        o.alignment_cache = not args.disableAlignmentCache
         _process_quant_options(o)
     return o
 

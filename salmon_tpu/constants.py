@@ -43,6 +43,9 @@ class SalmonDefaults:
     full_length_alignment: bool = False
     allow_dovetail: bool = False
     recover_orphans: bool = False
+    # full-coverage candidates skip DP with the perfect score (the
+    # reference's alignment-cache role; --disableAlignmentCache)
+    alignment_cache: bool = True
     rescue_bandwidth: int = 80           # rescue DP band (~3 sigma of FLD)
     max_read_occs: int = 200
     max_occs_per_hit: int = 1000
@@ -114,6 +117,7 @@ class SalmonDefaults:
     hash_load_factor: float = 0.5
     kmer_stride: int = 3                 # seed-skip between query windows (accuracy-neutral; reference altSkip=3)
     dp_budget: int = 4                   # avg DP-validated candidates per fragment
+    weight_width: int = 32               # W: score-sorted hits kept per fragment for weighting/eq emission
 
 
 # Log-space constants (reference: include/salmon/internal/util/SalmonMath.hpp)

@@ -26,7 +26,7 @@ from salmon_tpu.index.hashtable import KmerHashTable, build_hash_table
 from salmon_tpu.io.fasta import load_transcripts
 from salmon_tpu.utils.dna import canonical_kmers, kmers_of
 
-INDEX_FORMAT_VERSION = 1
+INDEX_FORMAT_VERSION = 2  # v2: compact 8-byte hash slots
 
 
 @dataclasses.dataclass

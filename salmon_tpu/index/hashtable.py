@@ -4,22 +4,29 @@ Replaces the reference's SSHash minimizer dictionary (external pufferfish;
 see SURVEY.md §2.3). An MPHF is pointer-chasing and build-heavy; on TPU we
 want a branch-free, bounded-probe gather. Design:
 
-- keys are canonical k-mers split into two 32-bit planes (hi, lo) so the
-  device never needs 64-bit integers,
-- desired slot = murmur-style 32-bit mix of (hi, lo) masked to table size,
+- desired slot = murmur-style 32-bit mix of the k-mer's (hi, lo) planes
+  masked to table size,
 - layout = linear probing in *robin-hood order*: sort keys by desired slot,
   then final_slot[i] = max(desired[i], final[i-1]+1), computed as a single
-  vectorized scan (final = cummax(desired - i) + i). The table physically has
-  H + max_probe slots so device probes never need a modulo.
-- probe bound is recorded at build time and is a static in the jitted lookup.
-- the table is stored as ONE (H + max_probes, 4) int32 row matrix
-  `(hi, lo, occ_start, occ_count)`: a probe is a single row gather and the
-  hit resolves straight to the occurrence CSR range — no payload
-  indirection. (On this TPU backend each separate 1-D gather costs ~10s of
-  XLA compile and 2x the runtime of a row gather; packing is load-bearing.)
+  vectorized scan (final = cummax(desired - i) + i). The table physically
+  has H + max_probe slots so device probes never need a modulo.
+- probe bound is recorded at build time and is a static in the jitted
+  lookup.
+- COMPACT 8-byte slots: (fpcnt, start) int32 pairs where fpcnt packs a
+  16-bit key fingerprint (the mix's high bits — independent of the slot
+  index bits) with the 16-bit-saturated occurrence count, and start is the
+  CSR offset. Verification is by fingerprint only: a ~1/65k false positive
+  yields occurrences of a different k-mer, which the chaining filter and
+  DP validation discard — the same grace the reference extends to
+  multimapping noise. Halving the slot width is load-bearing at human
+  scale: 300M k-mers fit the device in ~4.3 GB instead of 17 GB, and two
+  slots ride every 16-byte row gather so the probe sequence costs half
+  the rows.
+- the table is stored as ONE (ceil(S/2), 4) int32 row matrix interleaving
+  slot pairs: row r = [fpcnt(2r), start(2r), fpcnt(2r+1), start(2r+1)].
 
 Build cost is one argsort over the unique k-mers — O(n log n) with numpy
-vector ops only, human-transcriptome scale builds in seconds.
+vector ops only.
 """
 
 from __future__ import annotations
@@ -27,8 +34,6 @@ from __future__ import annotations
 import dataclasses
 
 import numpy as np
-
-EMPTY_HI = -1  # int32 sentinel; valid hi < 2^30 for k <= 31
 
 
 def split_u64(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -53,10 +58,16 @@ def mix32(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
     return x
 
 
+def fingerprint16(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
+    """16-bit verification fingerprint: the mix's high bits (the slot
+    index uses the low bits, so these stay informative)."""
+    return (mix32(hi, lo) >> np.uint32(16)).astype(np.uint32)
+
+
 @dataclasses.dataclass
 class KmerHashTable:
     """Flat probe table mapping canonical k-mer -> occurrence CSR range."""
-    rows: np.ndarray         # (H + max_probes, 4) int32: hi, lo, start, cnt
+    rows: np.ndarray         # (ceil(S/2), 4) int32 slot pairs (fpcnt, start)
     n_slots: int             # H (power of two)
     max_probes: int          # static probe bound for the device loop
 
@@ -78,7 +89,9 @@ def build_hash_table(keys_u64: np.ndarray,
     n = int(keys_u64.shape[0])
     h = 1 << max(4, int(np.ceil(np.log2(max(n, 1) / load_factor))))
     hi, lo = split_u64(keys_u64)
-    desired = (mix32(hi, lo) & np.uint32(h - 1)).astype(np.int64)
+    mixed = mix32(hi, lo)
+    desired = (mixed & np.uint32(h - 1)).astype(np.int64)
+    fp = (mixed >> np.uint32(16)).astype(np.uint32)
 
     order = np.argsort(desired, kind="stable")
     d_sorted = desired[order]
@@ -90,32 +103,38 @@ def build_hash_table(keys_u64: np.ndarray,
 
     if occ_offsets is None:
         starts = np.arange(n, dtype=np.int32)
-        counts = np.ones(n, dtype=np.int32)
+        counts = np.ones(n, dtype=np.int64)
     else:
         starts = occ_offsets[:-1].astype(np.int32)
-        counts = np.diff(occ_offsets).astype(np.int32)
+        counts = np.diff(occ_offsets)
+    counts16 = np.minimum(counts, 0xFFFF).astype(np.uint32)
+    fpcnt = ((fp << np.uint32(16)) | counts16).view(np.int32)
 
     size = h + max_probe
-    rows = np.zeros((size, 4), dtype=np.int32)
-    rows[:, 0] = EMPTY_HI
-    rows[final, 0] = hi[order]
-    rows[final, 1] = lo[order]
-    rows[final, 2] = starts[order]
-    rows[final, 3] = counts[order]
+    size2 = -(-size // 2)
+    slots = np.zeros((size2 * 2, 2), dtype=np.int32)
+    slots[final, 0] = fpcnt[order]
+    slots[final, 1] = starts[order]
+    rows = slots.reshape(size2, 4)
     return KmerHashTable(rows, h, max_probe)
 
 
 def lookup_host(tab: KmerHashTable, keys_u64: np.ndarray):
     """Host-side reference lookup (for tests): (start, count) or (-1, 0)."""
     hi, lo = split_u64(keys_u64)
-    slot0 = (mix32(hi, lo) & np.uint32(tab.n_slots - 1)).astype(np.int64)
+    mixed = mix32(hi, lo)
+    slot0 = (mixed & np.uint32(tab.n_slots - 1)).astype(np.int64)
+    fp = (mixed >> np.uint32(16)).astype(np.uint32)
+    slots = tab.rows.reshape(-1, 2)
     start = np.full(keys_u64.shape, -1, dtype=np.int32)
     count = np.zeros(keys_u64.shape, dtype=np.int32)
     pending = np.ones(keys_u64.shape, dtype=bool)
     for p in range(tab.max_probes):
         s = slot0 + p
-        match = pending & (tab.rows[s, 0] == hi) & (tab.rows[s, 1] == lo)
-        start[match] = tab.rows[s, 2][match]
-        count[match] = tab.rows[s, 3][match]
+        fpcnt = slots[s, 0].view(np.uint32)
+        match = pending & ((fpcnt >> np.uint32(16)) == fp) & (fpcnt != 0)
+        start[match] = slots[s, 1][match]
+        count[match] = (fpcnt & np.uint32(0xFFFF)).astype(
+            np.int32)[match]
         pending &= ~match
     return start, count

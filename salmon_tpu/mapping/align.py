@@ -128,14 +128,16 @@ def _fetch_windows_packed(seq_word_rows, a0, W: int):
     n_words = (W + 7) // 8 + 1
     n_rows = (n_words + 7) // 8 + 1
     P = a0.shape[0]
-    w0 = (a0 >> 3).astype(jnp.int32)
-    r0 = w0 >> 3
+    # a0 may be int64 (concatenated references beyond 2^31 bases); the
+    # word-row index fits int32 up to 2^31 rows = 137 Gb of sequence
+    w0 = a0 >> 3
+    r0 = (w0 >> 3).astype(jnp.int32)
     ridx = r0[:, None] + jnp.arange(n_rows, dtype=jnp.int32)[None, :]
     rows = jnp.take(seq_word_rows, ridx, axis=0,
                     mode="clip")                     # (P, n_rows, 8)
     flat_w = rows.reshape(P, n_rows * 8)
     # word alignment within the fetched rows
-    wsel = w0 & 7
+    wsel = (w0 & 7).astype(jnp.int32)
     w_al = flat_w[:, 0:n_words]
     for s in range(1, 8):
         w_al = jnp.where((wsel == s)[:, None],
@@ -175,8 +177,10 @@ def _banded_scores_impl(read_codes, read_ids, read_lens, ref_base,
                                  - bandwidth)[None, :]
     w_oob = (w_idx < 0) | (w_idx >= txp_lens[:, None])
     if seq_words is not None:
-        a0 = (seq_off + ref_base - bandwidth
-              + seq_words_shift).astype(jnp.int32)
+        # keep the absolute base offset in seq_off's dtype (int64 for
+        # concatenated references beyond 2^31 bases)
+        a0 = seq_off + (ref_base - bandwidth
+                        + seq_words_shift).astype(seq_off.dtype)
         ref_win = _fetch_windows_packed(seq_words, jnp.maximum(a0, 0), W)
     else:
         ref_win = jnp.take(seq_codes,

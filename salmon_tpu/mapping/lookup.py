@@ -33,38 +33,51 @@ def mix32(hi: jax.Array, lo: jax.Array) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnums=(3, 4))
 def hash_lookup(hi, lo, table_rows, n_slots: int, max_probes: int):
-    """Look up canonical k-mers in the packed probe table.
+    """Look up canonical k-mers in the packed compact probe table.
 
-    All `max_probes` candidate slots are fetched with ONE row gather from
-    the (H + P, 4) int32 row matrix (hi, lo, occ_start, occ_count) — no
-    chained per-probe gathers and no payload indirection, which keeps the
-    XLA gather graph shallow (compile time) and fetches each slot's four
-    words contiguously (runtime).
+    The table interleaves TWO 8-byte slots (fpcnt, start) per 16-byte row
+    (index.hashtable), so the `max_probes` candidate slots arrive in
+    max_probes/2 + 1 row gathers; a parity select aligns the slot window.
+    Verification is by the 16-bit fingerprint in fpcnt's high half — a
+    ~1/65k false positive yields another k-mer's occurrences, which the
+    chain scorer / DP validation discard downstream.
 
     Args:
       hi, lo: (...,) uint32 query key planes.
-      table_rows: (n_slots + max_probes, 4) int32 packed table.
+      table_rows: (ceil((n_slots + max_probes)/2), 4) int32 slot pairs.
       n_slots: power-of-two logical table size (static).
       max_probes: probe bound (static).
 
     Returns (start, count, found): occurrence CSR range (start=-1/count=0
-    when not found). Queries whose hi plane is >= 2^31 never match (the
-    empty sentinel is -1), so callers can mask invalid windows by leaving
-    them as-is and AND-ing with their own validity.
+    when not found).
     """
-    slot0 = (mix32(hi, lo) & jnp.uint32(n_slots - 1)).astype(jnp.int32)
-    probe = jnp.arange(max_probes, dtype=jnp.int32)
-    slots = slot0[..., None] + probe  # (..., P) consecutive slots
-    rows = jnp.take(table_rows, slots, axis=0, mode="clip")  # (..., P, 4)
-    hi_i = hi.astype(jnp.int32)
-    lo_i = lo.astype(jnp.int32)
-    match = (rows[..., 0] == hi_i[..., None]) & \
-        (rows[..., 1] == lo_i[..., None])
+    mixed = mix32(hi, lo)
+    slot0 = (mixed & jnp.uint32(n_slots - 1)).astype(jnp.int32)
+    fp = mixed >> jnp.uint32(16)
+    P = max_probes
+    n_rows = P // 2 + 1
+    r0 = slot0 >> 1
+    ridx = r0[..., None] + jnp.arange(n_rows, dtype=jnp.int32)
+    rows = jnp.take(table_rows, ridx, axis=0,
+                    mode="clip")                  # (..., n_rows, 4)
+    pairs = rows.reshape(*rows.shape[:-2], n_rows * 2, 2)
+    # align the window to the probe start's parity
+    par_odd = (slot0 & 1)[..., None] == 1
+    fpcnt = jax.lax.bitcast_convert_type(
+        jnp.where(par_odd, pairs[..., 1:P + 1, 0], pairs[..., 0:P, 0]),
+        jnp.uint32)
+    start_w = jnp.where(par_odd, pairs[..., 1:P + 1, 1],
+                        pairs[..., 0:P, 1])
+    match = ((fpcnt >> jnp.uint32(16)) == fp[..., None]) & (fpcnt != 0)
     found = match.any(axis=-1)
-    # robin-hood layout stores each key once: select the (unique) matching
-    # probe with a masked reduce — cheaper than a take_along_axis gather
-    m = match[..., None]
-    start = jnp.sum(jnp.where(m, rows[..., 2:3], 0), axis=(-2, -1))
-    count = jnp.sum(jnp.where(m, rows[..., 3:4], 0), axis=(-2, -1))
-    start = jnp.where(found, start, -1)
+    # first matching probe wins (fingerprint ties are possible, unlike
+    # the exact-key layout, so a masked sum would corrupt)
+    start = jnp.full(slot0.shape, -1, jnp.int32)
+    count = jnp.zeros(slot0.shape, jnp.int32)
+    for p in range(P - 1, -1, -1):
+        m = match[..., p]
+        start = jnp.where(m, start_w[..., p], start)
+        count = jnp.where(
+            m, (fpcnt[..., p] & jnp.uint32(0xFFFF)).astype(jnp.int32),
+            count)
     return start, count, found

@@ -88,6 +88,11 @@ class MapperConfig:
     softclip_overhangs: bool = DEFAULTS.softclip_overhangs
     # --writeOrphanLinks side output (SalmonQuantify.cpp:1409-1421)
     write_orphan_links: bool = DEFAULTS.write_orphan_links
+    # alignment-cache DP shortcut (reference useAlignmentCache)
+    alignment_cache: bool = DEFAULTS.alignment_cache
+    # hits carried into weighting/eq emission (score-sorted truncation;
+    # plays the maxReadOccs role for the aux/eq stages)
+    weight_width: int = DEFAULTS.weight_width
 
     @staticmethod
     def from_index(idx: TranscriptomeIndex, opts: SalmonDefaults = DEFAULTS,
@@ -126,6 +131,8 @@ class MapperConfig:
             softclip=opts.softclip,
             softclip_overhangs=opts.softclip_overhangs,
             write_orphan_links=opts.write_orphan_links,
+            alignment_cache=opts.alignment_cache,
+            weight_width=opts.weight_width,
         )
         cfg.update(overrides)
         return MapperConfig(**cfg)
@@ -136,21 +143,26 @@ def device_index_arrays(idx: TranscriptomeIndex) -> dict:
 
     Tables are packed row matrices so device probes are single row
     gathers (see index.hashtable docstring for why this is load-bearing
-    on TPU)."""
+    on TPU). Offsets promote to int64 past 2^31 concatenated bases
+    (decoy-aware genome-scale indexes), and the raw byte-per-base codes
+    are not shipped at that scale — the DP reads the 4-bit packed seq4
+    planes (half the HBM)."""
     n_occ = idx.occ_txp.shape[0]
     occ_rows = np.zeros((max(n_occ, 1), 4), dtype=np.int32)
     occ_rows[:n_occ, 0] = idx.occ_txp
     occ_rows[:n_occ, 1] = idx.occ_pos
     occ_rows[:n_occ, 2] = idx.occ_fwd
+    total = int(idx.seq_offsets[-1])
+    off_dtype = np.int64 if total + _SEQ4_SHIFT + 256 >= 2**31 \
+        else np.int32
+    big = total >= 2**28
     return {
         "table_rows": jnp.asarray(idx.table.rows),
         "occ_rows": jnp.asarray(occ_rows),
         "txp_lens": jnp.asarray(idx.lengths.astype(np.int32)),
-        # transcript sequences for DP validation (int32 offsets cap the
-        # concatenated transcriptome at 2^31 bases); seq4 = nibble-packed
-        # words for fast contiguous window fetches
-        "seq_codes": jnp.asarray(idx.seq_codes),
-        "seq_off": jnp.asarray(idx.seq_offsets.astype(np.int32)),
+        "seq_codes": jnp.asarray(idx.seq_codes if not big
+                                 else np.zeros(1, np.uint8)),
+        "seq_off": jnp.asarray(idx.seq_offsets.astype(off_dtype)),
         "seq4": jnp.asarray(_seq4_words(idx)),
     }
 
@@ -188,12 +200,13 @@ def _map_one_end(codes, lengths, dev, cfg: MapperConfig):
     # 8-bit default: P windows -> ceil(log2(P)) bits)
     n_windows = key.shape[1]
     window_bits = max(8, int(np.ceil(np.log2(max(n_windows, 2)))))
-    if (2 * cfg.num_txps + 2) << window_bits >= 0xFFFFFFFF:
+    # key2 = diag_bucket << window_bits | window must fit 32 bits:
+    # diagonals (~transcript length) up to 2^(32-window_bits+5) - pad
+    if window_bits > 12:
         raise ValueError(
-            f"num_txps={cfg.num_txps} with {n_windows} seed windows "
-            f"overflows the packed 32-bit sort key "
-            f"(window_bits={window_bits}); reduce max_read_len or "
-            f"raise kmer_stride")
+            f"{n_windows} seed windows need window_bits={window_bits} "
+            f"> 12, which would overflow the diagonal-bucket sort key; "
+            f"raise kmer_stride or reduce max_read_len")
     cand = score_candidates(
         key.reshape(R, n), rpos.reshape(R, n), diag.reshape(R, n),
         cfg.max_cands, stride=cfg.kmer_stride, window_bits=window_bits)
@@ -256,27 +269,66 @@ def _dp_scores(joined: dict, batch: dict, dev: dict, cfg: MapperConfig,
 
     flat = lambda a: a.reshape(-1)
 
-    # --- batch-global compaction: most of the T2 slots are padding; DP
-    # only the K highest-priority valid candidates across the batch
-    # (K = R * dp_budget; with typical <=8 real candidates per fragment
-    # nothing real is dropped). Dropped/padded slots score NEG.
-    K = R * cfg.dp_budget
+    # --- alignment-cache shortcut (reference useAlignmentCache /
+    # !disableAlignmentCache, SalmonMappingUtils.hpp:196): a candidate
+    # whose chain covers EVERY seed window of both mapped mates is a
+    # (near-)exact match — assign the perfect score without DP. With
+    # chaining on, the chain score counts distinct co-linear windows,
+    # so full coverage implies no seed-breaking edits.
+    def n_windows(ln):
+        return jnp.maximum((ln - cfg.k) // cfg.kmer_stride + 1, 0)
+
+    if single_end:
+        full_thresh = n_windows(len_l)[:, None]
+    else:
+        nw1 = n_windows(len_l)[:, None]
+        nw2 = n_windows(len_r)[:, None]
+        full_thresh = jnp.where(
+            is_paired, nw1 + nw2,
+            jnp.where(is_right_orphan, nw2, nw1))
+    full_cov = (joined["valid"]
+                & (joined["score"] >= full_thresh)) \
+        if cfg.alignment_cache else jnp.zeros_like(joined["valid"])
+
+    # --- batch-global compaction: most of the T2 slots are padding (and
+    # full-coverage hits skip DP entirely); DP only the K highest-
+    # priority remaining candidates (K = R * dp_budget; halved when the
+    # alignment cache absorbs the perfect majority). The priority rides
+    # a SINGLE packed u32 sort key (need-dp bit + slot index).
+    budget = (max(2, cfg.dp_budget // 2) if cfg.alignment_cache
+              else cfg.dp_budget)
+    K = R * budget
     valid_f = flat(joined["valid"])
-    prio = jnp.where(valid_f, jnp.uint32(0), jnp.uint32(1))
-    order = jnp.argsort(prio)          # valid first, stable-ish
-    sel = order[:K]
-    sel_valid = jnp.take(valid_f, sel)
+    need_dp = valid_f & ~flat(full_cov)
+    idx_bits = max(1, (R * T2 - 1).bit_length())
+    packed = (jnp.where(need_dp, jnp.uint32(0), jnp.uint32(1))
+              << jnp.uint32(idx_bits)) | jnp.arange(
+        R * T2, dtype=jnp.uint32)
+    sel = (jax.lax.sort(packed, dimension=0, is_stable=False)[:K]
+           & jnp.uint32((1 << idx_bits) - 1)).astype(jnp.int32)
+    sel_valid = jnp.take(need_dp, sel)
 
-    t_sel = jnp.take(flat(txp), sel)
-    toff = jnp.take(dev["seq_off"], jnp.clip(t_sel, 0, None), mode="clip")
-    tlen = jnp.take(dev["txp_lens"], t_sel, mode="clip")
+    # per-slot DP parameters as packed rows -> ONE row gather per mate
+    # (element gathers cost ~8ns/row on this backend; 4-wide rows ~3ns)
+    def mate_rows(var, p, ln):
+        return jnp.stack(
+            [jnp.broadcast_to(var, (R, T2)).reshape(-1),
+             jnp.broadcast_to(p, (R, T2)).reshape(-1),
+             jnp.broadcast_to(ln, (R, T2)).reshape(-1),
+             flat(txp)], axis=1)
+
     rows_f = flat(rows)
+    sel_read = jnp.take(rows_f, sel)
 
-    def run(var, p, ln):
-        ids = jnp.take(flat(rows_f + 0), sel) + jnp.take(flat(var), sel) * R
+    def run(params):
+        pr = jnp.take(params, sel, axis=0)      # (K, 4) row gather
+        var, p, ln, t_sel = pr[:, 0], pr[:, 1], pr[:, 2], pr[:, 3]
+        toff = jnp.take(dev["seq_off"], jnp.clip(t_sel, 0, None),
+                        mode="clip")
+        tlen = jnp.take(dev["txp_lens"], t_sel, mode="clip")
+        ids = sel_read + var * R
         scores = banded_scores_indexed(
-            reads_all, ids, jnp.take(flat(ln), sel),
-            jnp.take(flat(p), sel), tlen, dev["seq_codes"], toff,
+            reads_all, ids, ln, p, tlen, dev["seq_codes"], toff,
             cfg.dp_bandwidth, float(cfg.match_score),
             float(cfg.mismatch_penalty), float(cfg.gap_open_penalty),
             float(cfg.gap_extend_penalty),
@@ -285,18 +337,27 @@ def _dp_scores(joined: dict, batch: dict, dev: dict, cfg: MapperConfig,
             softclip_overhangs=cfg.softclip_overhangs)
         return jnp.where(sel_valid, scores, jnp.float32(-1e9))
 
-    NEGS = jnp.full(R * T2, -1e9, jnp.float32)
-    s1 = NEGS.at[sel].set(run(m1_var, m1_pos, m1_len)).reshape(R, T2)
     if single_end:
-        score = s1
         perfect = (cfg.match_score * m1_len).astype(jnp.float32)
     else:
-        s2 = NEGS.at[sel].set(run(m2_var, m2_pos, m2_len)).reshape(R, T2)
-        score = jnp.where(is_paired, s1 + s2, s1)
         perfect = jnp.where(
             is_paired, cfg.match_score * (l1 + l2),
             cfg.match_score * m1_len).astype(jnp.float32)
-    return score, jnp.broadcast_to(perfect, (R, T2))
+    perfect = jnp.broadcast_to(perfect, (R, T2))
+
+    # DP'd slots get their computed scores scattered in; full-coverage
+    # slots are overridden with the perfect score at the end
+    NEGS = jnp.full(R * T2, -1e9, jnp.float32)
+    s1 = NEGS.at[sel].set(
+        run(mate_rows(m1_var, m1_pos, m1_len))).reshape(R, T2)
+    if single_end:
+        score = jnp.where(full_cov, perfect, s1)
+        return score, perfect
+    s2 = NEGS.at[sel].set(
+        run(mate_rows(m2_var, m2_pos, m2_len))).reshape(R, T2)
+    score = jnp.where(is_paired, s1 + s2, s1)
+    score = jnp.where(full_cov, perfect, score)
+    return score, perfect
 
 
 def _rescue_orphans(joined: dict, batch: dict, dev: dict,
@@ -474,9 +535,13 @@ def _filter_and_weight(joined: dict, fld, compat_paired,
 
     # --- aux probabilities (processMiniBatch, SalmonQuantify.cpp:599-803)
     logpmf, logcmf, fld_mode = _fld_inputs(fld)
+    # [logpmf, logcmf] as 2-wide rows: one ROW gather per lookup index
+    # (element gathers cost ~8ns apiece on this backend, 2-wide row
+    # gathers ~3ns)
+    fld_tab = jnp.stack([logpmf, logcmf], axis=1)
     M = cfg.fld_max
     flen = jnp.clip(joined["frag_len"], 0, M)
-    lenprob = jnp.take(logpmf, flen, mode="clip")
+    lenprob = jnp.take(fld_tab, flen, axis=0, mode="clip")[..., 0]
     is_pair_row = (ms[:, None] == MS_PAIRED) & ~jnp.bool_(single_end)
     if cfg.no_frag_length_dist:
         # --noFragLengthDist: pairs get LOG_1; unexpected orphans a
@@ -487,7 +552,8 @@ def _filter_and_weight(joined: dict, fld, compat_paired,
         log_flen_prob = jnp.where(is_pair_row, lenprob, 0.0)
     else:
         tl = jnp.maximum(tlen, 0)
-        logcmf_t = jnp.take(logcmf, jnp.minimum(tl, M), mode="clip")
+        logcmf_t = jnp.take(fld_tab, jnp.minimum(tl, M), axis=0,
+                            mode="clip")[..., 1]
         cmf_ok = logcmf_t > LOG_EPSILON  # CMF(tlen) has mass
         # paired pmf, conditioned on txp length once burned in
         # (reference SalmonQuantify.cpp:661-668)
@@ -507,17 +573,26 @@ def _filter_and_weight(joined: dict, fld, compat_paired,
                               jnp.clip(pos + rl, 0, tl))
             ambig = jnp.where(
                 cmf_ok,
-                jnp.take(logcmf, jnp.clip(maxfl, 0, M), mode="clip")
+                jnp.take(fld_tab, jnp.clip(maxfl, 0, M), axis=0,
+                         mode="clip")[..., 1]
                 - logcmf_t, LOG_EPSILON)
         else:
             ambig = jnp.where(jnp.bool_(single_end), 0.0, LOG_EPSILON)
         log_flen_prob = jnp.where(is_pair_row, paired_prob, ambig)
 
+    # library-format compatibility via branchless selects — the tables
+    # are 6- and 4-entry, so arithmetic beats per-element gathers
     obs = joined["obs_code"]
-    paired_compat = jnp.take(compat_paired, jnp.clip(obs, 0, 5))
-    orph_row = jnp.where(ms == MS_LEFT_ORPHAN, 0, 1)[:, None]
-    orph_col = jnp.where(joined["fw"], 0, 1)
-    orph_compat = compat_orphan[orph_row, orph_col]
+    paired_compat = jnp.zeros(obs.shape, bool)
+    for _i in range(6):
+        paired_compat = paired_compat | ((obs == _i) & compat_paired[_i])
+    orph_left = (ms == MS_LEFT_ORPHAN)[:, None]
+    fwc = joined["fw"]
+    orph_compat = (
+        (orph_left & fwc & compat_orphan[0, 0])
+        | (orph_left & ~fwc & compat_orphan[0, 1])
+        | (~orph_left & fwc & compat_orphan[1, 0])
+        | (~orph_left & ~fwc & compat_orphan[1, 1]))
     compat = jnp.where(ms[:, None] == MS_PAIRED, paired_compat, orph_compat)
     log_compat = jnp.where(
         compat, 0.0,
@@ -616,17 +691,23 @@ def map_paired_batch_impl(batch: dict, dev: dict, cfg: MapperConfig,
                 aln_score, perfect)
 
     real_row = batch["lengths_l"] > 0  # padding rows never count
+    # weighting/eq emission runs on the top weight_width score-sorted
+    # hits only (candidates arrive score-sorted from join/orphan sorts)
+    W = min(cfg.weight_width, joined["txp"].shape[1])
+    joined_w = {k: (v[:, :W] if v.ndim == 2 else v)
+                for k, v in joined.items()}
     tlen = jnp.take(dev["txp_lens"],
-                    jnp.clip(joined["txp"], 0, cfg.num_txps - 1),
+                    jnp.clip(joined_w["txp"], 0, cfg.num_txps - 1),
                     mode="clip")
     left_orph = joined["mate_status"] == MS_LEFT_ORPHAN
     rlen_mapped = jnp.where(left_orph, batch["lengths_l"],
                             batch["lengths_r"])
     eq_txp, eq_w, frag_ok, aln_valid, wn, eq_bins, fextras = \
         _filter_and_weight(
-            joined, fld_logpmf, compat_paired, compat_orphan,
+            joined_w, fld_logpmf, compat_paired, compat_orphan,
             batch["lengths_l"] + batch["lengths_r"], cfg,
-            aln_score=aln_score, perfect_score=perfect,
+            aln_score=None if aln_score is None else aln_score[:, :W],
+            perfect_score=None if perfect is None else perfect[:, :W],
             tlen=tlen, rlen_mapped=rlen_mapped)
     frag_ok = frag_ok & real_row
     aln_valid = aln_valid & real_row[:, None]
@@ -733,14 +814,18 @@ def map_single_batch_impl(batch: dict, dev: dict, cfg: MapperConfig,
         aln_score, perfect = _dp_scores(joined, batch, dev, cfg,
                                         single_end=True)
     real_row = batch["lengths"] > 0
+    W = min(cfg.weight_width, joined["txp"].shape[1])
+    joined_w = {k: (v[:, :W] if (hasattr(v, "ndim") and v.ndim == 2)
+                    else v) for k, v in joined.items()}
     tlen = jnp.take(dev["txp_lens"],
-                    jnp.clip(joined["txp"], 0, cfg.num_txps - 1),
+                    jnp.clip(joined_w["txp"], 0, cfg.num_txps - 1),
                     mode="clip")
     eq_txp, eq_w, frag_ok, aln_valid, wn, eq_bins, fextras = \
         _filter_and_weight(
-            joined, fld_logpmf, compat6,
+            joined_w, fld_logpmf, compat6,
             jnp.ones((2, 2), dtype=bool), batch["lengths"], cfg,
-            aln_score=aln_score, perfect_score=perfect,
+            aln_score=None if aln_score is None else aln_score[:, :W],
+            perfect_score=None if perfect is None else perfect[:, :W],
             tlen=tlen, rlen_mapped=batch["lengths"], single_end=True)
     frag_ok = frag_ok & real_row
     aln_valid = aln_valid & real_row[:, None]

@@ -91,17 +91,29 @@ def segment_carry_first(values, seg_start, axis=1):
     return out
 
 
-def score_candidates(key, rpos, diag, max_cands: int, stride: int = 1,
-                     window_bits: int = 8):
-    """Sort hits per read and reduce runs to top-T candidates.
+DIAG_OFFSET = 4096  # diag >= -max_read_len, so +4096 keeps buckets >= 0
 
-    The (candidate key, window) pair is packed into ONE uint32 sort key
-    (key << window_bits | window) so the sort carries a single key operand
-    plus one payload — multi-operand comparators are the hot cost of
-    lax.sort on TPU. window = rpos / stride fits `window_bits` (reads up
-    to 2^window_bits * stride bases); key = txp*2+orient must fit the
-    remaining bits (txps < 2^23 at the default 8 — ample for any
-    transcriptome + decoys).
+
+def score_candidates(key, rpos, diag, max_cands: int, stride: int = 1,
+                     window_bits: int = 8, diag_bucket_bits: int = 5):
+    """Sort hits per read and reduce co-linear runs to top-T candidates.
+
+    Co-linear chaining (the MemChainer::findChains role,
+    src/quant/SalmonQuantify.cpp:1276-1288): hits sort by
+    (candidate key, diagonal bucket, window), so a candidate's score is
+    the number of distinct read positions supporting ONE diagonal band
+    (bucket width 2^diag_bucket_bits ~ 2x the DP bandwidth) — scattered
+    bag-of-k-mers hits on repetitive transcripts land in different
+    buckets and score separately, and min_diag can no longer be
+    corrupted by one spurious far-away hit. A true chain can straddle a
+    bucket boundary; it then yields two candidates whose scores sum to
+    the chain length, and DP validation picks the better anchored one.
+
+    Sort-key packing: key1 = txp*2+orient (one u32);
+    key2 = diag_bucket << window_bits | window (one u32; window = rpos /
+    stride). Two key operands + the diag payload keep the comparator
+    narrow — multi-operand comparators are the hot cost of lax.sort on
+    TPU — and rpos rides inside key2 instead of a separate payload.
 
     Args:
       key/rpos/diag: (R, N) flattened hit tensors (N = P*C).
@@ -110,29 +122,34 @@ def score_candidates(key, rpos, diag, max_cands: int, stride: int = 1,
 
     Returns dict of (R, T):
       txp (int32), is_fw (bool), score (int32, #distinct supporting read
-      positions), min_diag (int32), valid (bool).
+      positions on the candidate diagonal band), min_diag (int32),
+      valid (bool).
     """
     R, N = key.shape
     window = (rpos // stride).astype(jnp.uint32)
-    packed = jnp.where(
-        key == INVALID_KEY, INVALID_KEY,
-        (key << jnp.uint32(window_bits)) | window)
-    packed_s, rpos_s, diag_s = jax.lax.sort(
-        (packed, rpos, diag), dimension=1, num_keys=1, is_stable=False)
-    key_s = jnp.where(packed_s == INVALID_KEY, INVALID_KEY,
-                      packed_s >> jnp.uint32(window_bits))
+    db = ((diag + DIAG_OFFSET).astype(jnp.uint32)
+          >> jnp.uint32(diag_bucket_bits))
+    key2 = (db << jnp.uint32(window_bits)) | window
+    key2 = jnp.where(key == INVALID_KEY, INVALID_KEY, key2)
+    key_s, key2_s, diag_s = jax.lax.sort(
+        (key, key2, diag), dimension=1, num_keys=2, is_stable=False)
+    bucket_s = key2_s >> jnp.uint32(window_bits)
 
     valid = key_s != INVALID_KEY
     prev_key = jnp.concatenate(
         [jnp.full((R, 1), INVALID_KEY), key_s[:, :-1]], axis=1)
-    prev_rpos = jnp.concatenate(
-        [jnp.full((R, 1), -1, jnp.int32), rpos_s[:, :-1]], axis=1)
+    prev_key2 = jnp.concatenate(
+        [jnp.full((R, 1), INVALID_KEY), key2_s[:, :-1]], axis=1)
+    prev_bucket = prev_key2 >> jnp.uint32(window_bits)
     next_key = jnp.concatenate(
         [key_s[:, 1:], jnp.full((R, 1), INVALID_KEY)], axis=1)
+    next_bucket = jnp.concatenate(
+        [bucket_s[:, 1:], jnp.full((R, 1), INVALID_KEY)], axis=1)
 
-    run_start = valid & (key_s != prev_key)
-    run_end = valid & (key_s != next_key)
-    uniq = valid & (run_start | (rpos_s != prev_rpos))
+    run_start = valid & ((key_s != prev_key) | (bucket_s != prev_bucket))
+    run_end = valid & ((key_s != next_key) | (bucket_s != next_bucket))
+    # distinct window within the run: equal windows have equal key2
+    uniq = valid & (run_start | (key2_s != prev_key2))
 
     cum = jnp.cumsum(uniq.astype(jnp.int32), axis=1)
     cum_at_start = segment_carry_first(cum, run_start)
@@ -145,10 +162,10 @@ def score_candidates(key, rpos, diag, max_cands: int, stride: int = 1,
     # into serialized kernels on TPU)
     end_score = jnp.where(run_end, run_score, 0)
     neg = -end_score
-    _, top_score, top_key, top_diag = jax.lax.sort(
-        (neg, end_score, key_s, min_diag), dimension=1, num_keys=1,
+    neg_s, top_key, top_diag = jax.lax.sort(
+        (neg, key_s, min_diag), dimension=1, num_keys=1,
         is_stable=False)
-    top_score = top_score[:, :max_cands]
+    top_score = -neg_s[:, :max_cands]
     top_key = top_key[:, :max_cands]
     top_diag = top_diag[:, :max_cands]
     out_valid = top_score > 0

@@ -102,3 +102,37 @@ def test_sim_accuracy_with_errors(sim):
     hi = t >= 50
     rel = np.abs(e[hi] - t[hi]) / t[hi]
     assert np.median(rel) < 0.15, float(np.median(rel))
+
+
+def test_chaining_prefers_colinear_hits():
+    """Co-linear chaining (MemChainer role): a candidate supported by 5
+    hits on ONE diagonal must outrank a candidate with 8 hits scattered
+    across distant diagonals (bag-of-k-mers inflation)."""
+    import jax.numpy as jnp
+    from salmon_tpu.mapping.score import score_candidates
+
+    # one read, 16 hit slots: candidate key 10 (txp 5 fw) = 5 co-linear
+    # hits at diag 100; candidate key 20 (txp 10 fw) = 8 hits scattered
+    # 200 apart
+    key = np.full((1, 16), 0xFFFFFFFF, np.uint32)
+    rpos = np.zeros((1, 16), np.int32)
+    diag = np.zeros((1, 16), np.int32)
+    for j in range(5):
+        key[0, j] = 10
+        rpos[0, j] = 3 * j
+        diag[0, j] = 100 + (j % 2)      # tiny indel wobble
+    for j in range(8):
+        key[0, 5 + j] = 20
+        rpos[0, 5 + j] = 3 * j
+        diag[0, 5 + j] = 100 + 200 * j  # scattered diagonals
+    out = score_candidates(jnp.asarray(key), jnp.asarray(rpos),
+                           jnp.asarray(diag), max_cands=4, stride=3)
+    txp = np.asarray(out["txp"][0])
+    score = np.asarray(out["score"][0])
+    best = {int(t): int(s) for t, s in zip(txp, score) if s > 0}
+    assert best[5] == 5           # full co-linear chain
+    assert best.get(10, 0) <= 1   # scattered hits never chain
+    # min_diag of the winner is the true chain diagonal, not an outlier
+    md = {int(t): int(d) for t, d, s in zip(txp, np.asarray(
+        out["min_diag"][0]), score) if s > 0}
+    assert md[5] in (100, 101)
