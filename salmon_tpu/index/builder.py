@@ -162,8 +162,10 @@ def build_index(
 
 
 def save_index(idx: TranscriptomeIndex, out_dir: str) -> None:
+    """Uncompressed npz: zlib on multi-GB occurrence arrays costs tens
+    of minutes single-threaded; disk is cheap and load is mmap-fast."""
     os.makedirs(out_dir, exist_ok=True)
-    np.savez_compressed(
+    np.savez(
         os.path.join(out_dir, "index.npz"),
         lengths=idx.lengths, complete_lengths=idx.complete_lengths,
         kmers=idx.kmers, occ_offsets=idx.occ_offsets, occ_txp=idx.occ_txp,
