@@ -413,6 +413,18 @@ def cmd_quantmerge(args) -> int:
     tables = []
     for q in args.quants:
         path = os.path.join(q, fname)
+        if not os.path.exists(path) and args.genes:
+            # sample quantified without -g: roll its quant.sf up on the
+            # fly when a gene map is recoverable from cmd_info.json
+            import json as _json
+            ci = os.path.join(q, "cmd_info.json")
+            gm = None
+            if os.path.exists(ci):
+                gm = _json.load(open(ci)).get("geneMap")
+            if gm and os.path.exists(gm):
+                from salmon_tpu.utils.genemap import aggregate_quant_sf
+                logger.info("deriving %s from quant.sf via %s", path, gm)
+                aggregate_quant_sf(os.path.join(q, "quant.sf"), gm)
         if not os.path.exists(path):
             logger.error("missing %s", path)
             return 1

@@ -70,6 +70,7 @@ class KmerHashTable:
     rows: np.ndarray         # (ceil(S/2), 4) int32 slot pairs (fpcnt, start)
     n_slots: int             # H (power of two)
     max_probes: int          # static probe bound for the device loop
+    n_evicted: int = 0       # keys dropped by the probe cap
 
     @property
     def mask(self) -> int:
@@ -79,15 +80,27 @@ class KmerHashTable:
 def build_hash_table(keys_u64: np.ndarray,
                      occ_offsets: np.ndarray | None = None,
                      load_factor: float = 0.5,
-                     min_probes: int = 4) -> KmerHashTable:
+                     max_load_factor: float = 0.62,
+                     min_probes: int = 4,
+                     probe_cap: int = 16) -> KmerHashTable:
     """Build the probe table for a set of *unique* uint64 keys.
 
     occ_offsets: (n + 1,) CSR offsets aligned with the sorted-unique key
     order; slot payload becomes (start, count). When None, payload is
     (rank, 1) — the key's index in the input order.
+
+    Sizing: the power-of-two size targets `load_factor` but is halved
+    while the load stays under `max_load_factor` — a 312M-kmer human
+    transcriptome lands at 2^29 slots (4.3 GB) instead of 2^30 (8.6 GB).
+    Probing is CAPPED at `probe_cap`: the rare keys whose robin-hood
+    displacement exceeds the cap are evicted (their seeds are simply
+    absent, like the reference's repetitive-seed skips) so device lookup
+    cost stays bounded at scale; the eviction count is recorded.
     """
     n = int(keys_u64.shape[0])
     h = 1 << max(4, int(np.ceil(np.log2(max(n, 1) / load_factor))))
+    while h >= 32 and n / (h // 2) <= max_load_factor:
+        h //= 2
     hi, lo = split_u64(keys_u64)
     mixed = mix32(hi, lo)
     desired = (mixed & np.uint32(h - 1)).astype(np.int64)
@@ -98,7 +111,9 @@ def build_hash_table(keys_u64: np.ndarray,
     idx = np.arange(n, dtype=np.int64)
     final = np.maximum.accumulate(d_sorted - idx) + idx
     probe_dist = final - d_sorted
-    max_probe = int(probe_dist.max()) + 1 if n else 1
+    keep = probe_dist < probe_cap
+    n_evicted = int((~keep).sum())
+    max_probe = int(probe_dist[keep].max()) + 1 if keep.any() else 1
     max_probe = max(max_probe, min_probes)
 
     if occ_offsets is None:
@@ -113,10 +128,10 @@ def build_hash_table(keys_u64: np.ndarray,
     size = h + max_probe
     size2 = -(-size // 2)
     slots = np.zeros((size2 * 2, 2), dtype=np.int32)
-    slots[final, 0] = fpcnt[order]
-    slots[final, 1] = starts[order]
+    slots[final[keep], 0] = fpcnt[order][keep]
+    slots[final[keep], 1] = starts[order][keep]
     rows = slots.reshape(size2, 4)
-    return KmerHashTable(rows, h, max_probe)
+    return KmerHashTable(rows, h, max_probe, n_evicted)
 
 
 def lookup_host(tab: KmerHashTable, keys_u64: np.ndarray):

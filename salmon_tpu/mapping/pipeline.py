@@ -148,10 +148,12 @@ def device_index_arrays(idx: TranscriptomeIndex) -> dict:
     are not shipped at that scale — the DP reads the 4-bit packed seq4
     planes (half the HBM)."""
     n_occ = idx.occ_txp.shape[0]
-    occ_rows = np.zeros((max(n_occ, 1), 4), dtype=np.int32)
+    # 2-column rows: [txp, pos<<1|fwd] — row-gather cost is per ROW, so
+    # halving the columns halves HBM without touching gather count
+    occ_rows = np.zeros((max(n_occ, 1), 2), dtype=np.int32)
     occ_rows[:n_occ, 0] = idx.occ_txp
-    occ_rows[:n_occ, 1] = idx.occ_pos
-    occ_rows[:n_occ, 2] = idx.occ_fwd
+    occ_rows[:n_occ, 1] = (idx.occ_pos.astype(np.int64) << 1
+                           | idx.occ_fwd).astype(np.int32)
     total = int(idx.seq_offsets[-1])
     off_dtype = np.int64 if total + _SEQ4_SHIFT + 256 >= 2**31 \
         else np.int32

@@ -29,8 +29,8 @@ def expand_occurrences(km: dict, start, count, found, occ_rows,
                        stride: int = 1):
     """Gather up to C occurrences per found k-mer window.
 
-    `occ_rows` is the packed (n_occ, 4) int32 occurrence matrix
-    (txp, pos, fwd, 0): one row gather fetches a hit's full record.
+    `occ_rows` is the packed (n_occ, 2) int32 occurrence matrix
+    (txp, pos<<1|fwd): one row gather fetches a hit's full record.
     `stride` is the base-position step between successive windows (the
     seed-skip analog of the reference's altSkip/mismatchSeedSkip,
     SalmonDefaults.hpp:37): window p sits at read position p*stride.
@@ -49,10 +49,10 @@ def expand_occurrences(km: dict, start, count, found, occ_rows,
     oidx = start[:, :, None] + c_idx[None, None, :]
     ovalid = usable[:, :, None] & (c_idx[None, None, :] < count[:, :, None])
 
-    occ = jnp.take(occ_rows, oidx, axis=0, mode="clip")  # (R, P, C, 4)
+    occ = jnp.take(occ_rows, oidx, axis=0, mode="clip")  # (R, P, C, 2)
     txp = occ[..., 0]
-    tpos = occ[..., 1]
-    tfwd = occ[..., 2].astype(bool)
+    tpos = occ[..., 1] >> 1
+    tfwd = (occ[..., 1] & 1).astype(bool)
 
     orient_fw = km["is_fw"][:, :, None] == tfwd
     key = (txp.astype(jnp.uint32) << jnp.uint32(1)) | \
