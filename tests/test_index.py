@@ -81,3 +81,33 @@ def test_decoy_partition(tmp_path):
     assert idx.num_targets == 3
     assert idx.first_decoy_index == 2
     assert idx.names[-1] == "chr1"
+
+
+def test_hashtable_probe_cap_eviction():
+    """Keys displaced beyond the probe cap are evicted, the rest still
+    resolve, and the device bound stays capped."""
+    import numpy as np
+    rng = np.random.default_rng(0)
+    keys = np.unique(rng.integers(0, 2**62, 40000).astype(np.uint64))
+    # tiny cap forces some evictions at load 0.62
+    tab = build_hash_table(keys, probe_cap=6)
+    assert tab.max_probes <= 6
+    start, count = lookup_host(tab, keys)
+    found = start >= 0
+    assert found.sum() >= keys.shape[0] - tab.n_evicted
+    # resolved keys return their own payload (rank) unless a rare
+    # fingerprint collision hit an earlier slot
+    ranks = np.arange(keys.shape[0])
+    ok = found & (start == ranks)
+    assert ok.sum() / max(found.sum(), 1) > 0.999
+
+
+def test_hashtable_count_saturation():
+    """Occurrence counts saturate at 16 bits without corrupting starts."""
+    import numpy as np
+    keys = np.array([123456789, 987654321], dtype=np.uint64)
+    offsets = np.array([0, 100000, 100002], dtype=np.int64)
+    tab = build_hash_table(keys, occ_offsets=offsets)
+    start, count = lookup_host(tab, keys)
+    assert start[0] == 0 and count[0] == 0xFFFF  # saturated
+    assert start[1] == 100000 and count[1] == 2
