@@ -353,9 +353,18 @@ def quantify_alignments(args, opts, cmd_args) -> int:
                     "ONT" if ont is not None else "mismatch-transition",
                     trained)
 
+    # --writeUnmappedNames: fragments with no usable alignment
+    # (reference OutputUnmappedFilter role)
+    unmapped_fh = None
+    want_names = bool(getattr(args, "writeUnmappedNames", False))
+    if want_names:
+        aux = os.path.join(args.output, "aux_info")
+        os.makedirs(aux, exist_ok=True)
+        unmapped_fh = open(os.path.join(aux, "unmapped_names.txt"), "w")
+
     aligner_checked = False
     for bam_path in args.alignments:
-        rdr = BamReader(bam_path)
+        rdr = BamReader(bam_path, want_names=want_names)
         if not aligner_checked:
             detect_aligner(getattr(rdr, "header_text", ""))
             aligner_checked = True
@@ -409,8 +418,19 @@ def quantify_alignments(args, opts, cmd_args) -> int:
                 err_ll[ksel] = ll
 
             # per-fragment processing (vectorized over the batch)
-            uniq_frags = np.unique(frag_id)
+            uniq_frags, first_rec = np.unique(frag_id,
+                                              return_index=True)
             num_processed += uniq_frags.shape[0]
+            if unmapped_fh is not None:
+                has_keep = np.zeros(int(frag_id.max()) + 1, bool)
+                if keep.any():
+                    has_keep[frag_id[keep]] = True
+                for u, fr in zip(uniq_frags, first_rec):
+                    if not has_keep[u]:
+                        nm = b.names[int(i1[fr])]
+                        nm = (nm.decode() if isinstance(nm, bytes)
+                              else nm)
+                        unmapped_fh.write(f"{nm} u\n")
             if not keep.any():
                 continue
 
@@ -543,6 +563,9 @@ def quantify_alignments(args, opts, cmd_args) -> int:
         logger.error("only %d assigned fragments (min %d)", num_mapped,
                      opts.min_assigned_frags)
         return 1
+
+    if unmapped_fh is not None:
+        unmapped_fh.close()
 
     eq = acc.finish()
     fld_pmf = fld.pmf()

@@ -316,3 +316,40 @@ def test_alignment_mode_gibbs_and_bias(truth_bam, sample_data_dir,
                                        "meta_info.json")))
     assert meta["mapping_type"] == "alignment"
     assert meta["samp_type"] == "gibbs"
+
+
+def test_alignment_mode_unmapped_names(sample_data_dir, tmp_path):
+    """--writeUnmappedNames in -a mode records fragments with no usable
+    alignment (reference OutputUnmappedFilter role)."""
+    from salmon_tpu.cli import main
+    from salmon_tpu.io.fasta import load_transcripts
+
+    records, _ = load_transcripts(
+        os.path.join(sample_data_dir, "transcripts.fasta"),
+        noclip_polya=True)
+    names = [r.name for r in records]
+    lens = [r.seq_codes.shape[0] for r in records]
+    rng = np.random.default_rng(4)
+    recs = []
+    for i in range(50):
+        tid = int(rng.integers(0, len(names)))
+        st = int(rng.integers(0, lens[tid] - 60))
+        seq = "".join("ACGT"[c]
+                      for c in records[tid].seq_codes[st:st + 60])
+        recs.append(dict(name=f"m{i}", refid=tid, pos=st, flag=0,
+                         cigar="60M", seq=seq, tags={"AS": 120}))
+    for i in range(7):
+        recs.append(dict(name=f"um{i}", refid=-1, pos=-1, flag=0x4,
+                         cigar="", seq="ACGT" * 15))
+    bam = str(tmp_path / "u2.bam")
+    bamio.write_bam(bam, names, lens, recs)
+    out = str(tmp_path / "qo")
+    rc = main(["quant", "-t",
+               os.path.join(sample_data_dir, "transcripts.fasta"),
+               "-l", "U", "-a", bam, "-o", out,
+               "--writeUnmappedNames", "-q"])
+    assert rc == 0
+    lines = open(os.path.join(out, "aux_info",
+                              "unmapped_names.txt")).read().split()
+    got = {ln for ln in lines if ln.startswith("um")}
+    assert got == {f"um{i}" for i in range(7)}
