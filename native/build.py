@@ -12,15 +12,16 @@ import sys
 HERE = os.path.dirname(os.path.abspath(__file__))
 OUT = os.path.join(HERE, "libsalmontpu.so")
 SRCS = [os.path.join(HERE, "bamreader.cpp"),
-        os.path.join(HERE, "fastqreader.cpp")]
+        os.path.join(HERE, "fastqreader.cpp"),
+        os.path.join(HERE, "kmersort.cpp")]
 
 
 def build(force: bool = False) -> str:
     if not force and os.path.exists(OUT) and all(
             os.path.getmtime(OUT) >= os.path.getmtime(s) for s in SRCS):
         return OUT
-    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", OUT,
-           *SRCS, "-lz"]
+    cmd = ["g++", "-O3", "-std=c++17", "-fopenmp", "-shared", "-fPIC",
+           "-o", OUT, *SRCS, "-lz"]
     print("+", " ".join(cmd), file=sys.stderr)
     subprocess.check_call(cmd)
     return OUT

@@ -1,0 +1,156 @@
+// Native index-build hot path: canonical k-mer enumeration + parallel
+// LSD radix sort.
+//
+// Role: the reference's index construction parallelism (pufferfish /
+// TwoPaCo multi-threaded CDBG build, driven from
+// src/index/BuildSalmonIndex.cpp) — here the index is a sorted
+// (canonical k-mer -> occurrences) CSR, so the build cost is one big
+// sort. numpy's single-threaded comparison argsort dominates the
+// Python build (~13 min at 200k transcripts); this module replaces it
+// with an OpenMP radix sort over the 2k key bits (stable, so
+// occurrences stay in (transcript, position) order within a k-mer).
+//
+// K-mer convention matches salmon_tpu.utils.dna bit-for-bit:
+// big-endian 2-bit packing, canonical = min(fwd, revcomp),
+// fwd flag = (fwd <= revcomp).
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#else
+static int omp_get_thread_num() { return 0; }
+static int omp_get_max_threads() { return 1; }
+#endif
+
+extern "C" {
+
+// Count valid k-mer windows per transcript (windows containing a code
+// >= 4 are invalid). Returns the total; fills counts[t] per transcript.
+int64_t kmer_count(const uint8_t* seq, const int64_t* offsets,
+                   int64_t n_txps, int32_t k, int64_t* counts) {
+  int64_t total = 0;
+#pragma omp parallel for schedule(dynamic, 64) reduction(+ : total)
+  for (int64_t t = 0; t < n_txps; ++t) {
+    const uint8_t* s = seq + offsets[t];
+    const int64_t n = offsets[t + 1] - offsets[t];
+    int64_t cnt = 0;
+    int64_t last_bad = -1;
+    for (int64_t i = 0; i < n; ++i) {
+      if (s[i] >= 4) last_bad = i;
+      if (i >= k - 1 && last_bad < i - k + 1) ++cnt;
+    }
+    counts[t] = cnt;
+    total += cnt;
+  }
+  return total;
+}
+
+// Enumerate canonical k-mers into caller buffers at per-transcript
+// start offsets (exclusive prefix sums of kmer_count's counts).
+// keys[i]    = canonical k-mer (low 2k bits)
+// payload[i] = txp << 32 | pos << 1 | fwd
+void kmer_enumerate(const uint8_t* seq, const int64_t* offsets,
+                    int64_t n_txps, int32_t k, const int64_t* starts,
+                    uint64_t* keys, uint64_t* payload) {
+  const int shift_hi = 2 * (k - 1);
+  const uint64_t mask = (k == 32) ? ~0ull : ((1ull << (2 * k)) - 1);
+#pragma omp parallel for schedule(dynamic, 64)
+  for (int64_t t = 0; t < n_txps; ++t) {
+    const uint8_t* s = seq + offsets[t];
+    const int64_t n = offsets[t + 1] - offsets[t];
+    int64_t out = starts[t];
+    uint64_t fw = 0, rc = 0;
+    int64_t last_bad = -1;
+    for (int64_t i = 0; i < n; ++i) {
+      const uint64_t c = s[i] < 4 ? s[i] : 0;
+      if (s[i] >= 4) last_bad = i;
+      fw = ((fw << 2) | c) & mask;
+      rc = (rc >> 2) | ((3ull - c) << shift_hi);
+      if (i >= k - 1 && last_bad < i - k + 1) {
+        const bool is_fw = fw <= rc;
+        const uint64_t canon = is_fw ? fw : rc;
+        const uint64_t pos = (uint64_t)(i - k + 1);
+        keys[out] = canon;
+        payload[out] = ((uint64_t)t << 32) | (pos << 1) |
+                       (is_fw ? 1ull : 0ull);
+        ++out;
+      }
+    }
+  }
+}
+
+// Unpack sorted payload words into (txp, pos, fwd) columns in one
+// parallel pass (numpy's u64 shift+cast chain costs several seconds at
+// hundreds of millions of occurrences).
+void kmer_decode_payload(const uint64_t* payload, int64_t n,
+                         int32_t* txp, int32_t* pos, uint8_t* fwd) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    const uint64_t p = payload[i];
+    txp[i] = (int32_t)(p >> 32);
+    pos[i] = (int32_t)((p >> 1) & 0x7FFFFFFFu);
+    fwd[i] = (uint8_t)(p & 1);
+  }
+}
+
+// Stable parallel LSD radix sort of (keys, payload) by the low `bits`
+// key bits. tk/tp are caller-allocated scratch of the same size.
+// Stability: per-pass static chunking is identical between the
+// histogram and scatter loops, and thread chunks are laid out in tid
+// order by the (bucket, thread) prefix sum.
+void radix_sort_u64(uint64_t* keys, uint64_t* payload, int64_t n,
+                    int32_t bits, uint64_t* tk, uint64_t* tp) {
+  if (n <= 1) return;
+  const int passes = (bits + 7) / 8;
+  const int nt = omp_get_max_threads();
+  std::vector<int64_t> hist((size_t)nt * 256);
+  // identical static partition for both loops of every pass
+  const int64_t chunk = (n + nt - 1) / nt;
+
+  uint64_t* sk = keys;
+  uint64_t* sp = payload;
+  uint64_t* dk = tk;
+  uint64_t* dp = tp;
+  for (int pass = 0; pass < passes; ++pass) {
+    const int shift = pass * 8;
+    std::fill(hist.begin(), hist.end(), 0);
+#pragma omp parallel num_threads(nt)
+    {
+      const int tid = omp_get_thread_num();
+      int64_t* h = &hist[(size_t)tid * 256];
+      const int64_t lo = tid * chunk;
+      const int64_t hi = lo + chunk < n ? lo + chunk : n;
+      for (int64_t i = lo; i < hi; ++i) ++h[(sk[i] >> shift) & 0xFF];
+    }
+    int64_t sum = 0;
+    for (int b = 0; b < 256; ++b)
+      for (int t = 0; t < nt; ++t) {
+        const int64_t c = hist[(size_t)t * 256 + b];
+        hist[(size_t)t * 256 + b] = sum;
+        sum += c;
+      }
+#pragma omp parallel num_threads(nt)
+    {
+      const int tid = omp_get_thread_num();
+      int64_t* h = &hist[(size_t)tid * 256];
+      const int64_t lo = tid * chunk;
+      const int64_t hi = lo + chunk < n ? lo + chunk : n;
+      for (int64_t i = lo; i < hi; ++i) {
+        const int64_t d = h[(sk[i] >> shift) & 0xFF]++;
+        dk[d] = sk[i];
+        dp[d] = sp[i];
+      }
+    }
+    std::swap(sk, dk);
+    std::swap(sp, dp);
+  }
+  if (sk != keys) {
+    std::memcpy(keys, sk, (size_t)n * 8);
+    std::memcpy(payload, sp, (size_t)n * 8);
+  }
+}
+
+}  // extern "C"

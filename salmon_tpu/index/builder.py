@@ -105,44 +105,52 @@ def build_index(
     complete_lengths = np.array([r.complete_length for r in records],
                                 dtype=np.int32)
 
-    # --- enumerate (canonical kmer, txp, pos, fwd) tuples ----------------
-    all_kmers, all_txp, all_pos, all_fwd = [], [], [], []
-    for tid, rec in enumerate(records):
-        km, valid_mask = kmers_of(rec.seq_codes, k)
-        if km.shape[0] == 0:
-            continue
-        canon, fwd = canonical_kmers(km, k)
-        canon = canon[valid_mask]
-        fwd = fwd[valid_mask]
-        pos = np.nonzero(valid_mask)[0].astype(np.int32)
-        all_kmers.append(canon)
-        all_txp.append(np.full(canon.shape[0], tid, dtype=np.int32))
-        all_pos.append(pos)
-        all_fwd.append(fwd)
+    seq_offsets = np.zeros(len(records) + 1, dtype=np.int64)
+    seq_offsets[1:] = np.cumsum(lengths.astype(np.int64))
+    seq_codes = (np.concatenate([r.seq_codes for r in records])
+                 if records else np.zeros(0, dtype=np.uint8))
 
-    if all_kmers:
-        km = np.concatenate(all_kmers)
-        tx = np.concatenate(all_txp)
-        po = np.concatenate(all_pos)
-        fw = np.concatenate(all_fwd)
+    # --- enumerate (canonical kmer, txp, pos, fwd), sorted by k-mer ------
+    # native path: OpenMP enumeration + parallel radix sort
+    # (native/kmersort.cpp); the pure-numpy fallback is the same
+    # computation with a single-threaded stable argsort.
+    from salmon_tpu.index import native_kmers
+    native = native_kmers.enumerate_sorted(seq_codes, seq_offsets, k)
+    if native is not None:
+        km, tx, po, fw = native
     else:
-        km = np.zeros(0, dtype=np.uint64)
-        tx = po = np.zeros(0, dtype=np.int32)
-        fw = np.zeros(0, dtype=bool)
+        all_kmers, all_txp, all_pos, all_fwd = [], [], [], []
+        for tid, rec in enumerate(records):
+            kms, valid_mask = kmers_of(rec.seq_codes, k)
+            if kms.shape[0] == 0:
+                continue
+            canon, fwd = canonical_kmers(kms, k)
+            canon = canon[valid_mask]
+            fwd = fwd[valid_mask]
+            pos = np.nonzero(valid_mask)[0].astype(np.int32)
+            all_kmers.append(canon)
+            all_txp.append(np.full(canon.shape[0], tid, dtype=np.int32))
+            all_pos.append(pos)
+            all_fwd.append(fwd)
 
-    # sort occurrences by k-mer (stable keeps (txp,pos) order within a k-mer)
-    order = np.argsort(km, kind="stable")
-    km, tx, po, fw = km[order], tx[order], po[order], fw[order]
+        if all_kmers:
+            km = np.concatenate(all_kmers)
+            tx = np.concatenate(all_txp)
+            po = np.concatenate(all_pos)
+            fw = np.concatenate(all_fwd)
+        else:
+            km = np.zeros(0, dtype=np.uint64)
+            tx = po = np.zeros(0, dtype=np.int32)
+            fw = np.zeros(0, dtype=bool)
+
+        # stable sort keeps (txp,pos) order within a k-mer
+        order = np.argsort(km, kind="stable")
+        km, tx, po, fw = km[order], tx[order], po[order], fw[order]
     uniq, starts = np.unique(km, return_index=True)
     offsets = np.concatenate([starts.astype(np.int64),
                               np.array([km.shape[0]], dtype=np.int64)])
 
     table = build_hash_table(uniq, occ_offsets=offsets)
-
-    seq_offsets = np.zeros(len(records) + 1, dtype=np.int64)
-    seq_offsets[1:] = np.cumsum(lengths.astype(np.int64))
-    seq_codes = (np.concatenate([r.seq_codes for r in records])
-                 if records else np.zeros(0, dtype=np.uint8))
 
     info.update({
         "index_format_version": INDEX_FORMAT_VERSION,

@@ -1,0 +1,90 @@
+"""ctypes bindings for the native index-build hot path
+(native/kmersort.cpp): parallel canonical k-mer enumeration + radix
+sort. Falls back to None when the shared library is unavailable; the
+builder then uses the pure-numpy path (utils.dna + np.argsort).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _native_lib():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    so = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "native", "libsalmontpu.so")
+    try:
+        if not os.path.exists(so):
+            import sys
+            sys.path.insert(0, os.path.dirname(os.path.dirname(so)))
+            from native.build import build
+            so = build()
+        lib = ctypes.CDLL(so)
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        lib.kmer_count.restype = ctypes.c_int64
+        lib.kmer_count.argtypes = [u8p, i64p, ctypes.c_int64,
+                                   ctypes.c_int32, i64p]
+        lib.kmer_enumerate.restype = None
+        lib.kmer_enumerate.argtypes = [u8p, i64p, ctypes.c_int64,
+                                       ctypes.c_int32, i64p, u64p, u64p]
+        lib.radix_sort_u64.restype = None
+        lib.radix_sort_u64.argtypes = [u64p, u64p, ctypes.c_int64,
+                                       ctypes.c_int32, u64p, u64p]
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        lib.kmer_decode_payload.restype = None
+        lib.kmer_decode_payload.argtypes = [u64p, ctypes.c_int64, i32p,
+                                            i32p, u8p]
+    except (OSError, AttributeError, Exception):
+        return None
+    _LIB = lib
+    return lib
+
+
+def available() -> bool:
+    return _native_lib() is not None
+
+
+def enumerate_sorted(seq_codes: np.ndarray, seq_offsets: np.ndarray,
+                     k: int) -> Optional[tuple]:
+    """Enumerate all transcripts' canonical k-mers, sorted by k-mer
+    (stable: occurrences stay in (transcript, position) order).
+
+    Returns (kmers u64, txp i32, pos i32, fwd bool) or None when the
+    native library is unavailable.
+    """
+    lib = _native_lib()
+    if lib is None:
+        return None
+    seq = np.ascontiguousarray(seq_codes, np.uint8)
+    off = np.ascontiguousarray(seq_offsets, np.int64)
+    n_txps = off.shape[0] - 1
+    counts = np.zeros(max(n_txps, 1), np.int64)
+    total = int(lib.kmer_count(seq, off, n_txps, k, counts))
+    keys = np.empty(total, np.uint64)
+    payload = np.empty(total, np.uint64)
+    if total:
+        starts = np.zeros(n_txps, np.int64)
+        starts[1:] = np.cumsum(counts[:n_txps])[:-1]
+        lib.kmer_enumerate(seq, off, n_txps, k, starts, keys, payload)
+        tk = np.empty(total, np.uint64)
+        tp = np.empty(total, np.uint64)
+        lib.radix_sort_u64(keys, payload, total, 2 * k, tk, tp)
+        del tk, tp
+    tx = np.empty(total, np.int32)
+    po = np.empty(total, np.int32)
+    fw8 = np.empty(total, np.uint8)
+    if total:
+        lib.kmer_decode_payload(payload, total, tx, po, fw8)
+    return keys, tx, po, fw8.view(bool)

@@ -93,6 +93,10 @@ class MapperConfig:
     # hits carried into weighting/eq emission (score-sorted truncation;
     # plays the maxReadOccs role for the aux/eq stages)
     weight_width: int = DEFAULTS.weight_width
+    # batch-global sparse seed flow (mapping.seed_sparse) vs the dense
+    # (R, P, C) expansion + per-row sorts
+    sparse_seed: bool = DEFAULTS.sparse_seed
+    seed_hits_per_end: int = DEFAULTS.seed_hits_per_end
 
     @staticmethod
     def from_index(idx: TranscriptomeIndex, opts: SalmonDefaults = DEFAULTS,
@@ -133,6 +137,8 @@ class MapperConfig:
             write_orphan_links=opts.write_orphan_links,
             alignment_cache=opts.alignment_cache,
             weight_width=opts.weight_width,
+            sparse_seed=opts.sparse_seed,
+            seed_hits_per_end=opts.seed_hits_per_end,
         )
         cfg.update(overrides)
         return MapperConfig(**cfg)
@@ -183,20 +189,43 @@ def _seq4_words(idx):
     return words
 
 
-def _map_one_end(codes, lengths, dev, cfg: MapperConfig):
-    """Stages 1-3 for one read end -> candidate dict + start positions."""
+def _end_seeds(codes, lengths, dev, cfg: MapperConfig):
+    """Stages 1-2 for one read end: k-mer extraction + hash lookup."""
     km = extract_kmers(codes, lengths, cfg.k)
     if cfg.kmer_stride > 1:
         # seed-skip: query every stride-th window (reference analog:
         # altSkip, SalmonDefaults.hpp:37; streaming-query skip heuristics)
         km = {k: v[:, ::cfg.kmer_stride] for k, v in km.items()}
-    start_c, count_c, found = hash_lookup(
-        km["hi"], km["lo"], dev["table_rows"], cfg.n_slots,
-        cfg.max_probes)
+    lk = hash_lookup(km["hi"], km["lo"], dev["table_rows"], cfg.n_slots,
+                     cfg.max_probes)
+    return km, lk
+
+
+def _seed_candidates(ends, lengths_per_end, dev, cfg: MapperConfig):
+    """Stages 1-3 for one or two read ends -> [(cand, start), ...]."""
+    seeded = [_end_seeds(codes, lengths, dev, cfg)
+              for codes, lengths in zip(ends, lengths_per_end)]
+    if cfg.sparse_seed:
+        from salmon_tpu.mapping.seed_sparse import seed_candidates_sparse
+        cands = seed_candidates_sparse(
+            seeded, dev["occ_rows"], occ_cap=cfg.occ_cap,
+            max_occs_per_hit=cfg.max_occs_per_hit,
+            hits_per_end=cfg.seed_hits_per_end,
+            max_cands=cfg.max_cands, stride=cfg.kmer_stride)
+    else:
+        cands = [_dense_candidates(km, lk, dev, cfg)
+                 for km, lk in seeded]
+    return [(cand, candidate_read_start(cand, lengths, cfg.k))
+            for cand, lengths in zip(cands, lengths_per_end)]
+
+
+def _dense_candidates(km, lk, dev, cfg: MapperConfig):
+    """Dense (R, P, C) expansion + per-row sort scoring (legacy path)."""
+    start_c, count_c, found = lk
     key, rpos, diag, ovalid = expand_occurrences(
         km, start_c, count_c, found, dev["occ_rows"],
         cfg.occ_cap, cfg.max_occs_per_hit, stride=cfg.kmer_stride)
-    R = codes.shape[0]
+    R = key.shape[0]
     n = key.shape[1] * key.shape[2]
     # window field must hold every window index (long reads overflow the
     # 8-bit default: P windows -> ceil(log2(P)) bits)
@@ -209,11 +238,9 @@ def _map_one_end(codes, lengths, dev, cfg: MapperConfig):
             f"{n_windows} seed windows need window_bits={window_bits} "
             f"> 12, which would overflow the diagonal-bucket sort key; "
             f"raise kmer_stride or reduce max_read_len")
-    cand = score_candidates(
+    return score_candidates(
         key.reshape(R, n), rpos.reshape(R, n), diag.reshape(R, n),
         cfg.max_cands, stride=cfg.kmer_stride, window_bits=window_bits)
-    start = candidate_read_start(cand, lengths, cfg.k)
-    return cand, start
 
 
 def _device_revcomp(codes, lengths):
@@ -302,13 +329,20 @@ def _dp_scores(joined: dict, batch: dict, dev: dict, cfg: MapperConfig,
     K = R * budget
     valid_f = flat(joined["valid"])
     need_dp = valid_f & ~flat(full_cov)
+    # per-READ cap (not a shared batch pool): each read keeps its first
+    # `budget` needy slots (slots are already chain-score-ranked), so a
+    # read's validated set never depends on the rest of the batch — the
+    # sharded path stays bit-identical to single-device at any split
+    need_2d = need_dp.reshape(R, T2)
+    keep = need_dp & flat(jnp.cumsum(need_2d.astype(jnp.int32),
+                                     axis=1) <= budget)
     idx_bits = max(1, (R * T2 - 1).bit_length())
-    packed = (jnp.where(need_dp, jnp.uint32(0), jnp.uint32(1))
+    packed = (jnp.where(keep, jnp.uint32(0), jnp.uint32(1))
               << jnp.uint32(idx_bits)) | jnp.arange(
         R * T2, dtype=jnp.uint32)
     sel = (jax.lax.sort(packed, dimension=0, is_stable=False)[:K]
            & jnp.uint32((1 << idx_bits) - 1)).astype(jnp.int32)
-    sel_valid = jnp.take(need_dp, sel)
+    sel_valid = jnp.take(keep, sel)
 
     # per-slot DP parameters as packed rows -> ONE row gather per mate
     # (element gathers cost ~8ns/row on this backend; 4-wide rows ~3ns)
@@ -667,10 +701,9 @@ def map_paired_batch_impl(batch: dict, dev: dict, cfg: MapperConfig,
     Returns dict with eq-class tensors, FLD histogram contribution and
     counters (all fixed-shape).
     """
-    cand_l, start_l = _map_one_end(
-        batch["codes_l"], batch["lengths_l"], dev, cfg)
-    cand_r, start_r = _map_one_end(
-        batch["codes_r"], batch["lengths_r"], dev, cfg)
+    (cand_l, start_l), (cand_r, start_r) = _seed_candidates(
+        [batch["codes_l"], batch["codes_r"]],
+        [batch["lengths_l"], batch["lengths_r"]], dev, cfg)
 
     paired = join_pairs(cand_l, cand_r, start_l, start_r,
                         batch["lengths_l"], batch["lengths_r"],
@@ -798,7 +831,8 @@ def map_single_batch_impl(batch: dict, dev: dict, cfg: MapperConfig,
                           fld_logpmf=None, compat_single=None):
     """Map one single-end batch (reference: processReads single-end
     overload, SalmonQuantify.cpp:1881-2325)."""
-    cand, start = _map_one_end(batch["codes"], batch["lengths"], dev, cfg)
+    [(cand, start)] = _seed_candidates(
+        [batch["codes"]], [batch["lengths"]], dev, cfg)
     hits = orphan_hits(cand, start, MS_PAIRED, cfg.max_pair_cands)
     # single-end compat: table over observed (fw, rc)
     joined = dict(hits)

@@ -1,0 +1,226 @@
+"""Batch-global sparse seed flow: compacted hit list + 1-D global sorts.
+
+The dense seed stage (mapping.score) materializes every (window,
+occurrence) slot as an (R, P, C) tensor — at human-scale shapes that is
+~6M slots of which <10% are real hits, and the per-read (R, P*C) sorts
+and row gathers pay for the padding. This module re-expresses the same
+computation (pufferfish MemCollector hit projection + MemChainer
+co-linear chaining, consumed at src/quant/SalmonQuantify.cpp:1266-1288)
+as a batch-GLOBAL flow sized by the actual hit count:
+
+  1. ragged expansion by scatter+carry: each usable window's occurrence
+     range is written once as a packed header row at its exclusive-
+     cumsum destination; a segment-carry scan fills every slot of the
+     fixed hit budget H = (#ends)*R*B with its governing header, and
+     c = slot - dest recovers the occurrence offset;
+  2. ONE row gather fetches each hit's (txp, pos<<1|fwd) record;
+  3. ONE global 1-D sort by (read-end, candidate key, diagonal-bucket |
+     window) groups co-linear runs; flat segmented scans score them
+     (distinct supporting windows per diagonal band, as in the dense
+     path);
+  4. ONE global sort by a packed (read-end << score_bits | ~score) key
+     ranks candidates per read end; a row scatter emits the per-end
+     top-T candidate dicts consumed by mapping.pair unchanged.
+
+Per-read-end fairness: every end gets the same hit budget B
+(`seed_hits_per_end`); within an end, earlier windows win (leftmost
+seeds first, like the reference's in-order MEM collection) and each
+window is still capped at `occ_cap` occurrences with the
+`max_occs_per_hit` repetitive-seed skip.
+
+Sorts and scans here are 1-D over H elements — on this backend sorts
+run at ~1ns/element and axis-0 scans are nearly free, while per-row
+gathers/scatters cost ~3-8ns/ROW, so shrinking the slot count from
+R*P*C to H is the whole game.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from salmon_tpu.mapping.score import (DIAG_OFFSET, INVALID_KEY,
+                                      _segmented_min, segment_carry_first)
+
+
+def _ceil_log2(n: int) -> int:
+    return max(1, int(np.ceil(np.log2(max(n, 2)))))
+
+
+def seed_candidates_sparse(ends, occ_rows, *, occ_cap: int,
+                           max_occs_per_hit: int, hits_per_end: int,
+                           max_cands: int, stride: int = 1,
+                           diag_bucket_bits: int = 5):
+    """Score seed candidates for one or two read ends in one global flow.
+
+    Args:
+      ends: list of (km, lookup) per read end, where km is the dict from
+        extract_kmers (already strided) and lookup = (start, count,
+        found) from hash_lookup; all (R, P).
+      occ_rows: (n_occ, 2) packed occurrence matrix (txp, pos<<1|fwd).
+      occ_cap: C — occurrences gathered per window.
+      max_occs_per_hit: repetitive-seed skip threshold.
+      hits_per_end: B — total hit budget per read end.
+      max_cands: T — candidates kept per read end.
+      stride: window spacing in bases.
+
+    Returns a list of candidate dicts (txp, is_fw, score, min_diag,
+    valid), each (R, T), one per end — the same contract as
+    mapping.score.score_candidates.
+    """
+    E = len(ends)
+    R, P = ends[0][1][0].shape
+    NE = E * R                       # read-end count
+    B = min(hits_per_end, P * occ_cap)
+    H = NE * B
+
+    # ---- flat per-window arrays in (read, end, window) order ----------
+    def flat(get):
+        parts = [get(km, lk) for km, lk in ends]
+        if E == 1:
+            return parts[0].reshape(-1)
+        return jnp.stack(parts, axis=1).reshape(-1)  # (R, E, P) -> flat
+
+    start = flat(lambda km, lk: lk[0])
+    count = flat(lambda km, lk: lk[1])
+    found = flat(lambda km, lk: lk[2])
+    qfw = flat(lambda km, lk: km["is_fw"])
+    kval = flat(lambda km, lk: km["valid"])
+
+    usable = found & kval & (count <= max_occs_per_hit)
+    n = jnp.where(usable, jnp.minimum(count, occ_cap), 0)
+
+    # per-end budget: leftmost windows first until B hits are spent
+    n2 = n.reshape(NE, P)
+    cum_in = jnp.cumsum(n2, axis=1)
+    n_used = jnp.clip(B - (cum_in - n2), 0, n2).reshape(-1)
+
+    # ---- ragged expansion: header scatter + carry scan ----------------
+    dest = jnp.cumsum(n_used) - n_used                  # exclusive
+    dest = dest.astype(jnp.int32)
+    W = NE * P
+    w_idx = jnp.arange(W, dtype=jnp.int32)
+    hdr = jnp.stack(
+        [start,
+         (w_idx << jnp.int32(1)) | qfw.astype(jnp.int32),
+         n_used,
+         dest], axis=1)                                 # (W, 4)
+    keep = n_used > 0
+    dest_w = jnp.where(keep, dest, H)
+    slots = jnp.zeros((H + 1, 4), jnp.int32).at[dest_w].set(
+        hdr, mode="drop")[:H]
+    flags = jnp.zeros(H + 1, bool).at[dest_w].set(keep, mode="drop")[:H]
+    hdrf = segment_carry_first(
+        slots, jnp.broadcast_to(flags[:, None], (H, 4)), axis=0)
+
+    c = jnp.arange(H, dtype=jnp.int32) - hdrf[:, 3]
+    hit_ok = c < hdrf[:, 2]                             # n=0 before 1st hdr
+    occ = jnp.take(occ_rows, jnp.clip(hdrf[:, 0] + c, 0, None),
+                   axis=0, mode="clip")                 # (H, 2) row gather
+    txp = occ[:, 0]
+    tpos = occ[:, 1] >> 1
+    tfwd = (occ[:, 1] & 1).astype(bool)
+
+    wcol = hdrf[:, 1]
+    q_is_fw = (wcol & 1).astype(bool)
+    w = wcol >> 1
+    rid = w // P                                        # read-end id
+    p = w - rid * P
+    rpos = p * stride
+
+    orient_fw = q_is_fw == tfwd
+    key = (txp.astype(jnp.uint32) << jnp.uint32(1)) | \
+        orient_fw.astype(jnp.uint32)
+    key = jnp.where(hit_ok, key, INVALID_KEY)
+    diag = jnp.where(orient_fw, tpos - rpos, tpos + rpos)
+    rid_u = jnp.where(hit_ok, rid.astype(jnp.uint32), INVALID_KEY)
+
+    window_bits = max(8, _ceil_log2(P))
+    if window_bits > 12:
+        raise ValueError(
+            f"{P} seed windows need window_bits={window_bits} > 12, "
+            "which would overflow the diagonal-bucket sort key; raise "
+            "kmer_stride or reduce max_read_len")
+    db = ((diag + DIAG_OFFSET).astype(jnp.uint32)
+          >> jnp.uint32(diag_bucket_bits))
+    key2 = (db << jnp.uint32(window_bits)) | p.astype(jnp.uint32)
+    key2 = jnp.where(hit_ok, key2, INVALID_KEY)
+
+    # ---- global co-linear run scoring ---------------------------------
+    rid_s, key_s, key2_s, diag_s = jax.lax.sort(
+        (rid_u, key, key2, diag), dimension=0, num_keys=3,
+        is_stable=False)
+    bucket_s = key2_s >> jnp.uint32(window_bits)
+    valid = rid_s != INVALID_KEY
+
+    def prev(a, fill):
+        return jnp.concatenate([jnp.full((1,), fill, a.dtype), a[:-1]])
+
+    def nxt(a, fill):
+        return jnp.concatenate([a[1:], jnp.full((1,), fill, a.dtype)])
+
+    p_rid = prev(rid_s, INVALID_KEY)
+    p_key = prev(key_s, INVALID_KEY)
+    p_key2 = prev(key2_s, INVALID_KEY)
+    p_bucket = p_key2 >> jnp.uint32(window_bits)
+    run_start = valid & ((rid_s != p_rid) | (key_s != p_key)
+                         | (bucket_s != p_bucket))
+    run_end = valid & ((rid_s != nxt(rid_s, INVALID_KEY))
+                       | (key_s != nxt(key_s, INVALID_KEY))
+                       | (bucket_s != nxt(bucket_s, INVALID_KEY)))
+    uniq = valid & (run_start | (key2_s != p_key2))
+
+    cum = jnp.cumsum(uniq.astype(jnp.int32))
+    score = cum - segment_carry_first(cum, run_start, axis=0) + 1
+    min_diag = _segmented_min(diag_s, run_start, axis=0)
+
+    # ---- per-read-end top-T ranking -----------------------------------
+    sbits = _ceil_log2(P + 2)
+    smax = (1 << sbits) - 1
+    rbits = _ceil_log2(NE)
+    if rbits + sbits > 32:
+        raise ValueError("read-end/score packing exceeds 32 bits; "
+                         "reduce the batch size")
+    rank_key = ((rid_s << jnp.uint32(sbits))
+                | jnp.uint32(smax) - jnp.clip(score, 0, smax).astype(
+                    jnp.uint32))
+    rank_key = jnp.where(run_end, rank_key, INVALID_KEY)
+    # all three operands are sort KEYS: score ties must break by
+    # (candidate key, diagonal), not by global array position — the
+    # global sort mixes reads, so position-dependent tie order would
+    # make a read's top-T depend on the rest of the batch (and differ
+    # between per-device shard sizes)
+    rk_s, keyc, diagc = jax.lax.sort(
+        (rank_key, key_s, min_diag), dimension=0, num_keys=3,
+        is_stable=False)
+    ridc = rk_s >> jnp.uint32(sbits)
+    seg = ridc != prev(ridc, INVALID_KEY)
+    pos_idx = jnp.arange(H, dtype=jnp.int32)
+    rank = pos_idx - segment_carry_first(pos_idx, seg, axis=0)
+    T = max_cands
+    cand_valid = rk_s != INVALID_KEY
+    keepc = cand_valid & (rank < T)
+    dest2 = jnp.where(
+        keepc, ridc.astype(jnp.int32) * T + rank, NE * T)
+    scorec = jnp.int32(smax) - (rk_s & jnp.uint32(smax)).astype(jnp.int32)
+    rows = jnp.stack(
+        [jax.lax.bitcast_convert_type(keyc, jnp.int32), scorec, diagc],
+        axis=1)
+    out = jnp.zeros((NE * T + 1, 3), jnp.int32).at[dest2].set(
+        rows, mode="drop")[:NE * T]
+    out = out.reshape(R, E, T, 3)
+
+    cands = []
+    for e in range(E):
+        keye = jax.lax.bitcast_convert_type(out[:, e, :, 0], jnp.uint32)
+        sc = out[:, e, :, 1]
+        cands.append({
+            "txp": (keye >> jnp.uint32(1)).astype(jnp.int32),
+            "is_fw": (keye & jnp.uint32(1)).astype(bool),
+            "score": sc,
+            "min_diag": out[:, e, :, 2],
+            "valid": sc > 0,
+        })
+    return cands

@@ -32,6 +32,21 @@ SAMPLE_READS_2 = os.path.join(os.path.dirname(__file__), "data",
                               "reads_2.fastq")
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _release_jit_mappings():
+    """Drop compiled executables between test modules.
+
+    Each loaded XLA:CPU executable holds O(1000) small JIT code
+    mappings (one triplet per thunk); across the full suite's many
+    program variants the process crosses the kernel's 65530
+    vm.max_map_count and segfaults inside the compiler. clear_caches()
+    releases them, and the persistent compile cache makes the reload
+    cheap.
+    """
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(20260816)

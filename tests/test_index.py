@@ -111,3 +111,49 @@ def test_hashtable_count_saturation():
     start, count = lookup_host(tab, keys)
     assert start[0] == 0 and count[0] == 0xFFFF  # saturated
     assert start[1] == 100000 and count[1] == 2
+
+
+def test_native_kmer_enumeration_matches_numpy(rng):
+    """The native OpenMP enumerate+radix-sort path (native/kmersort.cpp)
+    must reproduce the pure-numpy enumeration bit-for-bit, including
+    N-handling and stable (txp, pos) order within each k-mer."""
+    from salmon_tpu.index import native_kmers
+
+    if not native_kmers.available():
+        pytest.skip("native library unavailable")
+    k = 25
+    seqs = []
+    for n in (10, 100, 31, 24, 400):   # incl. too-short (< k)
+        s = rng.integers(0, 4, n).astype(np.uint8)
+        # sprinkle invalid codes (N) into the longer sequences
+        if n >= 100:
+            s[rng.integers(0, n, 3)] = 4
+        seqs.append(s)
+    offsets = np.zeros(len(seqs) + 1, np.int64)
+    offsets[1:] = np.cumsum([len(s) for s in seqs])
+    seq_codes = np.concatenate(seqs)
+
+    km_n, tx_n, po_n, fw_n = native_kmers.enumerate_sorted(
+        seq_codes, offsets, k)
+
+    all_kmers, all_txp, all_pos, all_fwd = [], [], [], []
+    for tid, s in enumerate(seqs):
+        kms, valid_mask = kmers_of(s, k)
+        if kms.shape[0] == 0:
+            continue
+        canon, fwd = canonical_kmers(kms, k)
+        all_kmers.append(canon[valid_mask])
+        all_fwd.append(fwd[valid_mask])
+        pos = np.nonzero(valid_mask)[0].astype(np.int32)
+        all_txp.append(np.full(pos.shape[0], tid, dtype=np.int32))
+        all_pos.append(pos)
+    km = np.concatenate(all_kmers)
+    tx = np.concatenate(all_txp)
+    po = np.concatenate(all_pos)
+    fw = np.concatenate(all_fwd)
+    order = np.argsort(km, kind="stable")
+
+    np.testing.assert_array_equal(km_n, km[order])
+    np.testing.assert_array_equal(tx_n, tx[order])
+    np.testing.assert_array_equal(po_n, po[order])
+    np.testing.assert_array_equal(fw_n, fw[order])

@@ -1,0 +1,125 @@
+"""Parity of the batch-global sparse seed flow vs the dense path.
+
+The sparse flow (mapping.seed_sparse) must reproduce the dense
+(R, P, C) expansion's candidate scoring when its per-end hit budget
+covers every hit — identical co-linear run scores, min-diagonals, and
+downstream eq-class mass on the bundled sample.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from salmon_tpu.constants import DEFAULTS
+from salmon_tpu.index.builder import build_index
+from salmon_tpu.io.fastq import _iter_fastq_seqs, pack_seqs
+from salmon_tpu.mapping.pipeline import (MapperConfig,
+                                         device_index_arrays,
+                                         map_paired_batch)
+from salmon_tpu.models.fld import FragmentLengthDistribution
+from salmon_tpu.utils import libformat
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+@pytest.fixture(scope="module")
+def sample_setup():
+    idx = build_index(os.path.join(DATA, "transcripts.fasta"), k=25)
+    reads1 = list(_iter_fastq_seqs(os.path.join(DATA, "reads_1.fastq")))
+    reads2 = list(_iter_fastq_seqs(os.path.join(DATA, "reads_2.fastq")))
+    L = max(len(s) for s in reads1 + reads2)
+    R = 256
+    c1, l1 = pack_seqs(reads1, len(reads1), L)
+    c2, l2 = pack_seqs(reads2, len(reads2), L)
+    reps = -(-R // len(reads1))
+    batch = {
+        "codes_l": jnp.asarray(np.tile(c1, (reps, 1))[:R]),
+        "lengths_l": jnp.asarray(np.tile(l1, reps)[:R]),
+        "codes_r": jnp.asarray(np.tile(c2, (reps, 1))[:R]),
+        "lengths_r": jnp.asarray(np.tile(l2, reps)[:R]),
+    }
+    fld = FragmentLengthDistribution(max_val=DEFAULTS.max_frag_length)
+    fldl = jnp.asarray(fld.log_pmf(), jnp.float32)
+    fmt = libformat.parse_library_format("IU")
+    cp = jnp.asarray(libformat.paired_compat_table(fmt))
+    co = jnp.asarray(libformat.orphan_compat_table(fmt))
+    return idx, batch, fldl, cp, co
+
+
+def _run(idx, batch, fldl, cp, co, **over):
+    cfg = MapperConfig.from_index(idx, **over)
+    dev = device_index_arrays(idx)
+    return map_paired_batch(batch, dev, cfg, fldl, cp, co)
+
+
+def test_sparse_matches_dense_end_to_end(sample_setup):
+    idx, batch, fldl, cp, co = sample_setup
+    dense = _run(idx, batch, fldl, cp, co, sparse_seed=False)
+    sparse = _run(idx, batch, fldl, cp, co, sparse_seed=True)
+    assert int(dense["num_mapped"]) == int(sparse["num_mapped"])
+    assert int(dense["num_paired"]) == int(sparse["num_paired"])
+    np.testing.assert_allclose(np.asarray(dense["txp_mass"]),
+                               np.asarray(sparse["txp_mass"]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(dense["best_txp"]),
+                                  np.asarray(sparse["best_txp"]))
+
+
+def test_sparse_candidates_match_dense(sample_setup):
+    """Candidate dicts themselves (txp/score/diag sets per read)."""
+    idx, batch, fldl, cp, co = sample_setup
+    from salmon_tpu.mapping.pipeline import _seed_candidates
+
+    dev = device_index_arrays(idx)
+    out = {}
+    for sparse in (False, True):
+        cfg = MapperConfig.from_index(idx, sparse_seed=sparse)
+        out[sparse] = _seed_candidates(
+            [batch["codes_l"], batch["codes_r"]],
+            [batch["lengths_l"], batch["lengths_r"]], dev, cfg)
+    for e in range(2):
+        cd, _ = out[False][e]
+        cs, _ = out[True][e]
+        R = cd["txp"].shape[0]
+        for r in range(R):
+            def canon(c):
+                m = np.asarray(c["valid"][r])
+                rows = {(int(t), bool(f), int(s), int(d))
+                        for t, f, s, d in zip(
+                            np.asarray(c["txp"][r])[m],
+                            np.asarray(c["is_fw"][r])[m],
+                            np.asarray(c["score"][r])[m],
+                            np.asarray(c["min_diag"][r])[m])}
+                return rows
+            assert canon(cd) == canon(cs), f"end {e} read {r}"
+
+
+def test_sparse_budget_truncation_keeps_leftmost():
+    """A tiny budget must keep the leftmost windows' hits and still
+    produce valid candidates (graceful degradation, not corruption)."""
+    idx = build_index(os.path.join(DATA, "transcripts.fasta"), k=25)
+    reads1 = list(_iter_fastq_seqs(os.path.join(DATA, "reads_1.fastq")))
+    reads2 = list(_iter_fastq_seqs(os.path.join(DATA, "reads_2.fastq")))
+    L = max(len(s) for s in reads1 + reads2)
+    R = 64
+    c1, l1 = pack_seqs(reads1, len(reads1), L)
+    c2, l2 = pack_seqs(reads2, len(reads2), L)
+    reps = -(-R // len(reads1))
+    batch = {
+        "codes_l": jnp.asarray(np.tile(c1, (reps, 1))[:R]),
+        "lengths_l": jnp.asarray(np.tile(l1, reps)[:R]),
+        "codes_r": jnp.asarray(np.tile(c2, (reps, 1))[:R]),
+        "lengths_r": jnp.asarray(np.tile(l2, reps)[:R]),
+    }
+    fld = FragmentLengthDistribution(max_val=DEFAULTS.max_frag_length)
+    fldl = jnp.asarray(fld.log_pmf(), jnp.float32)
+    fmt = libformat.parse_library_format("IU")
+    cp = jnp.asarray(libformat.paired_compat_table(fmt))
+    co = jnp.asarray(libformat.orphan_compat_table(fmt))
+    out = _run(idx, batch, fldl, cp, co, sparse_seed=True,
+               seed_hits_per_end=4)
+    # every sample read is unique-mapping with hits in its first windows
+    assert int(out["num_mapped"]) == R
