@@ -127,46 +127,178 @@ def expand_batch(b, sel_idx, ref_map, seq_codes, seq_off, txp_lens):
             "cur": cur.astype(np.int32), "bin": pbin}
 
 
+def clip_counts(b, sel_idx):
+    """Per-record clip base counts from the CIGAR pools (vectorized).
+
+    Returns (fclips, bclips, sclips, hclips): clip bases at the front /
+    back (soft+hard, like the reference's ErrorCount.fclips_/bclips_,
+    AlignmentCommon.hpp:62-63 + computeErrorCount), total soft-clip
+    bases and total hard-clip bases, each (len(sel_idx),) int64.
+    """
+    sel = np.asarray(sel_idx, np.int64)
+    off = b.cigar_off[sel]
+    n = b.cigar_n[sel].astype(np.int64)
+    op = np.asarray(b.cigar_op)
+    oplen = np.asarray(b.cigar_oplen).astype(np.int64)
+
+    def end_clips(o0, o1, has2):
+        # clip bases among the first (or last) two ops: H then S (or S
+        # then H at the back); a lone S or H also counts
+        c0_op, c0_len = op[o0], oplen[o0]
+        c1_op, c1_len = op[o1], oplen[o1]
+        first = np.where((c0_op == 4) | (c0_op == 5), c0_len, 0)
+        second = np.where(
+            has2 & ((c0_op == 4) | (c0_op == 5))
+            & ((c1_op == 4) | (c1_op == 5)), c1_len, 0)
+        return first + second
+
+    has2 = n >= 2
+    o0 = off
+    o1 = np.where(has2, off + 1, off)
+    fcl = np.where(n > 0, end_clips(o0, o1, has2), 0)
+    e0 = off + np.maximum(n - 1, 0)
+    e1 = np.where(has2, off + n - 2, e0)
+    bcl = np.where(n > 0, end_clips(e0, e1, has2), 0)
+    # lone-op record would double count front+back; a single clip op
+    # cannot be both (an alignment needs >=1 aligned base), keep as-is
+    # total S and H bases per record via segment sums over the pool
+    if op.size:
+        is_s = np.where(op == 4, oplen, 0)
+        is_h = np.where(op == 5, oplen, 0)
+        cs_s = np.concatenate([[0], np.cumsum(is_s)])
+        cs_h = np.concatenate([[0], np.cumsum(is_h)])
+        scl = cs_s[off + n] - cs_s[off]
+        hcl = cs_h[off + n] - cs_h[off]
+    else:
+        scl = np.zeros(sel.shape[0], np.int64)
+        hcl = np.zeros(sel.shape[0], np.int64)
+    return fcl, bcl, scl, hcl
+
+
 class ONTErrorModel:
     """Oxford-Nanopore error model (reference ONTAlignmentModel,
-    src/alignment/ONTAlignmentModel.cpp: per-100bp-length-bin error-rate
-    histograms, Savitzky-Golay smoothed). Here: error rate = NM /
-    aligned_length binned per length class; log-likelihood is the
-    smoothed log-frequency of the observed rate in the read's bin."""
+    src/alignment/ONTAlignmentModel.cpp).
+
+    Per-100bp-length-bin running averages (mass, sum) of: the error
+    rate (errors / aligned length, binned by aligned length) and the
+    front / back clip bases (binned by read length). The likelihood of
+    an alignment (logLikelihood, :26-127) is
+
+      * a two-tailed Binomial(alignLen, binMeanErrorRate) probability of
+        observing an error count at least as far from the bin median as
+        this alignment's ("likelihood ... to get a read further away
+        from mode"), plus
+      * front/back Geometric(1/(meanClip+1)) tail ratios, penalizing
+        only clips beyond the bin mean (:92-124).
+
+    Error counts come from the NM tag (= mismatches + inserted +
+    deleted bases, the reference's ErrorCount.ims()); clip bases come
+    from the CIGAR (clip_counts above).
+    """
 
     BIN_LEN = 100          # reference binLen (ONTAlignmentModel.hpp:22)
-    N_LEN_BINS = 62
-    N_RATE_BINS = 101      # error rate percent 0..100
+    MAX_READ_LEN = 50000   # reference maxReadLen (ONTAlignmentModel.hpp:21)
+    N_LEN_BINS = MAX_READ_LEN // BIN_LEN + 1
+    LL_MIN = 1e-10         # reference llMin (ONTAlignmentModel.cpp:30)
+    LOG_0 = -1e30
 
-    def __init__(self, alpha: float = 1e-3):
-        self.counts = np.full((self.N_LEN_BINS, self.N_RATE_BINS), alpha)
-        self._logp = None
-
-    @classmethod
-    def _bins(cls, aln_len, nm):
-        lb = np.clip(aln_len // cls.BIN_LEN, 0, cls.N_LEN_BINS - 1)
-        rate = np.where(aln_len > 0, nm / np.maximum(aln_len, 1), 0.0)
-        rb = np.clip(np.round(100 * rate), 0, cls.N_RATE_BINS - 1)
-        return lb.astype(np.int64), rb.astype(np.int64)
-
-    def update(self, aln_len, nm, weights):
-        lb, rb = self._bins(aln_len, np.maximum(nm, 0))
-        np.add.at(self.counts, (lb, rb), weights)
-        self._logp = None
+    def __init__(self, alpha: float = 0.0):
+        # (mass, sum) running pairs per length bin
+        self.err = np.zeros((self.N_LEN_BINS, 2))
+        self.fclip = np.zeros((self.N_LEN_BINS, 2))
+        self.bclip = np.zeros((self.N_LEN_BINS, 2))
 
     def normalize(self):
-        # 5-tap moving-average smoothing along the rate axis (the
-        # SGSmooth role) then row-normalize
-        k = np.ones(5) / 5.0
-        sm = np.apply_along_axis(
-            lambda r: np.convolve(r, k, mode="same"), 1, self.counts)
-        self._logp = np.log(sm / sm.sum(axis=1, keepdims=True))
+        """No-op: the running (mass, sum) averages are consumed directly
+        (kept for interface parity with AlignmentErrorModel)."""
 
-    def log_likelihood(self, aln_len, nm):
-        if self._logp is None:
-            self.normalize()
-        lb, rb = self._bins(aln_len, np.maximum(nm, 0))
-        return self._logp[lb, rb]
+    def update(self, read_len, nm, fclips, bclips, sclips, hclips,
+               weights):
+        """read_len: l_seq (read bases, excludes hard clips); nm: NM tag;
+        clips from clip_counts. Reference update():137-194."""
+        read_len = np.asarray(read_len, np.int64)
+        align_len = np.maximum(read_len - sclips, 1)
+        err_rate = np.maximum(nm, 0) / align_len
+        full_len = np.maximum(read_len + hclips, 1)
+        fr = fclips / full_len
+        br = bclips / full_len
+        ok = (err_rate <= 1.0) & (fr <= 1.0) & (br <= 1.0)
+        w = np.where(ok, weights, 0.0)
+
+        eb = np.minimum(align_len // self.BIN_LEN, self.N_LEN_BINS - 1)
+        np.add.at(self.err, (eb, 0), w)
+        np.add.at(self.err, (eb, 1), w * err_rate)
+        cb = np.minimum(read_len // self.BIN_LEN, self.N_LEN_BINS - 1)
+        # reference accumulates (binIndex+1)*binLen * clipRate — the
+        # clip count rescaled to the bin's upper length
+        np.add.at(self.fclip, (cb, 0), w)
+        np.add.at(self.fclip, (cb, 1),
+                  (cb + 1) * self.BIN_LEN * w * fr)
+        np.add.at(self.bclip, (cb, 0), w)
+        np.add.at(self.bclip, (cb, 1),
+                  (cb + 1) * self.BIN_LEN * w * br)
+
+    @staticmethod
+    def _binom_cdf(k, n, p):
+        """P(X <= k) for X ~ Binomial(n, p), vectorized; k<0 -> 0,
+        k>=n -> 1."""
+        from scipy.special import betainc
+        k = np.asarray(k, np.float64)
+        n = np.asarray(n, np.float64)
+        p = np.clip(np.asarray(p, np.float64), 1e-12, 1 - 1e-12)
+        kc = np.clip(k, 0, np.maximum(n - 1, 0))
+        cdf = betainc(np.maximum(n - kc, 1e-12), kc + 1.0, 1.0 - p)
+        return np.where(k < 0, 0.0, np.where(k >= n, 1.0, cdf))
+
+    def _clip_ll(self, tab, read_len, clips):
+        cb = np.minimum(np.asarray(read_len, np.int64) // self.BIN_LEN,
+                        self.N_LEN_BINS - 1)
+        mass = tab[cb, 0]
+        mean = np.where(mass > 0, tab[cb, 1] / np.maximum(mass, 1e-300),
+                        0.0)
+        trained = (mass > 0) & (tab[cb, 1] > 0)
+        # Geometric(p = 1/(mean+1)) tail ratio: only clips beyond the
+        # rounded bin mean are penalized (reference :92-124); the
+        # closed form of (1-cdf(clips))/(1-cdf(rmean)) is (1-p)^(clips
+        # - rmean)
+        rmean = np.round(mean)
+        q = 1.0 - 1.0 / (mean + 1.0)
+        excess = np.maximum(np.asarray(clips, np.float64) - rmean, 0.0)
+        lik = np.power(np.maximum(q, 1e-300), excess)
+        ll = np.where(lik < self.LL_MIN, self.LOG_0, np.log(
+            np.maximum(lik, 1e-300)))
+        return np.where(trained, ll, 0.0)
+
+    def log_likelihood(self, read_len, nm, fclips, bclips, sclips,
+                       hclips):
+        read_len = np.asarray(read_len, np.int64)
+        align_len = read_len - sclips
+        empty = align_len <= 0
+        align_len = np.maximum(align_len, 1)
+        eb = np.minimum(align_len // self.BIN_LEN, self.N_LEN_BINS - 1)
+        mass = self.err[eb, 0]
+        err_p = np.where(mass > 0,
+                         self.err[eb, 1] / np.maximum(mass, 1e-300), 0.0)
+        trained = mass > np.finfo(np.float64).tiny
+
+        # binomial median: smallest m with CDF(m) >= 0.5
+        m0 = np.floor(align_len * err_p)
+        med = np.where(self._binom_cdf(m0, align_len, err_p) >= 0.5,
+                       m0, m0 + 1)
+        k = np.maximum(np.asarray(nm, np.int64), 0)
+        off = np.abs(med - k)
+        lo = np.maximum(med - off, 0)
+        hi = np.minimum(med + off, align_len)
+        lik = (self._binom_cdf(lo, align_len, err_p)
+               + 1.0 - self._binom_cdf(hi, align_len, err_p))
+        err_ll = np.where(lik < self.LL_MIN, self.LOG_0,
+                          np.log(np.maximum(lik, 1e-300)))
+        err_ll = np.where(trained & (err_p > 0), err_ll, 0.0)
+
+        total = (err_ll
+                 + self._clip_ll(self.fclip, read_len, fclips)
+                 + self._clip_ll(self.bclip, read_len, bclips))
+        return np.where(empty, self.LOG_0, total)
 
 
 class AlignmentErrorModel:

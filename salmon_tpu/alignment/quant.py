@@ -327,13 +327,17 @@ def quantify_alignments(args, opts, cmd_args) -> int:
                 ws = np.where(keep, ws, 0.0)
                 ksel = np.nonzero(keep)[0]
                 if ont is not None:
-                    ont.update(b.read_len[i1[ksel]].astype(np.int64),
-                               b.nm_tag[i1[ksel]].astype(np.int64),
-                               ws[ksel])
+                    from salmon_tpu.alignment.errormodel import \
+                        clip_counts
+
+                    def _ont_update(recs):
+                        fcl, bcl, scl, hcl = clip_counts(b, recs)
+                        ont.update(b.read_len[recs].astype(np.int64),
+                                   b.nm_tag[recs].astype(np.int64),
+                                   fcl, bcl, scl, hcl, ws[ksel])
+                    _ont_update(i1[ksel])
                     if paired_detect:
-                        ont.update(b.read_len[i2[ksel]].astype(np.int64),
-                                   b.nm_tag[i2[ksel]].astype(np.int64),
-                                   ws[ksel])
+                        _ont_update(i2[ksel])
                 else:
                     from salmon_tpu.alignment.errormodel import \
                         expand_batch
@@ -396,14 +400,18 @@ def quantify_alignments(args, opts, cmd_args) -> int:
             # error-model log-likelihood per alignment (fg - bg)
             err_ll = np.zeros(len(frag_id))
             if ont is not None and keep.any():
+                from salmon_tpu.alignment.errormodel import clip_counts
                 ksel = np.nonzero(keep)[0]
-                ll = ont.log_likelihood(
-                    b.read_len[i1[ksel]].astype(np.int64),
-                    b.nm_tag[i1[ksel]].astype(np.int64))
+
+                def _ont_ll(recs):
+                    fcl, bcl, scl, hcl = clip_counts(b, recs)
+                    return ont.log_likelihood(
+                        b.read_len[recs].astype(np.int64),
+                        b.nm_tag[recs].astype(np.int64),
+                        fcl, bcl, scl, hcl)
+                ll = _ont_ll(i1[ksel])
                 if paired_detect:
-                    ll = ll + ont.log_likelihood(
-                        b.read_len[i2[ksel]].astype(np.int64),
-                        b.nm_tag[i2[ksel]].astype(np.int64))
+                    ll = ll + _ont_ll(i2[ksel])
                 err_ll[ksel] = ll
             elif err is not None and keep.any():
                 from salmon_tpu.alignment.errormodel import expand_batch

@@ -178,3 +178,67 @@ def test_ont_model_end_to_end(tmp_path, sample_data_dir):
         assert abs(est[nm] - c) < 1.0, (nm, est[nm], c)
     # --ont forces noLengthCorrection -> effLen = 100 everywhere
     assert np.allclose(q["EffectiveLength"], 100.0)
+
+
+def test_ont_binomial_clip_model():
+    """Reference ONTAlignmentModel semantics: two-tailed binomial error
+    likelihood around the bin median; geometric clip tails penalizing
+    only clips beyond the bin mean (ONTAlignmentModel.cpp:26-194)."""
+    from salmon_tpu.alignment.errormodel import ONTErrorModel
+
+    m = ONTErrorModel()
+    rng = np.random.default_rng(0)
+    n = 4000
+    read_len = np.full(n, 1000)
+    nm = rng.binomial(1000, 0.10, n)          # 10% error rate
+    fcl = rng.poisson(5.0, n)                 # ~5 front clip bases
+    bcl = rng.poisson(20.0, n)
+    # model clips as HARD clips so the aligned-length bin stays at
+    # read_len (train and eval in the same 100bp bin)
+    scl = np.zeros(n, np.int64)
+    hcl = fcl + bcl
+    m.update(read_len, nm, fcl, bcl, scl, hcl, np.ones(n))
+
+    def ll(nm_v, f=0, bk=0):
+        return m.log_likelihood(
+            np.array([1000]), np.array([nm_v]), np.array([f]),
+            np.array([bk]), np.array([0]), np.array([f + bk]))[0]
+
+    # likelihood peaks at the trained mean error count and decays
+    at_mean = ll(100)
+    assert at_mean <= 0.0 and at_mean > -1.0
+    assert ll(150) < ll(120) < ll(105) <= at_mean + 1e-12
+    assert ll(50) < ll(80) < ll(95) <= at_mean + 1e-12
+    # symmetric two-tail: same distance from median, similar ll
+    assert abs(ll(130) - ll(70)) < 1.5
+
+    # clips below/at the mean are free; beyond the mean penalized
+    base = ll(100, f=0, bk=0)
+    assert ll(100, f=5, bk=0) >= base - 0.2
+    assert ll(100, f=60, bk=0) < base - 2.0
+    assert ll(100, f=0, bk=200) < ll(100, f=0, bk=20) - 2.0
+
+    # untrained bin -> neutral error term (no crash, finite)
+    out = m.log_likelihood(np.array([49999]), np.array([10]),
+                           np.array([0]), np.array([0]), np.array([0]),
+                           np.array([0]))
+    assert np.isfinite(out[0])
+
+
+def test_clip_counts_cigar():
+    from salmon_tpu.alignment.errormodel import clip_counts
+
+    class B:
+        pass
+
+    b = B()
+    # record 0: 5S 90M 3S ; record 1: 2H 4S 80M ; record 2: 100M
+    b.cigar_op = np.array([4, 0, 4, 5, 4, 0, 0], np.uint8)
+    b.cigar_oplen = np.array([5, 90, 3, 2, 4, 80, 100], np.uint32)
+    b.cigar_off = np.array([0, 3, 6], np.int64)
+    b.cigar_n = np.array([3, 3, 1], np.int32)
+    fcl, bcl, scl, hcl = clip_counts(b, np.array([0, 1, 2]))
+    assert list(fcl) == [5, 6, 0]
+    assert list(bcl) == [3, 0, 0]
+    assert list(scl) == [8, 4, 0]
+    assert list(hcl) == [0, 2, 0]
