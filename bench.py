@@ -144,12 +144,14 @@ def _human_scale():
         return None, None
     t0 = time.perf_counter()
     idx = load_index(idx_dir)
-    _log(f"# human index: {idx.num_targets} txps, "
-         f"{idx.kmers.shape[0] / 1e6:.0f}M kmers "
+    _log(f"# human index: {idx.num_targets} txps "
          f"(loaded in {time.perf_counter() - t0:.0f}s)")
-    batch = _load_reads(r1, r2, BATCH)
+    # bigger batches amortize per-dispatch overhead; the bucketized
+    # table (~4.3 GB) leaves HBM room for R=16384 at human scale
+    hbatch = max(BATCH, 16384)
+    batch = _load_reads(r1, r2, hbatch)
     frags, mf = _map_throughput(idx, batch,
-                                max(1, TARGET_PAIRS // BATCH // 2))
+                                max(1, TARGET_PAIRS // hbatch))
     _log(f"# human-scale mapped fraction: {mf:.4f}")
     return frags, mf
 

@@ -113,7 +113,7 @@ class SalmonDefaults:
     occ_cap: int = 16                    # C: occurrences gathered per k-mer
     max_cands: int = 64                  # T: candidate (txp,orient) per end
     max_pair_cands: int = 64             # T2: joined hits kept per fragment
-    hash_max_probes: int = 16            # open-addressing probe bound
+    hash_max_probes: int = 8             # slots per hash bucket (one row gather)
     hash_load_factor: float = 0.5
     kmer_stride: int = 3                 # seed-skip between query windows (accuracy-neutral; reference altSkip=3)
     sparse_seed: bool = True             # batch-global compacted hit list (mapping.seed_sparse) vs dense (R,P,C)

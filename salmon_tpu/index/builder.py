@@ -26,7 +26,7 @@ from salmon_tpu.index.hashtable import KmerHashTable, build_hash_table
 from salmon_tpu.io.fasta import load_transcripts
 from salmon_tpu.utils.dna import canonical_kmers, kmers_of
 
-INDEX_FORMAT_VERSION = 2  # v2: compact 8-byte hash slots
+INDEX_FORMAT_VERSION = 3  # v3: bucketized 8-slot rows, independent fingerprint mix
 
 
 @dataclasses.dataclass
@@ -169,17 +169,26 @@ def build_index(
         table=table, seq_codes=seq_codes, seq_offsets=seq_offsets, info=info)
 
 
+_INDEX_ARRAYS = ("lengths", "complete_lengths", "kmers", "occ_offsets",
+                 "occ_txp", "occ_pos", "occ_fwd", "table_rows",
+                 "seq_codes", "seq_offsets")
+
+
 def save_index(idx: TranscriptomeIndex, out_dir: str) -> None:
-    """Uncompressed npz: zlib on multi-GB occurrence arrays costs tens
-    of minutes single-threaded; disk is cheap and load is mmap-fast."""
+    """One raw .npy per array: multi-GB members load with mmap_mode='r'
+    (lazy page-in; arrays the caller never touches are never read),
+    where a .npz member access always costs a full eager copy. zlib
+    compression is skipped outright — it costs tens of minutes
+    single-threaded on the occurrence arrays."""
     os.makedirs(out_dir, exist_ok=True)
-    np.savez(
-        os.path.join(out_dir, "index.npz"),
-        lengths=idx.lengths, complete_lengths=idx.complete_lengths,
-        kmers=idx.kmers, occ_offsets=idx.occ_offsets, occ_txp=idx.occ_txp,
-        occ_pos=idx.occ_pos, occ_fwd=idx.occ_fwd,
-        table_rows=idx.table.rows,
-        seq_codes=idx.seq_codes, seq_offsets=idx.seq_offsets)
+    arrays = {
+        "lengths": idx.lengths, "complete_lengths": idx.complete_lengths,
+        "kmers": idx.kmers, "occ_offsets": idx.occ_offsets,
+        "occ_txp": idx.occ_txp, "occ_pos": idx.occ_pos,
+        "occ_fwd": idx.occ_fwd, "table_rows": idx.table.rows,
+        "seq_codes": idx.seq_codes, "seq_offsets": idx.seq_offsets}
+    for name in _INDEX_ARRAYS:
+        np.save(os.path.join(out_dir, f"{name}.npy"), arrays[name])
     meta = dict(idx.info)
     meta.update({
         "k": idx.k,
@@ -203,7 +212,13 @@ def load_index(index_dir: str) -> TranscriptomeIndex:
             f"{INDEX_FORMAT_VERSION}; please rebuild")
     with open(os.path.join(index_dir, "ref_names.txt")) as fh:
         names = [ln.rstrip("\n") for ln in fh if ln.rstrip("\n")]
-    z = np.load(os.path.join(index_dir, "index.npz"))
+    if os.path.exists(os.path.join(index_dir, "table_rows.npy")):
+        # format v2 .npy layout: mmap so untouched arrays never hit disk
+        z = {name: np.load(os.path.join(index_dir, f"{name}.npy"),
+                           mmap_mode="r")
+             for name in _INDEX_ARRAYS}
+    else:  # legacy single-.npz layout (eager full read per member)
+        z = np.load(os.path.join(index_dir, "index.npz"))
     table = KmerHashTable(
         rows=z["table_rows"],
         n_slots=int(meta["table_n_slots"]),

@@ -1,9 +1,10 @@
-"""Device-side bounded-probe hash lookup (the SSHash-query replacement).
+"""Device-side two-choice bucket hash lookup (the SSHash-query
+replacement).
 
-The table layout is built host-side by salmon_tpu.index.hashtable; probing
-here is an unrolled sequence of gathers — no data-dependent control flow, so
-XLA can pipeline it. The probe bound is a static compile-time constant
-recorded at index build.
+The table layout is built host-side by salmon_tpu.index.hashtable: one
+(16 x int32) row per 8-slot bucket, each key living in one of its two
+candidate buckets. A query is TWO row gathers plus sixteen branch-free
+fingerprint compares — no data-dependent control flow, no probe chain.
 
 Reference analog: pufferfish MemCollector's streaming SSHash dictionary
 queries (consumed at src/quant/SalmonQuantify.cpp:1266-1275).
@@ -16,12 +17,12 @@ import functools
 import jax
 import jax.numpy as jnp
 
+SLOTS_PER_BUCKET = 8
+
 
 def mix32(hi: jax.Array, lo: jax.Array) -> jax.Array:
-    """Murmur3-finalizer hash of a (hi, lo) uint32 key pair.
-
-    Must match salmon_tpu.index.hashtable.mix32 bit-for-bit.
-    """
+    """First bucket hash — must match
+    salmon_tpu.index.hashtable.mix32 bit-for-bit."""
     x = lo ^ (hi * jnp.uint32(0x9E3779B9)) ^ jnp.uint32(0x85EBCA6B)
     x = x ^ (x >> jnp.uint32(16))
     x = x * jnp.uint32(0x85EBCA6B)
@@ -31,49 +32,64 @@ def mix32(hi: jax.Array, lo: jax.Array) -> jax.Array:
     return x
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4))
-def hash_lookup(hi, lo, table_rows, n_slots: int, max_probes: int):
-    """Look up canonical k-mers in the packed compact probe table.
+def mix32b(hi: jax.Array, lo: jax.Array) -> jax.Array:
+    """Second bucket hash — must match hashtable.mix32b bit-for-bit."""
+    x = hi ^ (lo * jnp.uint32(0x85EBCA77)) ^ jnp.uint32(0xC2B2AE3D)
+    x = x ^ (x >> jnp.uint32(17))
+    x = x * jnp.uint32(0xED5AD4BB)
+    x = x ^ (x >> jnp.uint32(11))
+    x = x * jnp.uint32(0xAC4C1B51)
+    x = x ^ (x >> jnp.uint32(15))
+    return x
 
-    The table interleaves TWO 8-byte slots (fpcnt, start) per 16-byte row
-    (index.hashtable), so the `max_probes` candidate slots arrive in
-    max_probes/2 + 1 row gathers; a parity select aligns the slot window.
-    Verification is by the 16-bit fingerprint in fpcnt's high half — a
-    ~1/65k false positive yields another k-mer's occurrences, which the
-    chain scorer / DP validation discard downstream.
+
+def fingerprint16(hi: jax.Array, lo: jax.Array) -> jax.Array:
+    """Third-mix 16-bit fingerprint — must match
+    hashtable.fingerprint16 bit-for-bit. (A bucket hash's high bits
+    share their low bits with the bucket index at human-scale bucket
+    counts, so they are NOT a usable fingerprint.)"""
+    x = hi ^ (lo * jnp.uint32(0xCC9E2D51)) ^ jnp.uint32(0x1B873593)
+    x = x ^ (x >> jnp.uint32(15))
+    x = x * jnp.uint32(0xD168AAAD)
+    x = x ^ (x >> jnp.uint32(15))
+    x = x * jnp.uint32(0xAF723597)
+    x = x ^ (x >> jnp.uint32(15))
+    return x >> jnp.uint32(16)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def hash_lookup(hi, lo, table_rows, n_slots: int,
+                max_probes: int = 2 * SLOTS_PER_BUCKET):
+    """Look up canonical k-mers in the two-choice bucket table.
 
     Args:
       hi, lo: (...,) uint32 query key planes.
-      table_rows: (ceil((n_slots + max_probes)/2), 4) int32 slot pairs.
-      n_slots: power-of-two logical table size (static).
-      max_probes: probe bound (static).
+      table_rows: (n_buckets, 16) int32 bucket rows (8 slot pairs).
+      n_slots: total slot count = n_buckets * 8 (static).
+      max_probes: slots examined per query (static; = 16, both buckets).
 
     Returns (start, count, found): occurrence CSR range (start=-1/count=0
     when not found).
     """
-    mixed = mix32(hi, lo)
-    slot0 = (mixed & jnp.uint32(n_slots - 1)).astype(jnp.int32)
-    fp = mixed >> jnp.uint32(16)
-    P = max_probes
-    n_rows = P // 2 + 1
-    r0 = slot0 >> 1
-    ridx = r0[..., None] + jnp.arange(n_rows, dtype=jnp.int32)
-    rows = jnp.take(table_rows, ridx, axis=0,
-                    mode="clip")                  # (..., n_rows, 4)
-    pairs = rows.reshape(*rows.shape[:-2], n_rows * 2, 2)
-    # align the window to the probe start's parity
-    par_odd = (slot0 & 1)[..., None] == 1
+    n_buckets = n_slots // SLOTS_PER_BUCKET
+    mask = jnp.uint32(n_buckets - 1)
+    b1 = (mix32(hi, lo) & mask).astype(jnp.int32)
+    b2 = (mix32b(hi, lo) & mask).astype(jnp.int32)
+    fp = fingerprint16(hi, lo)
+    rows = jnp.concatenate(
+        [jnp.take(table_rows, b1, axis=0, mode="clip"),
+         jnp.take(table_rows, b2, axis=0, mode="clip")],
+        axis=-1)                                       # (..., 32)
     fpcnt = jax.lax.bitcast_convert_type(
-        jnp.where(par_odd, pairs[..., 1:P + 1, 0], pairs[..., 0:P, 0]),
-        jnp.uint32)
-    start_w = jnp.where(par_odd, pairs[..., 1:P + 1, 1],
-                        pairs[..., 0:P, 1])
+        rows[..., 0::2], jnp.uint32)                   # (..., 16)
+    start_w = rows[..., 1::2]
     match = ((fpcnt >> jnp.uint32(16)) == fp[..., None]) & (fpcnt != 0)
     found = match.any(axis=-1)
-    # first matching probe wins (fingerprint ties are possible, unlike
-    # the exact-key layout, so a masked sum would corrupt)
-    start = jnp.full(slot0.shape, -1, jnp.int32)
-    count = jnp.zeros(slot0.shape, jnp.int32)
+    # first matching slot wins (independent-hash fingerprint ties are
+    # ~1/65k, but a masked sum would corrupt on one)
+    start = jnp.full(b1.shape, -1, jnp.int32)
+    count = jnp.zeros(b1.shape, jnp.int32)
+    P = min(max_probes, 2 * SLOTS_PER_BUCKET)
     for p in range(P - 1, -1, -1):
         m = match[..., p]
         start = jnp.where(m, start_w[..., p], start)

@@ -83,23 +83,49 @@ def test_decoy_partition(tmp_path):
     assert idx.names[-1] == "chr1"
 
 
-def test_hashtable_probe_cap_eviction():
-    """Keys displaced beyond the probe cap are evicted, the rest still
-    resolve, and the device bound stays capped."""
+def test_hashtable_two_choice_overflow():
+    """At the max load factor (~5 keys per 8-slot bucket) the two-choice
+    placement keeps evictions to a few per million, every placed key
+    resolves, and evicted keys count is exact."""
     import numpy as np
     rng = np.random.default_rng(0)
-    keys = np.unique(rng.integers(0, 2**62, 40000).astype(np.uint64))
-    # tiny cap forces some evictions at load 0.62
-    tab = build_hash_table(keys, probe_cap=6)
-    assert tab.max_probes <= 6
+    keys = np.unique(rng.integers(0, 2**62, 400000).astype(np.uint64))
+    tab = build_hash_table(keys)
+    n = keys.shape[0]
+    assert tab.n_slots / 2 * 0.62 <= n <= tab.n_slots  # near max load
+    assert tab.n_evicted <= n * 1e-4
     start, count = lookup_host(tab, keys)
     found = start >= 0
-    assert found.sum() >= keys.shape[0] - tab.n_evicted
+    assert found.sum() >= n - tab.n_evicted
     # resolved keys return their own payload (rank) unless a rare
     # fingerprint collision hit an earlier slot
-    ranks = np.arange(keys.shape[0])
+    ranks = np.arange(n)
     ok = found & (start == ranks)
     assert ok.sum() / max(found.sum(), 1) > 0.999
+
+
+def test_hashtable_eviction_prefers_repetitive_keys():
+    """Bucket overflow evicts the highest-occurrence keys first (the
+    repetitive seeds the reference's maxOccsPerHit would skip anyway)."""
+    import numpy as np
+    rng = np.random.default_rng(1)
+    keys = np.unique(rng.integers(0, 2**62, 120000).astype(np.uint64))
+    n = keys.shape[0]
+    # make ~1% of keys extremely repetitive; shrink the table hard by
+    # duplicating load via occ_offsets with huge counts on those keys
+    counts = np.ones(n, np.int64)
+    hot = rng.choice(n, n // 100, replace=False)
+    counts[hot] = 5000
+    offsets = np.zeros(n + 1, np.int64)
+    offsets[1:] = np.cumsum(counts)
+    tab = build_hash_table(keys, occ_offsets=offsets,
+                           load_factor=0.9, max_load_factor=0.95)
+    if tab.n_evicted == 0:
+        return  # nothing to check at this fill
+    start, _ = lookup_host(tab, keys)
+    evicted = start < 0
+    # evicted keys skew heavily toward the repetitive ones
+    assert counts[evicted].mean() > counts.mean()
 
 
 def test_hashtable_count_saturation():
