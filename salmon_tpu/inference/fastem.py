@@ -243,16 +243,20 @@ def _reduce_regions(slots_vec, regions):
     return jnp.concatenate(parts)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 8))
-def run_em_routed(static: tuple, arrays: dict, alpha0_r, prior_r,
-                  counts_region, use_vbem: bool, tol: float,
-                  min_iter: int, max_iter: int):
-    """The jitted sort-routed optimization loop.
+# iterations per compiled chunk: the host loop re-invokes ONE compiled
+# fixed-trip fori program and checks convergence between chunks. A
+# device-side while_loop pays heavy per-iteration overhead on this
+# backend, and giving fori the full max_iter trip count compiles a
+# separate (and, observed at trip counts >= 200, pathologically
+# scheduled) executable per requested count; 50-iteration chunks keep
+# one cached executable and ~0.5 ms/iter of amortized host overhead.
+EM_CHUNK = 50
 
-    alpha0_r / prior_r are in REGION order (present txps bucket-ordered,
-    absent txps at the tail). Returns (alpha_region, iters, mrd,
-    n_degenerate).
-    """
+
+@functools.partial(jax.jit, static_argnums=(0, 5, 6))
+def _em_chunk(static: tuple, arrays: dict, alpha_r, prior_r,
+              counts_slots, use_vbem: bool, n_steps: int):
+    """Run `n_steps` EM/VBEM iterations; returns (alpha, mrd of last)."""
     (num_txps, s_c, s_l, n_route, c_regions, l_regions, n_absent,
      alpha_cutoff) = static
     key_lc = arrays["key_lc"]
@@ -261,7 +265,6 @@ def run_em_routed(static: tuple, arrays: dict, alpha0_r, prior_r,
     sizes_region = arrays["sizes_region"]
     n_present = num_txps - n_absent
 
-    counts_slots0 = _expand_regions(counts_region, c_regions)
     singleton_slots = _expand_regions(
         (sizes_region == 1).astype(jnp.float32), c_regions)
 
@@ -280,14 +283,6 @@ def run_em_routed(static: tuple, arrays: dict, alpha0_r, prior_r,
         alpha_p = _reduce_regions(back, l_regions)     # present txps
         return jnp.concatenate(
             [alpha_p, jnp.zeros(n_absent, jnp.float32)])
-
-    # markDegenerateClasses (reference :331-394) using alpha0
-    gamma0 = multicast(alpha0_r)
-    den0 = _reduce_regions(gamma0, c_regions)
-    degenerate = den0 <= MIN_EQ_WEIGHT
-    n_degen = jnp.sum(degenerate.astype(jnp.int32))
-    counts_eff = jnp.where(degenerate, 0.0, counts_region)
-    counts_slots = _expand_regions(counts_eff, c_regions)
 
     if use_vbem:
         prior_all = prior_r
@@ -314,31 +309,34 @@ def run_em_routed(static: tuple, arrays: dict, alpha0_r, prior_r,
                             counts_slots, contrib)
         return contrib_to_alpha(contrib)
 
-    def cond(state):
-        _, it, converged, _ = state
-        return (it < min_iter) | ((it < max_iter) & ~converged)
-
-    def body(state):
-        alpha, it, _, _ = state
+    def body(i, state):
+        alpha, _ = state
         alpha_p = step(alpha)
         check = alpha_p > alpha_cutoff
         rel = jnp.where(check, jnp.abs(alpha - alpha_p)
                         / jnp.maximum(alpha_p, 1e-30), 0.0)
-        mrd = jnp.max(rel)
-        return alpha_p, it + 1, mrd <= tol, mrd
+        return alpha_p, jnp.max(rel)
 
-    if min_iter == max_iter:
-        # fixed trip count: fori_loop lets XLA pipeline the schedule
-        # (identical semantics: cond always runs exactly max_iter)
-        alpha, iters, _, mrd = jax.lax.fori_loop(
-            0, max_iter, lambda i, st: body(st),
-            (alpha0_r, jnp.int32(0), jnp.bool_(False),
-             jnp.float32(jnp.inf)))
-    else:
-        alpha, iters, _, mrd = jax.lax.while_loop(
-            cond, body, (alpha0_r, jnp.int32(0), jnp.bool_(False),
-                         jnp.float32(jnp.inf)))
-    return alpha, iters, mrd, n_degen
+    return jax.lax.fori_loop(0, n_steps, body,
+                             (alpha_r, jnp.float32(jnp.inf)))
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _em_init(static: tuple, arrays: dict, alpha0_r, counts_region):
+    """markDegenerateClasses (reference :331-394) using alpha0: classes
+    whose members carry ~zero combined weight are excluded (count 0).
+    Returns (counts_slots, n_degenerate)."""
+    (num_txps, s_c, s_l, n_route, c_regions, l_regions, n_absent,
+     _alpha_cutoff) = static
+    n_present = num_txps - n_absent
+    base_l = _expand_regions(alpha0_r[:n_present], l_regions)
+    gamma0 = _route(arrays["key_lc"], base_l, n_route)[:s_c] \
+        * arrays["cw_c"]
+    den0 = _reduce_regions(gamma0, c_regions)
+    degenerate = den0 <= MIN_EQ_WEIGHT
+    n_degen = jnp.sum(degenerate.astype(jnp.int32))
+    counts_eff = jnp.where(degenerate, 0.0, counts_region)
+    return _expand_regions(counts_eff, c_regions), n_degen
 
 
 def optimize_routed(eq, num_txps: int, eff_lens: np.ndarray,
@@ -346,7 +344,13 @@ def optimize_routed(eq, num_txps: int, eff_lens: np.ndarray,
                     use_vbem: bool, tol: float, min_iter: int,
                     max_iter: int, alpha_cutoff: float = 1e-2,
                     packed: Optional[RoutedEq] = None):
-    """Host driver: pack (or reuse), run, un-permute. Returns dict."""
+    """Host driver: pack (or reuse), run chunked, un-permute.
+
+    The loop runs EM_CHUNK fixed-trip iterations per device call and
+    checks convergence between chunks (one scalar readback each) — the
+    reference checks every iteration (CollapsedEMOptimizer.cpp:945-957),
+    so a converged run here may overshoot by up to EM_CHUNK-1 extra
+    iterations, which only tightens the fixpoint. Returns dict."""
     if packed is None:
         packed = pack_routed(eq, num_txps, eff_lens)
     r = packed
@@ -356,14 +360,23 @@ def optimize_routed(eq, num_txps: int, eff_lens: np.ndarray,
               r.l_regions, r.n_absent, float(alpha_cutoff))
     arrays = {"key_lc": r.key_lc, "key_cl": r.key_cl, "cw_c": r.cw_c,
               "sizes_region": r.sizes_region}
-    alpha, iters, mrd, n_degen = run_em_routed(
-        static, arrays,
-        jnp.asarray(alpha0[r.txp_order], jnp.float32),
-        jnp.asarray(prior[r.txp_order], jnp.float32),
-        r.counts_region, use_vbem, tol, min_iter, max_iter)
+    alpha = jnp.asarray(alpha0[r.txp_order], jnp.float32)
+    prior_r = jnp.asarray(prior[r.txp_order], jnp.float32)
+    counts_slots, n_degen = _em_init(static, arrays, alpha,
+                                     r.counts_region)
+    iters = 0
+    mrd = float("inf")
+    while iters < max_iter:
+        n = min(EM_CHUNK, max_iter - iters)
+        alpha, mrd_dev = _em_chunk(static, arrays, alpha, prior_r,
+                                   counts_slots, use_vbem, n)
+        iters += n
+        mrd = float(mrd_dev)
+        if iters >= min_iter and mrd <= tol:
+            break
     out = np.asarray(alpha, np.float64)[inv]
     return {"alphas": out, "iterations": int(iters),
-            "max_rel_diff": float(mrd),
-            "converged": float(mrd) <= tol,
+            "max_rel_diff": mrd,
+            "converged": mrd <= tol,
             "num_degenerate_classes": int(n_degen),
             "packed": packed}

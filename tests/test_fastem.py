@@ -46,8 +46,17 @@ def test_routed_matches_numpy(use_vbem, seed):
     got = fastem.optimize_routed(
         eq, T, eff, a0, pri, use_vbem, cfgn.rel_diff_tolerance,
         40, 200)
-    assert got["iterations"] == ref["iterations"]
-    np.testing.assert_allclose(got["alphas"], ref["alphas"],
+    # chunked convergence checks every EM_CHUNK iterations, so the
+    # routed engine may overshoot the reference's per-iteration stop by
+    # up to EM_CHUNK-1 extra (fixpoint-tightening) iterations
+    assert ref["iterations"] <= got["iterations"] \
+        < ref["iterations"] + fastem.EM_CHUNK
+    # numeric parity at MATCHED iteration count
+    cfg_same = em_mod.EMConfig(
+        use_vbem=use_vbem, min_iterations=got["iterations"],
+        max_iterations=got["iterations"])
+    ref_same = em_mod.em_numpy(eq, T, eff, config=cfg_same)
+    np.testing.assert_allclose(got["alphas"], ref_same["alphas"],
                                rtol=2e-3, atol=2e-2)
     # mass conservation
     assert got["alphas"].sum() == pytest.approx(total, rel=1e-3)
