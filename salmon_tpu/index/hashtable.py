@@ -25,7 +25,8 @@ want a branch-free, fixed-gather lookup. Design:
   (the least informative, repetitive seeds — the ones the reference's
   maxOccsPerHit filters skip anyway); the count is recorded at build.
   With two choices at the default sizing (load <= 0.62, ~5 keys/bucket
-  expected) evictions are a few per million keys.
+  expected) evictions run on the order of 1e-4..1e-3 of keys (greedy
+  two-round placement, no cuckoo kicks), recorded in n_evicted.
 
 Build cost is a few argsorts over the unique k-mers — O(n log n) numpy
 vector ops only. Half the HBM of the previous 2-slot-row linear-probe

@@ -68,7 +68,10 @@ def banded_scores(read_codes, read_lens, ref_base, txp_lens, seq_codes,
     Args:
       read_codes: (P, L) uint8 read codes, already orientation-resolved
         (rc reads pre-complemented so the alignment is always read-fw vs
-        ref-fw).
+        ref-fw). A problem's content may start at a nonzero row
+        (kw read_starts: (P,) first active row, default 0) — flip-based
+        reverse complements park ragged reads at the RIGHT edge of the
+        row, avoiding the per-element re-gather a left-aligned rc needs.
       read_lens: (P,) int32.
       ref_base: (P,) int32 predicted read-start position on the
         transcript (may be negative or past the end; OOB masked).
@@ -159,12 +162,15 @@ def _banded_scores_impl(read_codes, read_ids, read_lens, ref_base,
                         ma: float, mp: float, go: float, ge: float,
                         seq_words=None, seq_words_shift: int = 0,
                         softclip: bool = False,
-                        softclip_overhangs: bool = False):
+                        softclip_overhangs: bool = False,
+                        read_starts=None):
     if read_ids is None:
         P, L = read_codes.shape
     else:
         P = read_ids.shape[0]
         L = read_codes.shape[1]
+    if read_starts is None:
+        read_starts = jnp.zeros(read_lens.shape, jnp.int32)
     B = 2 * bandwidth + 1
     d_off = jnp.arange(B, dtype=jnp.int32) - bandwidth  # [-bw, bw]
 
@@ -207,7 +213,8 @@ def _banded_scores_impl(read_codes, read_ids, read_lens, ref_base,
         return _banded_scores_pallas(reads_t, ref_win_t, read_lens,
                                      bandwidth, ma, mp, go, ge,
                                      softclip=softclip,
-                                     oob_score=oob_score)
+                                     oob_score=oob_score,
+                                     read_starts=read_starts)
 
     n_shift = int(np.ceil(np.log2(max(B, 2))))
 
@@ -247,8 +254,11 @@ def _banded_scores_impl(read_codes, read_ids, read_lens, ref_base,
             # read ends (reference aconf.allowSoftclip)
             H = jnp.maximum(H, 0.0)
 
-        # past-the-end rows must not change the final score: freeze
-        active = (i < read_lens)[None, :]
+        # rows outside the content window must not change the final
+        # score: freeze (content may start at a nonzero row for
+        # flip-based reverse complements)
+        active = ((i >= read_starts)
+                  & (i < read_starts + read_lens))[None, :]
         H = jnp.where(active, H, H_prev)
         F = jnp.where(active, F, F_prev)
         Hmax = jnp.maximum(Hmax_prev, jnp.where(active, H, NEG))
@@ -268,7 +278,8 @@ def _banded_scores_impl(read_codes, read_ids, read_lens, ref_base,
 def _banded_scores_pallas(reads_t, ref_win_t, read_lens, bandwidth: int,
                           ma: float, mp: float, go: float, ge: float,
                           softclip: bool = False,
-                          oob_score: float = OOB_PENALTY):
+                          oob_score: float = OOB_PENALTY,
+                          read_starts=None):
     """Pallas TPU kernel for the banded DP.
 
     The H/F wavefront lives in VMEM scratch across the whole read scan in
@@ -299,7 +310,13 @@ def _banded_scores_pallas(reads_t, ref_win_t, read_lens, bandwidth: int,
     ref_win_t = jnp.pad(ref_win_t,
                         ((0, L8 + B8 - W), (0, Pp - P)),
                         constant_values=5)
-    lens_row = jnp.pad(read_lens, (0, Pp - P)).reshape(1, Pp)
+    if read_starts is None:
+        read_starts = jnp.zeros(read_lens.shape, jnp.int32)
+    # rows 0/1: [first active row, one past last active row]
+    lens_row = jnp.stack(
+        [jnp.pad(read_starts, (0, Pp - P)),
+         jnp.pad(read_starts + read_lens, (0, Pp - P))],
+        axis=0)
 
     # pre-skew: row (i*B8 + d) = ref_win row (i + d); band rows beyond
     # B-1 get OOB code 5 so they can never contribute
@@ -319,7 +336,8 @@ def _banded_scores_pallas(reads_t, ref_win_t, read_lens, bandwidth: int,
             F_s[:, :] = jnp.full((B8, PT), NEG, jnp.float32)
             M_s[:, :] = jnp.full((B8, PT), NEG, jnp.float32)
 
-        lens = lens_ref[0:1, :]
+        lo = lens_ref[0:1, :]
+        hi = lens_ref[1:2, :]
         H = H_s[:, :]
         F = F_s[:, :]
         Hm = M_s[:, :]
@@ -354,7 +372,7 @@ def _banded_scores_pallas(reads_t, ref_win_t, read_lens, bandwidth: int,
             if softclip:
                 H_new = jnp.maximum(H_new, 0.0)
 
-            active = i < lens
+            active = (i >= lo) & (i < hi)
             H = jnp.where(active, H_new, H)
             F = jnp.where(active, F_n, F)
             Hm = jnp.maximum(Hm, jnp.where(active, H, NEG))
@@ -372,7 +390,7 @@ def _banded_scores_pallas(reads_t, ref_win_t, read_lens, bandwidth: int,
         kernel,
         grid=(n_tiles, nL8),
         in_specs=[
-            pl.BlockSpec((1, PT), lambda t, l: (0, t),
+            pl.BlockSpec((2, PT), lambda t, l: (0, t),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, PT), lambda t, l: (l, t),
                          memory_space=pltpu.VMEM),
@@ -390,17 +408,24 @@ def _banded_scores_pallas(reads_t, ref_win_t, read_lens, bandwidth: int,
 
 
 def banded_scores_numpy(read, ref, bandwidth, ma, mp, go, ge,
-                        softclip=False, softclip_overhangs=False):
+                        softclip=False, softclip_overhangs=False,
+                        read_start=0, read_len=None):
     """Unvectorized float reference DP for tests: same band semantics.
 
     read/ref: code arrays; ref indexed so read[i] aligns near ref[i].
+    Rows outside [read_start, read_start + read_len) are frozen (the
+    flip-based rc layout parks content at the right edge of the row).
     """
     L = len(read)
+    if read_len is None:
+        read_len = L - read_start
     B = 2 * bandwidth + 1
     H = np.zeros(B)
     F = np.full(B, NEG)
     hmax = NEG
     for i in range(L):
+        if not (read_start <= i < read_start + read_len):
+            continue
         Hn = np.full(B, NEG)
         Fn = np.full(B, NEG)
         for db in range(B):

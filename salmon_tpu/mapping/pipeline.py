@@ -175,7 +175,10 @@ def device_index_arrays(idx: TranscriptomeIndex) -> dict:
     }
 
 
-_SEQ4_SHIFT = 256
+# lead pad before the packed sequence: absorbs ref_base going negative
+# by up to (max read length + bandwidth) — flip-based rc problems shift
+# ref_base down by up to L (reads bucket up to 1024 bases)
+_SEQ4_SHIFT = 1280
 
 
 def _seq4_words(idx):
@@ -244,7 +247,10 @@ def _dense_candidates(km, lk, dev, cfg: MapperConfig):
 
 
 def _device_revcomp(codes, lengths):
-    """Per-read reverse complement respecting ragged lengths."""
+    """Per-read reverse complement respecting ragged lengths
+    (left-aligned output; per-element take_along_axis — measured
+    ~18 ms per (16k, 100) call on this backend, so the DP path uses
+    `_revcomp_flip` instead; kept for side outputs)."""
     R, L = codes.shape
     j = jnp.arange(L, dtype=jnp.int32)[None, :]
     src = lengths[:, None] - 1 - j
@@ -252,6 +258,16 @@ def _device_revcomp(codes, lengths):
     g = jnp.take_along_axis(codes, jnp.clip(src, 0, L - 1).astype(
         jnp.int32), axis=1)
     return jnp.where(ok & (g < 4), 3 - g, 4).astype(codes.dtype)
+
+
+def _revcomp_flip(codes):
+    """Reverse complement as a pure mirror: row content lands at columns
+    [L - len, L) instead of [0, len) — a layout + elementwise op with
+    no gathers. The DP consumes it with read_starts = L - len (content
+    rows frozen outside the window), so no re-alignment gather is ever
+    needed."""
+    flipped = codes[:, ::-1]
+    return jnp.where(flipped < 4, 3 - flipped, 4).astype(codes.dtype)
 
 
 def _dp_scores(joined: dict, batch: dict, dev: dict, cfg: MapperConfig,
@@ -269,10 +285,11 @@ def _dp_scores(joined: dict, batch: dict, dev: dict, cfg: MapperConfig,
         codes_r, len_r = batch["codes_r"], batch["lengths_r"]
     R, L = codes_l.shape
     T2 = joined["txp"].shape[1]
-    # read variants: 0=l fw, 1=l rc, 2=r fw, 3=r rc
+    # read variants: 0=l fw, 1=l rc, 2=r fw, 3=r rc (rc variants are
+    # flip-based: content at rows [L-len, L), declared via read_starts)
     reads_all = jnp.concatenate(
-        [codes_l, _device_revcomp(codes_l, len_l),
-         codes_r, _device_revcomp(codes_r, len_r)], axis=0)
+        [codes_l, _revcomp_flip(codes_l),
+         codes_r, _revcomp_flip(codes_r)], axis=0)
 
     txp = joined["txp"]
     fw1 = joined["fw"]
@@ -345,20 +362,25 @@ def _dp_scores(joined: dict, batch: dict, dev: dict, cfg: MapperConfig,
     sel_valid = jnp.take(keep, sel)
 
     # per-slot DP parameters as packed rows -> ONE row gather per mate
-    # (element gathers cost ~8ns/row on this backend; 4-wide rows ~3ns)
+    # (element gathers cost ~8ns/row on this backend; 4-8-wide rows ~3ns).
+    # Row layout: [variant, ref_base - lo, len, lo, txp] where
+    # lo = L - len for rc (flip-based) variants, 0 otherwise.
     def mate_rows(var, p, ln):
+        lo = jnp.where((var & 1) == 1, L - ln, 0)
         return jnp.stack(
             [jnp.broadcast_to(var, (R, T2)).reshape(-1),
-             jnp.broadcast_to(p, (R, T2)).reshape(-1),
+             jnp.broadcast_to(p - lo, (R, T2)).reshape(-1),
              jnp.broadcast_to(ln, (R, T2)).reshape(-1),
+             jnp.broadcast_to(lo, (R, T2)).reshape(-1),
              flat(txp)], axis=1)
 
     rows_f = flat(rows)
     sel_read = jnp.take(rows_f, sel)
 
     def run(params):
-        pr = jnp.take(params, sel, axis=0)      # (K, 4) row gather
-        var, p, ln, t_sel = pr[:, 0], pr[:, 1], pr[:, 2], pr[:, 3]
+        pr = jnp.take(params, sel, axis=0)      # (K, 5) row gather
+        var, p, ln, lo, t_sel = (pr[:, 0], pr[:, 1], pr[:, 2],
+                                 pr[:, 3], pr[:, 4])
         toff = jnp.take(dev["seq_off"], jnp.clip(t_sel, 0, None),
                         mode="clip")
         tlen = jnp.take(dev["txp_lens"], t_sel, mode="clip")
@@ -370,7 +392,8 @@ def _dp_scores(joined: dict, batch: dict, dev: dict, cfg: MapperConfig,
             float(cfg.gap_extend_penalty),
             seq_words=dev.get("seq4"), seq_words_shift=_SEQ4_SHIFT,
             softclip=cfg.softclip,
-            softclip_overhangs=cfg.softclip_overhangs)
+            softclip_overhangs=cfg.softclip_overhangs,
+            read_starts=lo)
         return jnp.where(sel_valid, scores, jnp.float32(-1e9))
 
     if single_end:
@@ -416,8 +439,8 @@ def _rescue_orphans(joined: dict, batch: dict, dev: dict,
     codes_r, len_r = batch["codes_r"], batch["lengths_r"]
     R, L = codes_l.shape
     reads_all = jnp.concatenate(
-        [codes_l, _device_revcomp(codes_l, len_l),
-         codes_r, _device_revcomp(codes_r, len_r)], axis=0)
+        [codes_l, _revcomp_flip(codes_l),
+         codes_r, _revcomp_flip(codes_r)], axis=0)
 
     ms = joined["mate_status"]
     is_orph = ms != MS_PAIRED
@@ -450,16 +473,20 @@ def _rescue_orphans(joined: dict, batch: dict, dev: dict,
     s_txp = jnp.take(txp0, sel)
     toff = jnp.take(dev["seq_off"], jnp.clip(s_txp, 0, None), mode="clip")
     tlen = jnp.take(dev["txp_lens"], s_txp, mode="clip")
-    ids = sel.astype(jnp.int32) + jnp.take(var, sel) * R
+    s_var = jnp.take(var, sel)
+    s_len = jnp.take(miss_len, sel)
+    # flip-based rc variants (odd ids) have content at rows [L-len, L)
+    s_lo = jnp.where((s_var & 1) == 1, L - s_len, 0)
+    ids = sel.astype(jnp.int32) + s_var * R
     scores = banded_scores_indexed(
-        reads_all, ids,
-        jnp.take(miss_len, sel), jnp.take(mate_left, sel), tlen,
+        reads_all, ids, s_len, jnp.take(mate_left, sel) - s_lo, tlen,
         dev["seq_codes"], toff, cfg.rescue_bandwidth,
         float(cfg.match_score), float(cfg.mismatch_penalty),
         float(cfg.gap_open_penalty), float(cfg.gap_extend_penalty),
         seq_words=dev.get("seq4"), seq_words_shift=_SEQ4_SHIFT,
         softclip=cfg.softclip,
-        softclip_overhangs=cfg.softclip_overhangs)
+        softclip_overhangs=cfg.softclip_overhangs,
+        read_starts=s_lo)
     good = s_ok & (scores >= cfg.min_score_fraction
                    * cfg.match_score
                    * jnp.take(miss_len, sel).astype(jnp.float32))

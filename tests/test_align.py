@@ -202,3 +202,40 @@ def test_softclip_matches_scalar_reference_random():
                                        MP, GO, GE, softclip=sc,
                                        softclip_overhangs=so)
             assert got == want, (trial, sc, so, got, want)
+
+
+def test_read_starts_window_equivalence(rng):
+    """A problem whose content sits at rows [lo, lo+len) with
+    ref_base - lo (the flip-based rc layout) scores identically to the
+    same content left-aligned at rows [0, len) — across random reads,
+    bands, and both clip modes."""
+    from salmon_tpu.mapping.align import _banded_scores_impl
+
+    L = 72
+    P = 16
+    ref = rng.integers(0, 4, 4000).astype(np.uint8)
+    lens = rng.integers(30, L + 1, P).astype(np.int32)
+    base = rng.integers(50, 3000, P).astype(np.int32)
+    left = np.full((P, L), 4, np.uint8)
+    right = np.full((P, L), 4, np.uint8)
+    for i in range(P):
+        n = lens[i]
+        content = ref[base[i]:base[i] + n].copy()
+        content[rng.integers(0, n, 3)] = rng.integers(0, 4, 3)
+        left[i, :n] = content
+        right[i, L - n:] = content
+    for softclip in (False, True):
+        s_left = _banded_scores_impl(
+            jnp.asarray(left), None, jnp.asarray(lens),
+            jnp.asarray(base), jnp.asarray([4000] * P, jnp.int32),
+            jnp.asarray(ref), jnp.zeros(P, jnp.int32), BW, MA, MP, GO,
+            GE, softclip=softclip)
+        s_right = _banded_scores_impl(
+            jnp.asarray(right), None, jnp.asarray(lens),
+            jnp.asarray(base - (L - lens)),
+            jnp.asarray([4000] * P, jnp.int32),
+            jnp.asarray(ref), jnp.zeros(P, jnp.int32), BW, MA, MP, GO,
+            GE, softclip=softclip,
+            read_starts=jnp.asarray(L - lens))
+        np.testing.assert_array_equal(np.asarray(s_left),
+                                      np.asarray(s_right))
