@@ -74,6 +74,21 @@ def _map_throughput(idx, batch, n_batches):
     from salmon_tpu.utils import libformat
 
     cfg = MapperConfig.from_index(idx, validate_mappings=VALIDATE)
+    overrides = {}
+    if os.environ.get("BENCH_SPARSE"):
+        overrides["sparse_seed"] = os.environ["BENCH_SPARSE"] == "1"
+    for env, field in (("BENCH_B", "seed_hits_per_end"),
+                       ("BENCH_W", "weight_width"),
+                       ("BENCH_T", "max_cands"),
+                       ("BENCH_T2", "max_pair_cands"),
+                       ("BENCH_DPB", "dp_budget"),
+                       ("BENCH_STRIDE", "kmer_stride"),
+                       ("BENCH_OCC", "occ_cap")):
+        if os.environ.get(env):
+            overrides[field] = int(os.environ[env])
+    if overrides:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, **overrides)
     dev = device_index_arrays(idx)
     fld = FragmentLengthDistribution(max_val=DEFAULTS.max_frag_length)
     fld_logpmf = jnp.asarray(fld.log_pmf(), jnp.float32)

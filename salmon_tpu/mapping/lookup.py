@@ -57,14 +57,22 @@ def fingerprint16(hi: jax.Array, lo: jax.Array) -> jax.Array:
     return x >> jnp.uint32(16)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4))
-def hash_lookup(hi, lo, table_rows, n_slots: int,
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def hash_lookup(hi, lo, fp_rows, st_rows, n_slots: int,
                 max_probes: int = 2 * SLOTS_PER_BUCKET):
     """Look up canonical k-mers in the two-choice bucket table.
 
+    The table ships as two (n_buckets, 8) PLANES instead of one
+    (n_buckets, 16) interleaved row: on this backend 8-wide int32 row
+    gathers cost ~3 ns while 16-wide rows jump to ~23 ns (the gather
+    granule is 32 bytes), so 2 fingerprint-plane gathers + 1
+    start-plane gather of the matching bucket run ~5x faster than 2
+    interleaved-row gathers.
+
     Args:
       hi, lo: (...,) uint32 query key planes.
-      table_rows: (n_buckets, 16) int32 bucket rows (8 slot pairs).
+      fp_rows: (n_buckets, 8) int32 fpcnt plane (fp16<<16 | count16).
+      st_rows: (n_buckets, 8) int32 occurrence-CSR start plane.
       n_slots: total slot count = n_buckets * 8 (static).
       max_probes: slots examined per query (static; = 16, both buckets).
 
@@ -76,23 +84,27 @@ def hash_lookup(hi, lo, table_rows, n_slots: int,
     b1 = (mix32(hi, lo) & mask).astype(jnp.int32)
     b2 = (mix32b(hi, lo) & mask).astype(jnp.int32)
     fp = fingerprint16(hi, lo)
-    rows = jnp.concatenate(
-        [jnp.take(table_rows, b1, axis=0, mode="clip"),
-         jnp.take(table_rows, b2, axis=0, mode="clip")],
-        axis=-1)                                       # (..., 32)
-    fpcnt = jax.lax.bitcast_convert_type(
-        rows[..., 0::2], jnp.uint32)                   # (..., 16)
-    start_w = rows[..., 1::2]
-    match = ((fpcnt >> jnp.uint32(16)) == fp[..., None]) & (fpcnt != 0)
-    found = match.any(axis=-1)
+    f1 = jax.lax.bitcast_convert_type(
+        jnp.take(fp_rows, b1, axis=0, mode="clip"), jnp.uint32)
+    f2 = jax.lax.bitcast_convert_type(
+        jnp.take(fp_rows, b2, axis=0, mode="clip"), jnp.uint32)
+    m1 = ((f1 >> jnp.uint32(16)) == fp[..., None]) & (f1 != 0)
+    m2 = ((f2 >> jnp.uint32(16)) == fp[..., None]) & (f2 != 0)
+    in1 = m1.any(axis=-1)
+    found = in1 | m2.any(axis=-1)
+    # the start plane is read once, from whichever bucket matched
+    bsel = jnp.where(in1, b1, b2)
+    st = jnp.take(st_rows, bsel, axis=0, mode="clip")  # (..., 8)
+    match = jnp.where(in1[..., None], m1, m2)
+    fpcnt = jnp.where(in1[..., None], f1, f2)
     # first matching slot wins (independent-hash fingerprint ties are
     # ~1/65k, but a masked sum would corrupt on one)
     start = jnp.full(b1.shape, -1, jnp.int32)
     count = jnp.zeros(b1.shape, jnp.int32)
     P = min(max_probes, 2 * SLOTS_PER_BUCKET)
-    for p in range(P - 1, -1, -1):
+    for p in range(min(P, SLOTS_PER_BUCKET) - 1, -1, -1):
         m = match[..., p]
-        start = jnp.where(m, start_w[..., p], start)
+        start = jnp.where(m, st[..., p], start)
         count = jnp.where(
             m, (fpcnt[..., p] & jnp.uint32(0xFFFF)).astype(jnp.int32),
             count)

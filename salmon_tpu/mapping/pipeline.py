@@ -164,8 +164,14 @@ def device_index_arrays(idx: TranscriptomeIndex) -> dict:
     off_dtype = np.int64 if total + _SEQ4_SHIFT + 256 >= 2**31 \
         else np.int32
     big = total >= 2**28
+    # the bucket table ships as two (n_buckets, 8) planes: 8-wide int32
+    # row gathers cost ~3 ns vs ~23 ns for the 16-wide interleaved row
+    # (32-byte gather granule) — see mapping.lookup.hash_lookup
     return {
-        "table_rows": jnp.asarray(idx.table.rows),
+        "tab_fp": jnp.asarray(np.ascontiguousarray(
+            idx.table.rows[:, 0::2])),
+        "tab_st": jnp.asarray(np.ascontiguousarray(
+            idx.table.rows[:, 1::2])),
         "occ_rows": jnp.asarray(occ_rows),
         "txp_lens": jnp.asarray(idx.lengths.astype(np.int32)),
         "seq_codes": jnp.asarray(idx.seq_codes if not big
@@ -199,8 +205,8 @@ def _end_seeds(codes, lengths, dev, cfg: MapperConfig):
         # seed-skip: query every stride-th window (reference analog:
         # altSkip, SalmonDefaults.hpp:37; streaming-query skip heuristics)
         km = {k: v[:, ::cfg.kmer_stride] for k, v in km.items()}
-    lk = hash_lookup(km["hi"], km["lo"], dev["table_rows"], cfg.n_slots,
-                     cfg.max_probes)
+    lk = hash_lookup(km["hi"], km["lo"], dev["tab_fp"], dev["tab_st"],
+                     cfg.n_slots, cfg.max_probes)
     return km, lk
 
 
@@ -604,7 +610,6 @@ def _filter_and_weight(joined: dict, fld, compat_paired,
     fld_tab = jnp.stack([logpmf, logcmf], axis=1)
     M = cfg.fld_max
     flen = jnp.clip(joined["frag_len"], 0, M)
-    lenprob = jnp.take(fld_tab, flen, axis=0, mode="clip")[..., 0]
     is_pair_row = (ms[:, None] == MS_PAIRED) & ~jnp.bool_(single_end)
     if cfg.no_frag_length_dist:
         # --noFragLengthDist: pairs get LOG_1; unexpected orphans a
@@ -612,12 +617,31 @@ def _filter_and_weight(joined: dict, fld, compat_paired,
         log_flen_prob = jnp.where(is_pair_row | jnp.bool_(single_end),
                                   0.0, LOG_EPSILON)
     elif tlen is None:
+        lenprob = jnp.take(fld_tab, flen, axis=0, mode="clip")[..., 0]
         log_flen_prob = jnp.where(is_pair_row, lenprob, 0.0)
     else:
         tl = jnp.maximum(tlen, 0)
         logcmf_t = jnp.take(fld_tab, jnp.minimum(tl, M), axis=0,
                             mode="clip")[..., 1]
         cmf_ok = logcmf_t > LOG_EPSILON  # CMF(tlen) has mass
+        # paired rows read pmf[frag_len]; orphan/single rows read
+        # cmf[max ambiguous length] — ONE merged row gather serves both
+        # (a row gather costs the same whichever row it fetches)
+        if cfg.model_single_frag_prob:
+            # ambiguous-length prob for single-end / unexpected-orphan
+            # hits (LogCMFCache::getAmbigFragLengthProb,
+            # DistributionUtils.cpp:151-172): mass of fragments no
+            # longer than the room left in the virtual mate's direction
+            pos = joined["pos"]
+            rl = rlen_mapped[:, None]
+            maxfl = jnp.where(joined["fw"], tl - jnp.clip(pos, 0, tl),
+                              jnp.clip(pos + rl, 0, tl))
+            idx_main = jnp.where(is_pair_row, flen,
+                                 jnp.clip(maxfl, 0, M))
+        else:
+            idx_main = flen
+        main = jnp.take(fld_tab, idx_main, axis=0, mode="clip")
+        lenprob = main[..., 0]
         # paired pmf, conditioned on txp length once burned in
         # (reference SalmonQuantify.cpp:661-668)
         cond_ok = cmf_ok & (joined["frag_len"] < tl)
@@ -625,20 +649,9 @@ def _filter_and_weight(joined: dict, fld, compat_paired,
             fld_mode >= 2,
             jnp.where(cond_ok, lenprob - logcmf_t, LOG_EPSILON),
             jnp.where(fld_mode == 1, lenprob, 0.0))
-        # ambiguous-length prob for single-end / unexpected-orphan hits
-        # (LogCMFCache::getAmbigFragLengthProb,
-        # DistributionUtils.cpp:151-172): mass of fragments no longer
-        # than the room left in the virtual mate's direction
         if cfg.model_single_frag_prob:
-            pos = joined["pos"]
-            rl = rlen_mapped[:, None]
-            maxfl = jnp.where(joined["fw"], tl - jnp.clip(pos, 0, tl),
-                              jnp.clip(pos + rl, 0, tl))
-            ambig = jnp.where(
-                cmf_ok,
-                jnp.take(fld_tab, jnp.clip(maxfl, 0, M), axis=0,
-                         mode="clip")[..., 1]
-                - logcmf_t, LOG_EPSILON)
+            ambig = jnp.where(cmf_ok, main[..., 1] - logcmf_t,
+                              LOG_EPSILON)
         else:
             ambig = jnp.where(jnp.bool_(single_end), 0.0, LOG_EPSILON)
         log_flen_prob = jnp.where(is_pair_row, paired_prob, ambig)

@@ -24,7 +24,9 @@ def main():
     r1 = os.path.join(CACHE, "reads_1.fastq")
     r2 = os.path.join(CACHE, "reads_2.fastq")
     idx = os.path.join(CACHE, "hs_idx")
-    env = dict(os.environ, PYTHONPATH=HERE)
+    prev = os.environ.get("PYTHONPATH", "")
+    env = dict(os.environ,
+               PYTHONPATH=HERE + (os.pathsep + prev if prev else ""))
     cmd = [sys.executable, "-m", "salmon_tpu.cli", "quant", "-i", idx,
            "-l", "IU", "-1", r1, "-2", r2, "-o", out]
     print("#", " ".join(cmd), flush=True)

@@ -74,7 +74,7 @@ def main():
         r2 = os.path.join(DATA, "reads_2.fastq")
     dev = device_index_arrays(idx)
     cfg = MapperConfig.from_index(idx)
-    table_rows = dev["table_rows"]
+    table_planes = (dev["tab_fp"], dev["tab_st"])
     occ_rows = dev["occ_rows"]
 
     reads1 = list(_iter_fastq_seqs(r1))
@@ -98,10 +98,10 @@ def main():
         f"  P={km_l['hi'].shape[1]}")
 
     f_lk = jax.jit(lambda km, tr: hash_lookup(
-        km["hi"], km["lo"], tr, cfg.n_slots, cfg.max_probes))
-    lk_l = f_lk(km_l, table_rows)
+        km["hi"], km["lo"], tr[0], tr[1], cfg.n_slots, cfg.max_probes))
+    lk_l = f_lk(km_l, table_planes)
     log(f"hash_lookup/end (P={cfg.max_probes} probes): "
-        f"{bench_amp(f_lk, (km_l, table_rows)):.2f} ms")
+        f"{bench_amp(f_lk, (km_l, table_planes)):.2f} ms")
 
     # hypothetical 2-row-gather lookup floor (CHD-style): one row gather
     # into a displacement table + one row gather into the slot table
@@ -113,11 +113,11 @@ def main():
                      & jnp.int32((1 << 20) - 1), axis=0)
         slot = ((mixed ^ jax.lax.bitcast_convert_type(
             d[..., 0], jnp.uint32)) & jnp.uint32(cfg.n_slots - 1))
-        rows = jnp.take(tr, (slot >> jnp.uint32(1)).astype(jnp.int32),
+        rows = jnp.take(tr[0], (slot >> jnp.uint32(1)).astype(jnp.int32),
                         axis=0, mode="clip")
         return rows.sum(axis=-1)
     log(f"lookup floor (2 row gathers): "
-        f"{bench_amp(jax.jit(lk2), (km_l, table_rows, disp)):.2f} ms")
+        f"{bench_amp(jax.jit(lk2), (km_l, table_planes, disp)):.2f} ms")
 
     # ---------------- dense flow ----------------
     def f_expand(km, lk, orows):
@@ -152,7 +152,7 @@ def main():
 
     # ---------------- sparse flow: cumulative prefixes ----------------
     km_r = f_km(codes_r, lengths_r)
-    lk_r = f_lk(km_r, table_rows)
+    lk_r = f_lk(km_r, table_planes)
 
     def sparse_prefix(depth):
         def fn(km_l, lk_l, km_r, lk_r, orows):
