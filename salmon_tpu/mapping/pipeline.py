@@ -154,12 +154,16 @@ def device_index_arrays(idx: TranscriptomeIndex) -> dict:
     are not shipped at that scale — the DP reads the 4-bit packed seq4
     planes (half the HBM)."""
     n_occ = idx.occ_txp.shape[0]
-    # 2-column rows: [txp, pos<<1|fwd] — row-gather cost is per ROW, so
-    # halving the columns halves HBM without touching gather count
-    occ_rows = np.zeros((max(n_occ, 1), 2), dtype=np.int32)
-    occ_rows[:n_occ, 0] = idx.occ_txp
-    occ_rows[:n_occ, 1] = (idx.occ_pos.astype(np.int64) << 1
+    # quad rows: 4 records of [txp, pos<<1|fwd] per 8-wide row —
+    # row-gather cost is per ROW (~3 ns at 8 int32 wide vs ~7 ns at 2),
+    # so a C-occurrence fetch reads ceil((C+3)/4) rows instead of C
+    # (see mapping.score.gather_occ_quad)
+    n_quad = max((n_occ + 3) // 4, 1)
+    occ_quad = np.zeros((n_quad * 4, 2), dtype=np.int32)
+    occ_quad[:n_occ, 0] = idx.occ_txp
+    occ_quad[:n_occ, 1] = (idx.occ_pos.astype(np.int64) << 1
                            | idx.occ_fwd).astype(np.int32)
+    occ_quad = occ_quad.reshape(n_quad, 8)
     total = int(idx.seq_offsets[-1])
     off_dtype = np.int64 if total + _SEQ4_SHIFT + 256 >= 2**31 \
         else np.int32
@@ -172,7 +176,7 @@ def device_index_arrays(idx: TranscriptomeIndex) -> dict:
             idx.table.rows[:, 0::2])),
         "tab_st": jnp.asarray(np.ascontiguousarray(
             idx.table.rows[:, 1::2])),
-        "occ_rows": jnp.asarray(occ_rows),
+        "occ_quad": jnp.asarray(occ_quad),
         "txp_lens": jnp.asarray(idx.lengths.astype(np.int32)),
         "seq_codes": jnp.asarray(idx.seq_codes if not big
                                  else np.zeros(1, np.uint8)),
@@ -217,7 +221,7 @@ def _seed_candidates(ends, lengths_per_end, dev, cfg: MapperConfig):
     if cfg.sparse_seed:
         from salmon_tpu.mapping.seed_sparse import seed_candidates_sparse
         cands = seed_candidates_sparse(
-            seeded, dev["occ_rows"], occ_cap=cfg.occ_cap,
+            seeded, dev["occ_quad"], occ_cap=cfg.occ_cap,
             max_occs_per_hit=cfg.max_occs_per_hit,
             hits_per_end=cfg.seed_hits_per_end,
             max_cands=cfg.max_cands, stride=cfg.kmer_stride)
@@ -232,7 +236,7 @@ def _dense_candidates(km, lk, dev, cfg: MapperConfig):
     """Dense (R, P, C) expansion + per-row sort scoring (legacy path)."""
     start_c, count_c, found = lk
     key, rpos, diag, ovalid = expand_occurrences(
-        km, start_c, count_c, found, dev["occ_rows"],
+        km, start_c, count_c, found, dev["occ_quad"],
         cfg.occ_cap, cfg.max_occs_per_hit, stride=cfg.kmer_stride)
     R = key.shape[0]
     n = key.shape[1] * key.shape[2]

@@ -42,14 +42,15 @@ import jax
 import jax.numpy as jnp
 
 from salmon_tpu.mapping.score import (DIAG_OFFSET, INVALID_KEY,
-                                      _segmented_min, segment_carry_first)
+                                      _segmented_min, gather_occ_quad,
+                                      segment_carry_first)
 
 
 def _ceil_log2(n: int) -> int:
     return max(1, int(np.ceil(np.log2(max(n, 2)))))
 
 
-def seed_candidates_sparse(ends, occ_rows, *, occ_cap: int,
+def seed_candidates_sparse(ends, occ_quad, *, occ_cap: int,
                            max_occs_per_hit: int, hits_per_end: int,
                            max_cands: int, stride: int = 1,
                            diag_bucket_bits: int = 5):
@@ -59,7 +60,8 @@ def seed_candidates_sparse(ends, occ_rows, *, occ_cap: int,
       ends: list of (km, lookup) per read end, where km is the dict from
         extract_kmers (already strided) and lookup = (start, count,
         found) from hash_lookup; all (R, P).
-      occ_rows: (n_occ, 2) packed occurrence matrix (txp, pos<<1|fwd).
+      occ_quad: (n_quad, 8) quad-packed occurrence matrix (4 records
+        of txp, pos<<1|fwd per row — see mapping.score.gather_occ_quad).
       occ_cap: C — occurrences gathered per window.
       max_occs_per_hit: repetitive-seed skip threshold.
       hits_per_end: B — total hit budget per read end.
@@ -117,8 +119,8 @@ def seed_candidates_sparse(ends, occ_rows, *, occ_cap: int,
 
     c = jnp.arange(H, dtype=jnp.int32) - hdrf[:, 3]
     hit_ok = c < hdrf[:, 2]                             # n=0 before 1st hdr
-    occ = jnp.take(occ_rows, jnp.clip(hdrf[:, 0] + c, 0, None),
-                   axis=0, mode="clip")                 # (H, 2) row gather
+    occ = gather_occ_quad(occ_quad, hdrf[:, 0] + c, 1)[:, 0, :]
+    # ^ (H, 2): one 8-wide quad-row gather per hit + lane select
     txp = occ[:, 0]
     tpos = occ[:, 1] >> 1
     tfwd = (occ[:, 1] & 1).astype(bool)

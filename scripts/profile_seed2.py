@@ -75,7 +75,7 @@ def main():
     dev = device_index_arrays(idx)
     cfg = MapperConfig.from_index(idx)
     table_planes = (dev["tab_fp"], dev["tab_st"])
-    occ_rows = dev["occ_rows"]
+    occ_quad = dev["occ_quad"]
 
     reads1 = list(_iter_fastq_seqs(r1))
     reads2 = list(_iter_fastq_seqs(r2))
@@ -125,9 +125,9 @@ def main():
                                   cfg.occ_cap, cfg.max_occs_per_hit,
                                   stride=stride)
     f_expand_j = jax.jit(f_expand)
-    ex = f_expand_j(km_l, lk_l, occ_rows)
+    ex = f_expand_j(km_l, lk_l, occ_quad)
     log(f"expand/end (C={cfg.occ_cap}): "
-        f"{bench_amp(f_expand_j, (km_l, lk_l, occ_rows)):.2f} ms  "
+        f"{bench_amp(f_expand_j, (km_l, lk_l, occ_quad)):.2f} ms  "
         f"shape={ex[0].shape}")
 
     def mk_score(C):
@@ -144,11 +144,11 @@ def main():
                 diag.reshape(Rr, n), cfg.max_cands, stride=stride,
                 window_bits=wb)
         return jax.jit(f)
-    t_es = bench_amp(mk_score(cfg.occ_cap), (km_l, lk_l, occ_rows))
+    t_es = bench_amp(mk_score(cfg.occ_cap), (km_l, lk_l, occ_quad))
     log(f"expand+score/end: {t_es:.2f} ms")
     for C in (8, 4):
         log(f"expand+score/end C={C}: "
-            f"{bench_amp(mk_score(C), (km_l, lk_l, occ_rows)):.2f} ms")
+            f"{bench_amp(mk_score(C), (km_l, lk_l, occ_quad)):.2f} ms")
 
     # ---------------- sparse flow: cumulative prefixes ----------------
     km_r = f_km(codes_r, lengths_r)
@@ -291,7 +291,7 @@ def main():
     prev_t = 0.0
     for d in range(7):
         f = sparse_prefix(d)
-        t = bench_amp(f, (km_l, lk_l, km_r, lk_r, occ_rows))
+        t = bench_amp(f, (km_l, lk_l, km_r, lk_r, occ_quad))
         log(f"sparse depth {d} ({names[d]}): cum {t:.2f} ms "
             f"(delta {t - prev_t:+.2f})")
         prev_t = t
@@ -302,7 +302,7 @@ def main():
         hits_per_end=cfg.seed_hits_per_end,
         max_cands=cfg.max_cands, stride=stride))
     log(f"sparse full: "
-        f"{bench_amp(f_full, (km_l, lk_l, km_r, lk_r, occ_rows)):.2f}"
+        f"{bench_amp(f_full, (km_l, lk_l, km_r, lk_r, occ_quad)):.2f}"
         " ms (both ends)")
 
 
