@@ -140,6 +140,10 @@ def _add_quant_parser(sub):
                    type=int, default=2)
     p.add_argument("--bandwidth", type=int, default=15)
     p.add_argument("--mismatchSeedSkip", type=int, default=3)
+    p.add_argument("--indexShards", type=int, default=1,
+                   help="split the k-mer dictionary/occurrences over this"
+                        " many mesh devices (TPU-native; for genome-decoy"
+                        " indexes exceeding one chip's HBM)")
     p.add_argument("--disableChainingHeuristic", action="store_true")
     p.add_argument("--disableAlignmentCache", action="store_true")
     p.add_argument("--decoyThreshold", type=float, default=1.0)
@@ -277,6 +281,7 @@ def _opts_from_args(args):
         # the seed-skip stride IS the mismatchSeedSkip analog: it sets the
         # base-position step between queried k-mer windows
         o.kmer_stride = max(1, args.mismatchSeedSkip)
+        o.index_shards = args.indexShards
         o.hit_filter_policy = args.hitFilterPolicy
         o.mimic_bt2 = args.mimicBT2
         o.mimic_strict_bt2 = args.mimicStrictBT2

@@ -126,10 +126,22 @@ def _rank_in_bucket(bucket: np.ndarray, counts: np.ndarray):
     return rank
 
 
+def table_n_slots(n_keys: int, load_factor: float = 0.5,
+                  max_load_factor: float = 0.62) -> int:
+    """Power-of-two slot count for `n_keys`: targets `load_factor` but
+    halves while the load stays under `max_load_factor`."""
+    h = 1 << max(6, int(np.ceil(np.log2(max(n_keys, 1) / load_factor))))
+    while (h >= SLOTS_PER_BUCKET * 2
+           and n_keys / (h // 2) <= max_load_factor):
+        h //= 2
+    return h
+
+
 def build_hash_table(keys_u64: np.ndarray,
                      occ_offsets: np.ndarray | None = None,
                      load_factor: float = 0.5,
-                     max_load_factor: float = 0.62) -> KmerHashTable:
+                     max_load_factor: float = 0.62,
+                     n_slots: int | None = None) -> KmerHashTable:
     """Build the two-choice bucket table for *unique* uint64 keys.
 
     occ_offsets: (n + 1,) CSR offsets aligned with the sorted-unique key
@@ -139,11 +151,11 @@ def build_hash_table(keys_u64: np.ndarray,
     Sizing: the power-of-two slot count targets `load_factor` but is
     halved while the load stays under `max_load_factor` — a 312M-kmer
     human transcriptome lands at 2^29 slots = 2^26 buckets (4.3 GB).
+    `n_slots` overrides the sizing (the sharded index forces one common
+    size across shards so the stacked tables tile a mesh axis).
     """
     n = int(keys_u64.shape[0])
-    h = 1 << max(6, int(np.ceil(np.log2(max(n, 1) / load_factor))))
-    while h >= SLOTS_PER_BUCKET * 2 and n / (h // 2) <= max_load_factor:
-        h //= 2
+    h = n_slots or table_n_slots(n, load_factor, max_load_factor)
     n_buckets = h // SLOTS_PER_BUCKET
     hi, lo = split_u64(keys_u64)
     mask = np.uint32(n_buckets - 1)

@@ -745,9 +745,20 @@ def map_paired_batch_impl(batch: dict, dev: dict, cfg: MapperConfig,
     Returns dict with eq-class tensors, FLD histogram contribution and
     counters (all fixed-shape).
     """
-    (cand_l, start_l), (cand_r, start_r) = _seed_candidates(
+    cands = _seed_candidates(
         [batch["codes_l"], batch["codes_r"]],
         [batch["lengths_l"], batch["lengths_r"]], dev, cfg)
+    return map_paired_from_cands(cands, batch, dev, cfg, fld_logpmf,
+                                 compat_paired, compat_orphan)
+
+
+def map_paired_from_cands(cands, batch: dict, dev: dict,
+                          cfg: MapperConfig, fld_logpmf=None,
+                          compat_paired=None, compat_orphan=None):
+    """Stages 4-6 of the paired pipeline, entered with seed candidates
+    already scored — the sharded-index path (parallel.sharded) produces
+    candidates from k-mer-sharded lookups and re-enters here."""
+    (cand_l, start_l), (cand_r, start_r) = cands
 
     paired = join_pairs(cand_l, cand_r, start_l, start_r,
                         batch["lengths_l"], batch["lengths_r"],
@@ -875,8 +886,18 @@ def map_single_batch_impl(batch: dict, dev: dict, cfg: MapperConfig,
                           fld_logpmf=None, compat_single=None):
     """Map one single-end batch (reference: processReads single-end
     overload, SalmonQuantify.cpp:1881-2325)."""
-    [(cand, start)] = _seed_candidates(
+    cands = _seed_candidates(
         [batch["codes"]], [batch["lengths"]], dev, cfg)
+    return map_single_from_cands(cands, batch, dev, cfg, fld_logpmf,
+                                 compat_single)
+
+
+def map_single_from_cands(cands, batch: dict, dev: dict,
+                          cfg: MapperConfig, fld_logpmf=None,
+                          compat_single=None):
+    """Single-end stages 4-6 from pre-scored candidates (see
+    map_paired_from_cands)."""
+    [(cand, start)] = cands
     hits = orphan_hits(cand, start, MS_PAIRED, cfg.max_pair_cands)
     # single-end compat: table over observed (fw, rc)
     joined = dict(hits)

@@ -74,6 +74,27 @@ def seed_candidates_sparse(ends, occ_quad, *, occ_cap: int,
     """
     E = len(ends)
     R, P = ends[0][1][0].shape
+    hits = collect_hits_sparse(
+        ends, occ_quad, occ_cap=occ_cap,
+        max_occs_per_hit=max_occs_per_hit, hits_per_end=hits_per_end,
+        stride=stride, diag_bucket_bits=diag_bucket_bits)
+    return rank_hits(hits, R=R, E=E, P=P, max_cands=max_cands)
+
+
+def collect_hits_sparse(ends, occ_quad, *, occ_cap: int,
+                        max_occs_per_hit: int, hits_per_end: int,
+                        stride: int = 1, diag_bucket_bits: int = 5):
+    """Phase 1 of the sparse seed flow: expand each end's found k-mer
+    windows into a flat budgeted hit list (steps 1-2 of the module
+    docstring). Returns a (rid, key, key2, diag) tuple of (H,) arrays —
+    the sort operands `rank_hits` consumes. All values are in GLOBAL
+    coordinates (txp ids, transcript positions), so hit lists produced
+    against disjoint k-mer shards of one index can be concatenated (the
+    sharded-index path all-gathers them across the mesh's kmer axis)
+    before ranking; invalid slots carry INVALID_KEY in rid/key/key2.
+    """
+    E = len(ends)
+    R, P = ends[0][1][0].shape
     NE = E * R                       # read-end count
     B = min(hits_per_end, P * occ_cap)
     H = NE * B
@@ -149,6 +170,18 @@ def seed_candidates_sparse(ends, occ_quad, *, occ_cap: int,
           >> jnp.uint32(diag_bucket_bits))
     key2 = (db << jnp.uint32(window_bits)) | p.astype(jnp.uint32)
     key2 = jnp.where(hit_ok, key2, INVALID_KEY)
+    return rid_u, key, key2, diag
+
+
+def rank_hits(hits, *, R: int, E: int, P: int, max_cands: int):
+    """Phase 2 of the sparse seed flow: co-linear run scoring + per-end
+    top-T ranking (steps 3-4 of the module docstring) over a flat hit
+    list from `collect_hits_sparse` (possibly the concatenation of
+    several shards' lists). Returns the per-end candidate dicts."""
+    rid_u, key, key2, diag = hits
+    NE = E * R
+    H = rid_u.shape[0]
+    window_bits = max(8, _ceil_log2(P))
 
     # ---- global co-linear run scoring ---------------------------------
     rid_s, key_s, key2_s, diag_s = jax.lax.sort(

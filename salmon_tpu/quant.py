@@ -219,24 +219,47 @@ def quantify(
         index = load_index(index)
     paired = reads2 is not None
     cfg = MapperConfig.from_index(index, opts)
-    dev = device_index_arrays(index)
 
     # multi-chip: shard each batch data-parallel over all devices of the
     # (possibly multi-host) mesh (reference analog: N worker threads over
     # disjoint read batches, SURVEY.md §2.11 item 2). Single device ->
-    # plain jit path.
+    # plain jit path. --indexShards S additionally splits the k-mer
+    # dictionary + occurrence CSR over a "kmer" mesh axis (genome-decoy
+    # indexes that exceed one chip's HBM; parallel.sharded).
     import jax as _jax
     mesh = None
     n_dev = len(_jax.devices())
     pid, nproc = _jax.process_index(), _jax.process_count()
     multiproc = nproc > 1
-    if n_dev > 1:
-        from salmon_tpu.parallel import (make_mesh, parallel_map_paired,
-                                         parallel_map_single,
-                                         shard_batch_arrays)
-        mesh = make_mesh()
-        logger.info("mapping data-parallel over %d devices (%d hosts)",
-                    n_dev, nproc)
+    shard_bits = 0
+    if opts.index_shards > 1:
+        if multiproc:
+            raise ValueError("--indexShards is not supported together "
+                             "with multi-host launch yet")
+        from salmon_tpu.parallel.sharded import (device_sharded_index,
+                                                 make_sharded_mesh,
+                                                 shard_batch_reads,
+                                                 sharded_map_paired,
+                                                 sharded_map_single)
+        mesh = make_sharded_mesh(opts.index_shards)
+        dev, _shard_over = device_sharded_index(index, mesh)
+        cfg = dataclasses.replace(cfg, n_slots=_shard_over["n_slots"],
+                                  sparse_seed=True)
+        shard_bits = _shard_over["shard_bits"]
+        logger.info(
+            "index sharded %d-way over the kmer axis; reads axis %d "
+            "(mesh %s)", opts.index_shards, mesh.shape["reads"],
+            dict(mesh.shape))
+    else:
+        dev = device_index_arrays(index)
+        if n_dev > 1:
+            from salmon_tpu.parallel import (make_mesh,
+                                             parallel_map_paired,
+                                             parallel_map_single,
+                                             shard_batch_arrays)
+            mesh = make_mesh()
+            logger.info("mapping data-parallel over %d devices (%d hosts)",
+                        n_dev, nproc)
     if multiproc:
         from salmon_tpu.parallel import distributed as _dist
         if (opts.seq_bias_correct or opts.gc_bias_correct
@@ -351,6 +374,10 @@ def quantify(
                 batch = _dist.make_global_batch(mesh, batch)
                 out = parallel_map_paired(mesh, batch, dev, cfg,
                                           fld_logpmf, cp, co)
+            elif shard_bits or opts.index_shards > 1:
+                batch = shard_batch_reads(mesh, batch)
+                out = sharded_map_paired(mesh, batch, dev, cfg,
+                                         shard_bits, fld_logpmf, cp, co)
             elif mesh is not None:
                 batch = shard_batch_arrays(mesh, batch)
                 out = parallel_map_paired(mesh, batch, dev, cfg,
@@ -367,6 +394,10 @@ def quantify(
                 batch = _dist.make_global_batch(mesh, batch)
                 out = parallel_map_single(mesh, batch, dev, cfg,
                                           fld_logpmf, cs)
+            elif shard_bits or opts.index_shards > 1:
+                batch = shard_batch_reads(mesh, batch)
+                out = sharded_map_single(mesh, batch, dev, cfg,
+                                         shard_bits, fld_logpmf, cs)
             elif mesh is not None:
                 batch = shard_batch_arrays(mesh, batch)
                 out = parallel_map_single(mesh, batch, dev, cfg,
