@@ -1,0 +1,131 @@
+"""Positional-bias correction evaluation: simulate a 5'-biased library
+over a synthetic transcriptome and compare TPM error with and without
+--posBias.
+
+Generative model: fragment start positions p on transcript i are drawn
+with weight b(p / L_i) = exp(-RATE * rel); reads-per-transcript
+c_i ~ eta_i * s_i where s_i = sum_p b(p / L_i) over valid starts, so the
+molar truth is eta_i with TPM_true = eta / sum(eta) * 1e6.
+
+FINDING (2026-08-18, investigated to the integral level): on a purely
+RELATIVE-position exponential bias, the reference's SimplePosBias
+algorithm itself does not recover the truth — the corrected effective
+length is sum_fl flW * sum_s posFW(s/L) * posRC(e/L), and the
+fw*rc factor product double-counts the (deterministically linked)
+start/end preference with a length-dependent offset flen/L, shrinking
+SHORT transcripts more than long ones (the opposite of what this
+generative model needs); the linear-bin-masses-at-Cufflinks-knots
+spline warp (SimplePosBias.cpp addMass vs finalize) adds further
+distortion. Our implementation reproduces the reference formula
+exactly — a hand numpy integral over the projected grids matches
+efflen_pass_bucket to <1% (pinned in tests/test_bias.py::
+test_pos_efflen_matches_bruteforce). So this script measures the
+reference ALGORITHM's behavior, not implementation quality; expect
+negative gain at strong RATE.
+"""
+
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+RATE = float(os.environ.get("POSBIAS_RATE", 1.5))
+FLEN_MU, FLEN_SD = 200, 15
+READ_LEN = 75
+
+
+def make_sim(out_dir, n_txps=24, n_frags=20000, seed=11):
+    """Write transcripts.fasta + reads_{1,2}.fastq; return
+    (names, tpm_true)."""
+    rng = np.random.default_rng(seed)
+    bases = np.array(list("ACGT"))
+    lens = np.linspace(600, 6000, n_txps).astype(int)
+    rng.shuffle(lens)
+    names = [f"SIM{i:03d}" for i in range(n_txps)]
+    seqs = ["".join(rng.choice(bases, L)) for L in lens]
+
+    # molar abundances and positional-bias usable mass
+    eta = rng.lognormal(0.0, 1.0, n_txps)
+    s = np.zeros(n_txps)
+    for i, L in enumerate(lens):
+        p = np.arange(max(L - FLEN_MU, 1))
+        s[i] = np.exp(-RATE * p / L).sum()
+    w = eta * s
+    c = rng.multinomial(n_frags, w / w.sum())
+    tpm_true = eta / eta.sum() * 1e6
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "transcripts.fasta"), "w") as fh:
+        for nm, sq in zip(names, seqs):
+            fh.write(f">{nm}\n{sq}\n")
+
+    comp = str.maketrans("ACGT", "TGCA")
+    with open(os.path.join(out_dir, "reads_1.fastq"), "w") as f1, \
+            open(os.path.join(out_dir, "reads_2.fastq"), "w") as f2:
+        rn = 0
+        for i in range(n_txps):
+            L = lens[i]
+            sq = seqs[i]
+            if not c[i]:
+                continue
+            flens = np.clip(rng.normal(FLEN_MU, FLEN_SD, c[i]).astype(int),
+                            2 * READ_LEN, None)
+            max_start = np.maximum(L - flens, 1)
+            rel = np.arange(int(max_start.max()))
+            for j in range(c[i]):
+                ms = int(max_start[j])
+                pw = np.exp(-RATE * rel[:ms] / L)
+                pos = int(rng.choice(ms, p=pw / pw.sum()))
+                fl = int(min(flens[j], L - pos))
+                left = sq[pos:pos + READ_LEN]
+                right = sq[pos + fl - READ_LEN:pos + fl]
+                right = right.translate(comp)[::-1]
+                nm = f"{rn}:{names[i]}:{pos}:{fl}"
+                f1.write(f"@{nm}\n{left}\n+\n{'I' * len(left)}\n")
+                f2.write(f"@{nm}\n{right}\n+\n{'I' * len(right)}\n")
+                rn += 1
+    return names, tpm_true, c
+
+
+def run_quant(sim_dir, out, pos_bias: bool):
+    from salmon_tpu.cli import main
+    idx_dir = os.path.join(sim_dir, "idx")
+    if not os.path.isdir(idx_dir):
+        assert main(["index", "-t",
+                     os.path.join(sim_dir, "transcripts.fasta"),
+                     "-i", idx_dir, "-k", "31"]) == 0
+    flags = ["--posBias"] if pos_bias else []
+    assert main(["quant", "-i", idx_dir, "-l", "IU",
+                 "-1", os.path.join(sim_dir, "reads_1.fastq"),
+                 "-2", os.path.join(sim_dir, "reads_2.fastq"),
+                 "-o", out, *flags, "-q"]) == 0
+    from salmon_tpu.io.writers import read_quant_sf
+    q = read_quant_sf(os.path.join(out, "quant.sf"))
+    return dict(zip(q["Name"], q["TPM"]))
+
+
+def tpm_error(names, tpm_true, est):
+    t = np.asarray(tpm_true, float)
+    e = np.array([est.get(nm, 0.0) for nm in names])
+    m = (t > 0) & (e > 0)
+    return float(np.mean(np.abs(np.log(e[m] / t[m]))))
+
+
+def main():
+    sim_dir = tempfile.mkdtemp(prefix="salmon_tpu_posbias_")
+    names, tpm_true, c = make_sim(sim_dir)
+    print(f"# sim at {sim_dir}: {int(c.sum())} fragments", file=sys.stderr)
+    est0 = run_quant(sim_dir, os.path.join(sim_dir, "q0"), False)
+    est1 = run_quant(sim_dir, os.path.join(sim_dir, "q1"), True)
+    e0 = tpm_error(names, tpm_true, est0)
+    e1 = tpm_error(names, tpm_true, est1)
+    print(f"mean |log TPM err|: uncorrected {e0:.4f}  --posBias {e1:.4f} "
+          f"(gain {100 * (1 - e1 / max(e0, 1e-12)):.1f}%)")
+
+
+if __name__ == "__main__":
+    main()

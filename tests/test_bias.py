@@ -151,3 +151,71 @@ def test_quant_with_bias_end_to_end(tmp_path, sample_data_dir):
     assert rho_p >= 0.80, f"pos-bias Spearman {rho_p}"
     for f in ("obs5_pos.gz", "exp5_pos.gz"):
         assert os.path.exists(os.path.join(out_p, "aux_info", f)), f
+
+
+def test_pos_efflen_matches_bruteforce():
+    """Pin pass-2 positional semantics: the jitted bucket pass must equal
+    the reference formula sum_fl flW(fl) * sum_s posFW(s/L) * posRC(e/L)
+    (SalmonUtils.cpp:1700-1760, positional factors only) computed as a
+    brute-force numpy double loop over the same projected grids."""
+    rng = np.random.default_rng(3)
+    lens = np.array([240, 480, 500, 333], dtype=np.int32)
+    Bn, L = lens.shape[0], 512
+    codes = np.full((Bn, L), 4, dtype=np.uint8)
+    for r, ln in enumerate(lens):
+        codes[r, :ln] = rng.integers(0, 4, ln)
+
+    pmf = np.zeros(401)
+    pmf[120:221] = np.exp(-0.5 * ((np.arange(120, 221) - 170) / 20.0) ** 2)
+    pmf /= pmf.sum()
+    cdf_np = np.cumsum(pmf)
+    fld_low, fld_high = BE.fld_quantile_bounds(pmf)
+    gc_samp = 3
+
+    # non-trivial factor grids (5, POS_GRID), distinct fw/rc shapes
+    g = np.linspace(0.0, 1.0, BE.POS_GRID)
+    grid_fw = np.stack([np.exp(-(0.3 + 0.2 * li) * g)
+                        for li in range(B.POS_LENGTH_CLASSES)])
+    grid_rc = np.stack([1.0 + 0.5 * np.sin(2 * np.pi * g + li)
+                        for li in range(B.POS_LENGTH_CLASSES)])
+    len_class = np.array([0, 2, 2, 4], dtype=np.int32)
+    eff_in = lens.astype(np.float64) - 170.0
+
+    ones = np.zeros((B.SB_ROWS, B.SB_CTX), np.float32)
+    eff_dev = np.asarray(BE.efflen_pass_bucket(
+        jnp.asarray(codes), jnp.asarray(lens),
+        jnp.asarray(eff_in, jnp.float32),
+        jnp.ones(Bn, bool), jnp.asarray(len_class),
+        jnp.asarray(cdf_np, jnp.float32), fld_low, fld_high, gc_samp,
+        jnp.asarray(ones), jnp.asarray(ones), jnp.asarray(ones),
+        jnp.asarray(ones), jnp.ones((3, 101), jnp.float32),
+        jnp.asarray(grid_fw, jnp.float32), jnp.asarray(grid_rc, jnp.float32),
+        seq_bias=False, gc_bias=False, pos_bias=True))
+
+    for r in range(Bn):
+        Ln = int(lens[r])
+        li = int(len_class[r])
+        max_arg = min(cdf_np.shape[0] - 1, Ln)
+        max_val = cdf_np[max_arg]
+
+        def ccdf(x):
+            if x > max_arg:
+                return 1.0
+            return cdf_np[max(0, min(x, cdf_np.shape[0] - 1))] / max_val
+
+        frac = (np.arange(Ln) / Ln * BE.POS_GRID).astype(int)
+        frac = np.clip(frac, 0, BE.POS_GRID - 1)
+        pfw = grid_fw[li][frac]
+        prc = grid_rc[li][frac]
+        eff = 0.0
+        fl = fld_low
+        while fl <= fld_low + ((fld_high - fld_low) // gc_samp) * gc_samp:
+            fl_w = ccdf(fl) - ccdf(fl - gc_samp)
+            inner = 0.0
+            for s in range(Ln - fl + 1):
+                inner += pfw[s] * prc[s + fl - 1]
+            eff += fl_w * inner
+            fl += gc_samp
+        barrier = max(eff, min(eff_in[r], max(1.0, Ln - eff_in[r])))
+        assert eff_dev[r] == pytest.approx(barrier, rel=2e-3), (
+            f"row {r}: device {eff_dev[r]} vs bruteforce {barrier}")
