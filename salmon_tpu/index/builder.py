@@ -151,6 +151,16 @@ def build_index(
                               np.array([km.shape[0]], dtype=np.int64)])
 
     table = build_hash_table(uniq, occ_offsets=offsets)
+    if table.n_shadowed:
+        # fingerprint-shadow merge blocks: append the merged slots'
+        # occurrence records + separators past the CSR (hashtable doc)
+        from salmon_tpu.index.hashtable import appendix_plan
+        is_sep, gi, sep_fp = appendix_plan(table)
+        tx = np.concatenate([tx, np.where(is_sep, -1, tx[gi])
+                             .astype(np.int32)])
+        po = np.concatenate([po, np.where(is_sep, sep_fp, po[gi])
+                             .astype(np.int32)])
+        fw = np.concatenate([fw, np.where(is_sep, False, fw[gi])])
 
     info.update({
         "index_format_version": INDEX_FORMAT_VERSION,

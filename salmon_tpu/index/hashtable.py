@@ -21,12 +21,29 @@ want a branch-free, fixed-gather lookup. Design:
   yields occurrences of a different k-mer, which the chaining filter and
   DP validation discard — the same grace the reference extends to
   multimapping noise.
-- keys overflowing BOTH buckets are evicted highest-occurrence-first
-  (the least informative, repetitive seeds — the ones the reference's
-  maxOccsPerHit filters skip anyway); the count is recorded at build.
-  With two choices at the default sizing (load <= 0.62, ~5 keys/bucket
-  expected) evictions run on the order of 1e-4..1e-3 of keys (greedy
-  two-round placement, no cuckoo kicks), recorded in n_evicted.
+- keys overflowing BOTH buckets (~1e-4 at the default load <= 0.62)
+  are placed by DETERMINISTIC CUCKOO KICKS (bounded random-walk,
+  host-side over the tiny tail) so the dictionary is total like the
+  reference's pufferfish MPHF — a query for any indexed k-mer always
+  resolves. Only walk exhaustion at extreme load still drops a key
+  (recorded in n_evicted; practically zero below ~0.9 load).
+- SHADOW RESOLUTION: lookup takes the FIRST fingerprint match in the
+  16-slot probe window, so a stored key whose window contains an
+  earlier slot with the same fingerprint would silently resolve to that
+  other key's occurrences — a lost true seed (the reference's
+  pufferfish lookups are exact: RefSeqConstructor validates hits
+  against the sequence). The build detects every shadowed stored key
+  (expected ~2.4e-4 of keys: 16 slots x 2^-16) and rewrites the
+  shadowing slot to a MERGED occurrence block appended past the
+  caller's CSR (resident's records first, then each shadowed key's;
+  `appendix` segments). Every segment is preceded by a SEPARATOR
+  record (txp = -1) carrying the segment key's 30-bit secondary
+  fingerprint; the seed flow compares it against the query's
+  fingerprint30 with one segment-carry scan over the gathered rows and
+  masks foreign segments — so merged-slot lookups stay EXACT (to
+  2^-30 conditional on a 2^-16 collision) with no extra gathers, and
+  true hits are never lost (up to the downstream occ_cap gather
+  truncation, which prefers the resident's records).
 
 Build cost is a few argsorts over the unique k-mers — O(n log n) numpy
 vector ops only. Half the HBM of the previous 2-slot-row linear-probe
@@ -91,6 +108,22 @@ def fingerprint16(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
     return (x >> np.uint32(16)).astype(np.uint32)
 
 
+def fingerprint30(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
+    """30-bit segment fingerprint (fourth independent mix) carried by
+    the separator records of shadow-merged occurrence blocks; 30 bits so
+    pos<<1 packing stays within int32. Device twin:
+    salmon_tpu.mapping.lookup.fingerprint30."""
+    hi = np.asarray(hi).astype(np.uint32)
+    lo = np.asarray(lo).astype(np.uint32)
+    x = lo ^ (hi * np.uint32(0x27D4EB2F)) ^ np.uint32(0x165667B1)
+    x ^= x >> np.uint32(16)
+    x *= np.uint32(0x7FEB352D)
+    x ^= x >> np.uint32(15)
+    x *= np.uint32(0x846CA68B)
+    x ^= x >> np.uint32(16)
+    return (x >> np.uint32(2)).astype(np.uint32)
+
+
 @dataclasses.dataclass
 class KmerHashTable:
     """Two-choice bucket table: canonical k-mer -> occurrence CSR range."""
@@ -98,6 +131,16 @@ class KmerHashTable:
     n_slots: int             # total slots = n_buckets * 8 (power of two)
     max_probes: int = 2 * SLOTS_PER_BUCKET   # slots examined per query
     n_evicted: int = 0       # keys dropped (overflowed both buckets)
+    # fingerprint-shadow merge segments: (m, 3) int64 rows
+    # (src_start, src_len, sep_fp30). Each segment materializes as ONE
+    # separator record (txp = -1, pos = sep_fp30, fwd = 0) followed by
+    # `src_len` records copied from the caller's occurrence arrays at
+    # `src_start`; segments are appended after the original CSR in
+    # order (the merged slots already point there). Use appendix_plan()
+    # to expand into per-row copy instructions.
+    appendix: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0, 3), np.int64))
+    n_shadowed: int = 0      # stored keys merged into a foreign slot
 
     @property
     def n_buckets(self) -> int:
@@ -190,20 +233,160 @@ def build_hash_table(keys_u64: np.ndarray,
     rank2 = _rank_in_bucket(second[idx2], counts[idx2])
     cap2 = SLOTS_PER_BUCKET - used
     placed2 = rank2 < cap2[second[idx2]]
-    n_evicted = int((~placed2).sum())
+
+    slot_key = np.full((n_buckets, SLOTS_PER_BUCKET), -1, np.int64)
+    k1 = np.nonzero(placed1)[0]
+    slot_key[first[k1], rank1[k1]] = k1
+    k2 = idx2[placed2]
+    slot2 = (used[second[k2]] + rank2[placed2]).astype(np.int64)
+    slot_key[second[k2], slot2] = k2
+
+    # round 3: deterministic cuckoo kicks for the overflow tail
+    # (~1e-4 of keys at the default load) — the reference's pufferfish
+    # dictionary is total, so routine evictions would silently drop
+    # seeds; a bounded random-walk reduces evictions to (practically)
+    # zero below ~0.9 load, with drop-on-walk-exhaustion as the
+    # extreme-load fallback
+    n_evicted = 0
+    for u in idx2[~placed2]:
+        key = int(u)
+        done = False
+        for t in range(64):
+            for b in (int(b1[key]), int(b2[key])):
+                free = np.nonzero(slot_key[b] < 0)[0]
+                if free.size:
+                    slot_key[b, free[0]] = key
+                    done = True
+                    break
+            if done:
+                break
+            b = int(b1[key]) if t % 2 == 0 else int(b2[key])
+            v = (key * 7 + t * 5 + 3) % SLOTS_PER_BUCKET
+            victim = int(slot_key[b, v])
+            slot_key[b, v] = key
+            key = victim
+        if not done:
+            n_evicted += 1          # the last displaced key is dropped
 
     counts16 = np.minimum(counts, 0xFFFF).astype(np.uint32)
     fpcnt = ((fp << np.uint32(16)) | counts16).view(np.int32)
 
     rows = np.zeros((n_buckets, 2 * SLOTS_PER_BUCKET), dtype=np.int32)
-    k1 = np.nonzero(placed1)[0]
-    rows[first[k1], 2 * rank1[k1]] = fpcnt[k1]
-    rows[first[k1], 2 * rank1[k1] + 1] = starts[k1]
-    k2 = idx2[placed2]
-    slot2 = (used[second[k2]] + rank2[placed2]).astype(np.int64)
-    rows[second[k2], 2 * slot2] = fpcnt[k2]
-    rows[second[k2], 2 * slot2 + 1] = starts[k2]
-    return KmerHashTable(rows, h, 2 * SLOTS_PER_BUCKET, n_evicted)
+    pbucket, pslot = np.nonzero(slot_key >= 0)
+    pk = slot_key[pbucket, pslot]
+    rows[pbucket, 2 * pslot] = fpcnt[pk]
+    rows[pbucket, 2 * pslot + 1] = starts[pk]
+
+    # ---- fingerprint-shadow resolution (see module docstring) ----------
+    # placed keys, their slot coordinates, and their probe position
+    appendix = np.zeros((0, 2), np.int64)
+    n_shadowed = 0
+    if pk.size:
+        own_pos = pslot + np.where(pbucket == b1[pk], 0, SLOTS_PER_BUCKET)
+        # join structure: placed slots sorted by (bucket, fp, slot)
+        packed = ((pbucket.astype(np.uint64) << np.uint64(20))
+                  | (fp[pk].astype(np.uint64) << np.uint64(4))
+                  | pslot.astype(np.uint64))
+        order = np.argsort(packed)
+        packed_s = packed[order]
+
+        def first_match(bucket_q, key_idx):
+            """(probe slot, placed-entry id) of the minimal-slot stored
+            fp match in bucket_q for each query key; slot=16 if none."""
+            base = ((bucket_q.astype(np.uint64) << np.uint64(20))
+                    | (fp[key_idx].astype(np.uint64) << np.uint64(4)))
+            j = np.searchsorted(packed_s, base, side="left")
+            j_end = np.searchsorted(packed_s, base + np.uint64(16),
+                                    side="left")
+            hasm = j < j_end
+            jc = np.minimum(j, packed_s.shape[0] - 1)
+            slot_q = np.where(
+                hasm, (packed_s[jc] & np.uint64(15)).astype(np.int64),
+                2 * SLOTS_PER_BUCKET)
+            return slot_q, np.where(hasm, order[jc], -1)
+
+        s1q, e1q = first_match(b1[pk], pk)
+        s2q, e2q = first_match(b2[pk], pk)
+        pos2 = np.where(s2q < 2 * SLOTS_PER_BUCKET,
+                        s2q + SLOTS_PER_BUCKET, 2 * SLOTS_PER_BUCKET)
+        take1 = s1q <= pos2
+        fpos = np.where(take1, s1q, pos2)
+        fent = np.where(take1, e1q, e2q)
+        shadowed = fpos < own_pos
+        n_shadowed = int(shadowed.sum())
+        if n_shadowed:
+            fp30 = fingerprint30(hi, lo)
+            sh = np.nonzero(shadowed)[0]          # placed-entry indices
+            own_ent = fent[sh]                    # owner placed entry
+            # group shadowed keys by owner entry, residents first
+            grp = np.argsort(own_ent, kind="stable")
+            own_sorted = own_ent[grp]
+            sh_sorted = sh[grp]
+            gstart = np.ones(own_sorted.shape[0], bool)
+            gstart[1:] = own_sorted[1:] != own_sorted[:-1]
+            owners = own_sorted[gstart]           # unique owner entries
+            # appendix segments: per owner block, a separator record
+            # (carrying the segment key's 30-bit fingerprint) + the
+            # key's range — resident first, then each shadowed key in
+            # deterministic (key) order
+            blk_of = np.cumsum(gstart) - 1
+            res_keys = pk[owners]
+            blk_total = (counts[res_keys] + np.bincount(
+                blk_of, weights=counts[pk[sh_sorted]].astype(np.float64),
+                minlength=owners.shape[0]).astype(np.int64)
+                + 1 + np.bincount(blk_of, minlength=owners.shape[0]))
+            n_seg = owners.shape[0] + sh_sorted.shape[0]
+            seg_src = np.empty(n_seg, np.int64)
+            seg_len = np.empty_like(seg_src)
+            seg_fp = np.empty_like(seg_src)
+            w = 0
+            blk_start = np.empty(owners.shape[0], np.int64)
+            base_off = int(occ_offsets[-1]) if occ_offsets is not None \
+                else n
+            run = base_off
+            for g in range(owners.shape[0]):
+                blk_start[g] = run
+                for key in [res_keys[g]] + sorted(
+                        pk[sh_sorted[blk_of == g]].tolist()):
+                    seg_src[w] = starts[key]
+                    seg_len[w] = counts[key]
+                    seg_fp[w] = fp30[key]
+                    w += 1
+                run += int(blk_total[g])
+            appendix = np.stack([seg_src, seg_len, seg_fp], axis=1)
+            # rewrite the owner slots to the merged blocks
+            ob = pbucket[owners]
+            os_ = pslot[owners]
+            mcnt = np.minimum(blk_total, 0xFFFF).astype(np.uint32)
+            rows[ob, 2 * os_] = ((fp[res_keys] << np.uint32(16))
+                                 | mcnt).view(np.int32)
+            rows[ob, 2 * os_ + 1] = blk_start.astype(np.int32)
+
+    return KmerHashTable(rows, h, 2 * SLOTS_PER_BUCKET, n_evicted,
+                         appendix=appendix, n_shadowed=n_shadowed)
+
+
+def appendix_plan(tab: KmerHashTable):
+    """Row-level expansion of the shadow-merge appendix.
+
+    Returns (is_sep, src_idx, sep_fp30): for row r of the appended
+    region, is_sep[r] selects a separator record (txp = -1,
+    pos = sep_fp30[r], fwd = False); otherwise the row copies the
+    caller's occurrence record at src_idx[r]. The merged slots already
+    point past the original CSR end."""
+    if tab.appendix.shape[0] == 0:
+        z = np.zeros(0, np.int64)
+        return np.zeros(0, bool), z, z
+    src, ln, fp30 = (tab.appendix[:, 0], tab.appendix[:, 1],
+                     tab.appendix[:, 2])
+    row_len = ln + 1                       # sep + records per segment
+    total = int(row_len.sum())
+    seg_of = np.repeat(np.arange(ln.shape[0]), row_len)
+    off_in_seg = (np.arange(total, dtype=np.int64)
+                  - np.repeat(np.cumsum(row_len) - row_len, row_len))
+    is_sep = off_in_seg == 0
+    src_idx = np.where(is_sep, 0, src[seg_of] + off_in_seg - 1)
+    return is_sep, src_idx, fp30[seg_of]
 
 
 def lookup_host(tab: KmerHashTable, keys_u64: np.ndarray):

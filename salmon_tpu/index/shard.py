@@ -33,8 +33,8 @@ import dataclasses
 import numpy as np
 
 from salmon_tpu.index.builder import TranscriptomeIndex
-from salmon_tpu.index.hashtable import (build_hash_table, mix32b,
-                                        split_u64, table_n_slots)
+from salmon_tpu.index.hashtable import (appendix_plan, build_hash_table,
+                                        mix32b, split_u64, table_n_slots)
 
 
 def shard_owner(hi: np.ndarray, lo: np.ndarray, shard_bits: int):
@@ -89,11 +89,20 @@ def shard_index_arrays(idx: TranscriptomeIndex,
         gidx = (np.repeat(idx.occ_offsets[:-1][m], cnt_s)
                 + np.arange(total_s, dtype=np.int64)
                 - np.repeat(off_s[:-1], cnt_s))
-        occ_parts.append((idx.occ_txp[gidx], occ_pf[gidx]))
+        txp_s, pf_s = idx.occ_txp[gidx], occ_pf[gidx]
         tab = build_hash_table(keys_s, occ_offsets=off_s, n_slots=n_slots)
+        if tab.n_shadowed:
+            # per-shard fingerprint-shadow merge blocks (hashtable doc)
+            is_sep, gi, sep_fp = appendix_plan(tab)
+            txp_s = np.concatenate(
+                [txp_s, np.where(is_sep, -1, txp_s[gi]).astype(np.int32)])
+            pf_s = np.concatenate(
+                [pf_s, np.where(is_sep, sep_fp << 1, pf_s[gi])
+                 .astype(np.int32)])
+        occ_parts.append((txp_s, pf_s))
         n_evicted += tab.n_evicted
         tabs.append(tab)
-        max_occ = max(max_occ, total_s)
+        max_occ = max(max_occ, txp_s.shape[0])
 
     n_quad = max(-(-max_occ // 4), 1)
     occ_quad = np.zeros((n_shards, n_quad * 4, 2), np.int32)

@@ -57,6 +57,21 @@ def fingerprint16(hi: jax.Array, lo: jax.Array) -> jax.Array:
     return x >> jnp.uint32(16)
 
 
+def fingerprint30(hi: jax.Array, lo: jax.Array) -> jax.Array:
+    """Fourth-mix 30-bit segment fingerprint — must match
+    hashtable.fingerprint30 bit-for-bit. Compared against the separator
+    records of shadow-merged occurrence blocks (hashtable docstring)."""
+    hi = hi.astype(jnp.uint32)
+    lo = lo.astype(jnp.uint32)
+    x = lo ^ (hi * jnp.uint32(0x27D4EB2F)) ^ jnp.uint32(0x165667B1)
+    x = x ^ (x >> jnp.uint32(16))
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> jnp.uint32(15))
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> jnp.uint32(16))
+    return x >> jnp.uint32(2)
+
+
 @functools.partial(jax.jit, static_argnums=(4, 5))
 def hash_lookup(hi, lo, fp_rows, st_rows, n_slots: int,
                 max_probes: int = 2 * SLOTS_PER_BUCKET):

@@ -21,6 +21,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from salmon_tpu.mapping.lookup import fingerprint30
+
 INVALID_KEY = jnp.uint32(0xFFFFFFFF)
 
 
@@ -86,6 +88,22 @@ def expand_occurrences(km: dict, start, count, found, occ_quad,
     txp = occ[..., 0]
     tpos = occ[..., 1] >> 1
     tfwd = (occ[..., 1] & 1).astype(bool)
+
+    # shadow-merged blocks: separator records (txp = -1) open a
+    # sub-segment tagged with its key's fingerprint30; rows past a
+    # separator count only for the matching query (hashtable docstring)
+    is_sep = txp == jnp.int32(-1)
+
+    def _combine(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, jnp.where(fb, vb, va)
+
+    seen, carried = jax.lax.associative_scan(
+        _combine, (is_sep, tpos), axis=2)
+    qfp30 = fingerprint30(km["hi"], km["lo"]).astype(jnp.int32)
+    seg_ok = ~seen | (carried == qfp30[:, :, None])
+    ovalid = ovalid & ~is_sep & seg_ok
 
     orient_fw = km["is_fw"][:, :, None] == tfwd
     key = (txp.astype(jnp.uint32) << jnp.uint32(1)) | \

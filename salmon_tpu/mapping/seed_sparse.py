@@ -41,6 +41,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from salmon_tpu.mapping.lookup import fingerprint30
 from salmon_tpu.mapping.score import (DIAG_OFFSET, INVALID_KEY,
                                       _segmented_min, gather_occ_quad,
                                       segment_carry_first)
@@ -111,6 +112,8 @@ def collect_hits_sparse(ends, occ_quad, *, occ_cap: int,
     found = flat(lambda km, lk: lk[2])
     qfw = flat(lambda km, lk: km["is_fw"])
     kval = flat(lambda km, lk: km["valid"])
+    qfp30 = flat(lambda km, lk: fingerprint30(
+        km["hi"], km["lo"]).astype(jnp.int32))
 
     usable = found & kval & (count <= max_occs_per_hit)
     n = jnp.where(usable, jnp.minimum(count, occ_cap), 0)
@@ -129,14 +132,15 @@ def collect_hits_sparse(ends, occ_quad, *, occ_cap: int,
         [start,
          (w_idx << jnp.int32(1)) | qfw.astype(jnp.int32),
          n_used,
-         dest], axis=1)                                 # (W, 4)
+         dest,
+         qfp30], axis=1)                                # (W, 5)
     keep = n_used > 0
     dest_w = jnp.where(keep, dest, H)
-    slots = jnp.zeros((H + 1, 4), jnp.int32).at[dest_w].set(
+    slots = jnp.zeros((H + 1, 5), jnp.int32).at[dest_w].set(
         hdr, mode="drop")[:H]
     flags = jnp.zeros(H + 1, bool).at[dest_w].set(keep, mode="drop")[:H]
     hdrf = segment_carry_first(
-        slots, jnp.broadcast_to(flags[:, None], (H, 4)), axis=0)
+        slots, jnp.broadcast_to(flags[:, None], (H, 5)), axis=0)
 
     c = jnp.arange(H, dtype=jnp.int32) - hdrf[:, 3]
     hit_ok = c < hdrf[:, 2]                             # n=0 before 1st hdr
@@ -145,6 +149,20 @@ def collect_hits_sparse(ends, occ_quad, *, occ_cap: int,
     txp = occ[:, 0]
     tpos = occ[:, 1] >> 1
     tfwd = (occ[:, 1] & 1).astype(bool)
+
+    # ---- shadow-merged blocks: separator records (txp = -1) open a
+    # sub-segment tagged with its key's fingerprint30; rows past a
+    # separator count only for the query whose fingerprint matches
+    # (hashtable docstring) — one carry scan, no extra gathers
+    is_sep = txp == jnp.int32(-1)
+    seg_set = is_sep | (c == 0)
+    seg_vals = jnp.stack(
+        [jnp.where(is_sep, tpos, 0),
+         is_sep.astype(jnp.int32)], axis=1)             # (H, 2)
+    carried = segment_carry_first(
+        seg_vals, jnp.broadcast_to(seg_set[:, None], (H, 2)), axis=0)
+    seg_ok = (carried[:, 1] == 0) | (carried[:, 0] == hdrf[:, 4])
+    hit_ok = hit_ok & ~is_sep & seg_ok
 
     wcol = hdrf[:, 1]
     q_is_fw = (wcol & 1).astype(bool)
@@ -171,6 +189,34 @@ def collect_hits_sparse(ends, occ_quad, *, occ_cap: int,
     key2 = (db << jnp.uint32(window_bits)) | p.astype(jnp.uint32)
     key2 = jnp.where(hit_ok, key2, INVALID_KEY)
     return rid_u, key, key2, diag
+
+
+def rebudget_hits(hits, *, P: int, hits_per_end: int):
+    """Re-apply the per-end hit budget over a CONCATENATED hit list.
+
+    The sharded-index path collects up to `hits_per_end` hits per shard
+    (a superset of the single-device kept set, since every window's
+    occurrences live in exactly one owner shard); keeping the leftmost
+    `hits_per_end` of the union — windows first, CSR order within a
+    window — restores the single-device budget semantics bit-exactly,
+    so mapping results do not depend on --indexShards. One stable
+    global sort by (read-end, window): within-window order is already
+    contiguous per shard, and stable sorting preserves it."""
+    rid_u, key, key2, diag = hits
+    H = rid_u.shape[0]
+    window_bits = max(8, _ceil_log2(P))
+    p = key2 & jnp.uint32((1 << window_bits) - 1)
+    rid_s, _p, key_s, key2_s, diag_s = jax.lax.sort(
+        (rid_u, p, key, key2, diag), dimension=0, num_keys=2,
+        is_stable=True)
+    pos_idx = jnp.arange(H, dtype=jnp.int32)
+    seg = rid_s != jnp.concatenate(
+        [jnp.full((1,), INVALID_KEY, rid_s.dtype), rid_s[:-1]])
+    rank = pos_idx - segment_carry_first(pos_idx, seg, axis=0)
+    keep = (rid_s != INVALID_KEY) & (rank < hits_per_end)
+    inv_u = jnp.uint32(INVALID_KEY)
+    return (jnp.where(keep, rid_s, inv_u), jnp.where(keep, key_s, inv_u),
+            jnp.where(keep, key2_s, inv_u), diag_s)
 
 
 def rank_hits(hits, *, R: int, E: int, P: int, max_cands: int):

@@ -21,10 +21,13 @@ too big to replicate per chip. Here the mesh is 2-D:
     work); fixed-size statistics psum over both axes and eq tensors
     come back sharded over (reads, kmer).
 
-The seeding semantics match the single-device sparse flow except that
-the per-end hit budget (seed_hits_per_end) applies PER SHARD — a strict
-superset of the single-device hit set, so candidates can only improve;
-with no budget truncation the two paths are bit-identical (tested).
+The seeding semantics match the single-device sparse flow exactly:
+each shard collects up to the per-end budget (a superset of the global
+kept set, since each window's occurrences live in one owner shard) and
+the budget is re-applied over the gathered union
+(seed_sparse.rebudget_hits) — so results are bit-identical to the
+single-device path at ANY budget and do not depend on --indexShards
+(tested).
 
 Reference analog: none — the reference's pufferfish index is a single
 host-RAM mmap shared by threads (SURVEY.md §2.11). Sharding is what the
@@ -51,7 +54,8 @@ from salmon_tpu.mapping.pipeline import (MapperConfig, _SEQ4_SHIFT,
                                          map_paired_from_cands,
                                          map_single_from_cands)
 from salmon_tpu.mapping.score import candidate_read_start
-from salmon_tpu.mapping.seed_sparse import collect_hits_sparse, rank_hits
+from salmon_tpu.mapping.seed_sparse import (collect_hits_sparse,
+                                            rank_hits, rebudget_hits)
 from salmon_tpu.parallel.quant_step import _PSUM_KEYS
 
 READS_AXIS = "reads"
@@ -163,9 +167,12 @@ def _sharded_cands(ends_cl, dev, cfg: MapperConfig, shard_bits: int,
         seeded, occ_quad, occ_cap=cfg.occ_cap,
         max_occs_per_hit=cfg.max_occs_per_hit,
         hits_per_end=cfg.seed_hits_per_end, stride=cfg.kmer_stride)
-    # concat the shards' hit lists (global coordinates)
+    # concat the shards' hit lists (global coordinates), then re-apply
+    # the per-end budget over the union so results match the
+    # single-device path bit-exactly (seed_sparse.rebudget_hits)
     hits = tuple(
         jax.lax.all_gather(h, KMER_AXIS, tiled=True) for h in hits)
+    hits = rebudget_hits(hits, P=Pw, hits_per_end=cfg.seed_hits_per_end)
     cands = rank_hits(hits, R=R, E=E, P=Pw, max_cands=cfg.max_cands)
 
     s = jax.lax.axis_index(KMER_AXIS)

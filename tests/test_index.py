@@ -7,24 +7,42 @@ from salmon_tpu.utils.dna import canonical_kmers, encode_seq, kmers_of
 from tests.conftest import SAMPLE_TRANSCRIPTS
 
 
+def _covered_payloads(tab, start, count, n):
+    """Per-key hit count of its OWN payload inside the returned range,
+    expanding the shadow-merge appendix (payload space = arange(n) when
+    the table was built without occ_offsets; separator rows carry -1)."""
+    from salmon_tpu.index.hashtable import appendix_plan
+    is_sep, src_idx, _ = appendix_plan(tab)
+    ext = np.concatenate([np.arange(n, dtype=np.int64),
+                          np.where(is_sep, -1, src_idx)])
+    cnt = np.maximum(count, 0)
+    st = np.where(start >= 0, start, 0).astype(np.int64)
+    flat_pos = np.repeat(st, cnt) + (np.arange(int(cnt.sum()))
+                                     - np.repeat(np.cumsum(cnt) - cnt,
+                                                 cnt))
+    flat_id = np.repeat(np.arange(start.shape[0]), cnt)
+    ok = ext[flat_pos] == flat_id
+    return np.bincount(flat_id[ok], minlength=start.shape[0])
+
+
 def test_hash_table_roundtrip(rng):
     keys = rng.integers(0, 1 << 62, size=5000).astype(np.uint64)
     keys = np.unique(keys)
     tab = build_hash_table(keys)
     start, count = lookup_host(tab, keys)
     # keys overflowing both candidate buckets are evicted by design
-    # (recorded in n_evicted); every retained key must resolve exactly
+    # (recorded in n_evicted); every retained key must resolve to a
+    # range COVERING its payload (shadow-merged slots return a block)
     present = start != -1
-    assert int((~present).sum()) == tab.n_evicted
+    assert int((~present).sum()) <= tab.n_evicted
     assert tab.n_evicted <= max(2, keys.shape[0] // 1000)
-    assert (start[present] == np.arange(keys.shape[0])[present]).all()
-    assert (count[present] == 1).all()
-    # absent keys miss
+    covered = _covered_payloads(tab, start, count, keys.shape[0])
+    assert int((covered >= 1).sum()) >= keys.shape[0] - tab.n_evicted
+    # absent keys miss (up to ~2.4e-4 junk fingerprint matches)
     absent = rng.integers(0, 1 << 62, size=1000).astype(np.uint64)
     absent = np.setdiff1d(absent, keys)
     start, count = lookup_host(tab, absent)
-    assert (start == -1).all()
-    assert (count == 0).all()
+    assert (start == -1).sum() >= absent.shape[0] - 2
 
 
 def test_hash_table_probe_bound(rng):
@@ -102,11 +120,58 @@ def test_hashtable_two_choice_overflow():
     start, count = lookup_host(tab, keys)
     found = start >= 0
     assert found.sum() >= n - tab.n_evicted
-    # resolved keys return their own payload (rank) unless a rare
-    # fingerprint collision hit an earlier slot
-    ranks = np.arange(n)
-    ok = found & (start == ranks)
-    assert ok.sum() / max(found.sum(), 1) > 0.999
+    # every placed key's range covers its own payload — exactly for
+    # most, via a shadow-merged block for fingerprint-collided keys
+    covered = _covered_payloads(tab, start, count, n)
+    assert int((covered >= 1).sum()) >= n - tab.n_evicted
+    assert (found & (start == np.arange(n))).sum() / max(
+        found.sum(), 1) > 0.999
+
+
+def test_hashtable_shadow_merge_preserves_all_keys():
+    """A stored key whose probe window contains an earlier slot with the
+    same 16-bit fingerprint must still resolve to a range containing its
+    own payload (the build merges it into the shadowing slot — the
+    pre-fix behavior silently returned only the OTHER key's records).
+    At 600k keys the expected number of shadowed keys is ~150, so this
+    exercises the merge path for real."""
+    rng = np.random.default_rng(5)
+    keys = np.unique(rng.integers(0, 2**62, 600000).astype(np.uint64))
+    n = keys.shape[0]
+    tab = build_hash_table(keys)
+    assert tab.n_shadowed > 0, "fixture has no fp collisions; enlarge"
+    assert tab.appendix.shape[0] >= 2 * tab.n_shadowed  # resident+shadowed
+    start, count = lookup_host(tab, keys)
+    covered = _covered_payloads(tab, start, count, n)
+    assert int((covered >= 1).sum()) >= n - tab.n_evicted
+    # shadow-merged lookups return a few foreign records too — bounded
+    # by the block sizes (all counts are 1 here)
+    assert int(count.sum()) <= n + 8 * tab.n_shadowed
+
+    # the separator records make merged blocks EXACT: applying the seed
+    # flow's filter (rows count only when the last separator's
+    # fingerprint30 matches the query's) must recover precisely the
+    # key's own payload for every merged key
+    from salmon_tpu.index.hashtable import (appendix_plan, fingerprint30,
+                                            split_u64)
+    is_sep, src_idx, sep_fp = appendix_plan(tab)
+    ext_payload = np.concatenate([np.arange(n, dtype=np.int64),
+                                  np.where(is_sep, -1, src_idx)])
+    ext_sep = np.concatenate([np.zeros(n, bool), is_sep])
+    ext_fp = np.concatenate([np.zeros(n, np.int64), sep_fp])
+    hi, lo = split_u64(keys)
+    q30 = fingerprint30(hi, lo).astype(np.int64)
+    merged = np.nonzero((start >= 0) & (count > 1))[0]
+    assert merged.size >= tab.n_shadowed
+    for i in merged:
+        rows = np.arange(start[i], start[i] + count[i])
+        last_fp, seen, got = 0, False, []
+        for r in rows:
+            if ext_sep[r]:
+                last_fp, seen = ext_fp[r], True
+            elif not seen or last_fp == q30[i]:
+                got.append(ext_payload[r])
+        assert got == [i], (i, got)
 
 
 def test_hashtable_eviction_prefers_repetitive_keys():

@@ -54,14 +54,18 @@ def test_shard_partition_is_exact(small_index):
         for j, ki in enumerate(pick):
             g0, g1 = idx.occ_offsets[ki], idx.occ_offsets[ki + 1]
             if owner[ki] == s:
-                assert count[j] == g1 - g0
+                # fingerprint-shadow-merged slots return a block that
+                # CONTAINS the key's records as a contiguous run (see
+                # hashtable docstring); unmerged slots return exactly
+                assert count[j] >= g1 - g0
                 got = occ_flat[s, start[j]:start[j] + count[j]]
-                np.testing.assert_array_equal(got[:, 0],
-                                              idx.occ_txp[g0:g1])
-                np.testing.assert_array_equal(
-                    got[:, 1] >> 1, idx.occ_pos[g0:g1])
-                np.testing.assert_array_equal(
-                    (got[:, 1] & 1).astype(bool), idx.occ_fwd[g0:g1])
+                want = np.stack(
+                    [idx.occ_txp[g0:g1],
+                     (idx.occ_pos[g0:g1].astype(np.int64) << 1
+                      | idx.occ_fwd[g0:g1]).astype(np.int32)], axis=1)
+                runs = [o for o in range(got.shape[0] - want.shape[0] + 1)
+                        if np.array_equal(got[o:o + want.shape[0]], want)]
+                assert runs, (ki, got, want)
 
 
 def test_sharded_map_matches_single(small_index, rng):
@@ -120,9 +124,8 @@ def test_quantify_with_sharded_index(small_index, sample_data_dir):
     shard = quantify(small_index, "IU", r1, r2, opts=o2, progress=False)
 
     assert shard.num_mapped == base.num_mapped == 10000
-    # the per-end hit budget applies PER SHARD, so repetitive reads keep
-    # a superset of the single-index hits — a couple of ambiguous
-    # fragments redistribute among paralogs (bit-parity at high budget
-    # is covered by test_sharded_map_matches_single)
+    # post-gather re-budgeting (seed_sparse.rebudget_hits) makes the
+    # sharded seeding bit-identical to single-device at any budget, so
+    # quantification must agree to float tolerance
     np.testing.assert_allclose(shard.counts, base.counts,
-                               rtol=2e-2, atol=1.5)
+                               rtol=1e-4, atol=0.02)
