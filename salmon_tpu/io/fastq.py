@@ -193,9 +193,12 @@ def pack_seqs(seqs: Sequence[bytes], batch_size: int, max_len: int
 
 
 def iter_single_chunks(paths: Sequence[str], batch_size: int, max_len: int,
-                       want_names: bool = False) -> Iterator[ReadChunk]:
+                       want_names: bool = False,
+                       fixed_len: bool = False) -> Iterator[ReadChunk]:
     """Stream single-end reads as fixed-shape chunks (native C++ reader
-    when available, else pure Python)."""
+    when available, else pure Python). `fixed_len` pins every chunk to
+    the max_len bucket (multi-host batches must agree on row width
+    across processes)."""
     if _native_lib() is not None:
         for path in paths:
             rdr = NativeFastqReader(path, batch_size, max_len, want_names)
@@ -205,21 +208,23 @@ def iter_single_chunks(paths: Sequence[str], batch_size: int, max_len: int,
                     if out is None:
                         break
                     codes, lens, names, n = out
-                    L = bucket_len(int(lens.max()) if n else 1, max_len)
+                    L = (bucket_len(max_len, max_len) if fixed_len else
+                         bucket_len(int(lens.max()) if n else 1, max_len))
                     yield ReadChunk(np.ascontiguousarray(codes[:, :L]),
                                     lens, n, names)
             finally:
                 rdr.close()
         return
     yield from _iter_single_chunks_py(paths, batch_size, max_len,
-                                      want_names)
+                                      want_names, fixed_len)
 
 
 def iter_paired_chunks(paths1: Sequence[str], paths2: Sequence[str],
                        batch_size: int, max_len: int,
-                       want_names: bool = False) -> Iterator[PairedChunk]:
+                       want_names: bool = False,
+                       fixed_len: bool = False) -> Iterator[PairedChunk]:
     """Stream paired-end reads as fixed-shape chunk pairs (native C++
-    reader when available)."""
+    reader when available). `fixed_len` as in iter_single_chunks."""
     if len(paths1) != len(paths2):
         raise ValueError("paired-end file lists must have equal length")
     if _native_lib() is not None:
@@ -240,8 +245,9 @@ def iter_paired_chunks(paths1: Sequence[str], paths2: Sequence[str],
                     if n1 != n2:
                         raise IOError(
                             f"paired files {p1}/{p2} differ in length")
-                    L = bucket_len(max(int(l1.max()), int(l2.max())),
-                                   max_len)
+                    L = (bucket_len(max_len, max_len) if fixed_len else
+                         bucket_len(max(int(l1.max()), int(l2.max())),
+                                    max_len))
                     yield PairedChunk(
                         ReadChunk(np.ascontiguousarray(c1[:, :L]), l1, n1,
                                   names),
@@ -252,15 +258,21 @@ def iter_paired_chunks(paths1: Sequence[str], paths2: Sequence[str],
                 r2.close()
         return
     yield from _iter_paired_chunks_py(paths1, paths2, batch_size, max_len,
-                                      want_names)
+                                      want_names, fixed_len)
 
 
 def _iter_single_chunks_py(paths: Sequence[str], batch_size: int,
                            max_len: int,
-                           want_names: bool = False) -> Iterator[ReadChunk]:
+                           want_names: bool = False,
+                           fixed_len: bool = False) -> Iterator[ReadChunk]:
     """Stream single-end reads as fixed-shape chunks."""
     seqs: list[bytes] = []
     names: list[bytes] = []
+
+    def width(ls):
+        return (bucket_len(max_len, max_len) if fixed_len
+                else bucket_len(max(len(x) for x in ls), max_len))
+
     for path in paths:
         for rec in _iter_fastq_seqs(path, want_names=want_names):
             if want_names:
@@ -270,20 +282,19 @@ def _iter_single_chunks_py(paths: Sequence[str], batch_size: int,
                 s = rec
             seqs.append(s)
             if len(seqs) == batch_size:
-                L = bucket_len(max(len(x) for x in seqs), max_len)
-                codes, lens = pack_seqs(seqs, batch_size, L)
+                codes, lens = pack_seqs(seqs, batch_size, width(seqs))
                 yield ReadChunk(codes, lens, batch_size,
                                 names if want_names else None)
                 seqs, names = [], []
     if seqs:
-        L = bucket_len(max(len(x) for x in seqs), max_len)
-        codes, lens = pack_seqs(seqs, batch_size, L)
+        codes, lens = pack_seqs(seqs, batch_size, width(seqs))
         yield ReadChunk(codes, lens, len(seqs), names if want_names else None)
 
 
 def _iter_paired_chunks_py(paths1: Sequence[str], paths2: Sequence[str],
                            batch_size: int, max_len: int,
-                           want_names: bool = False
+                           want_names: bool = False,
+                           fixed_len: bool = False
                            ) -> Iterator[PairedChunk]:
     """Stream paired-end reads as fixed-shape chunk pairs."""
     if len(paths1) != len(paths2):
@@ -291,6 +302,12 @@ def _iter_paired_chunks_py(paths1: Sequence[str], paths2: Sequence[str],
     s1: list[bytes] = []
     s2: list[bytes] = []
     names: list[bytes] = []
+
+    def width():
+        return (bucket_len(max_len, max_len) if fixed_len
+                else bucket_len(max(max(len(x) for x in s1),
+                                    max(len(x) for x in s2)), max_len))
+
     for p1, p2 in zip(paths1, paths2):
         it1 = _iter_fastq_seqs(p1, want_names=want_names)
         it2 = _iter_fastq_seqs(p2)
@@ -303,8 +320,7 @@ def _iter_paired_chunks_py(paths1: Sequence[str], paths2: Sequence[str],
             s1.append(a)
             s2.append(b)
             if len(s1) == batch_size:
-                L = bucket_len(max(max(len(x) for x in s1),
-                                   max(len(x) for x in s2)), max_len)
+                L = width()
                 c1, l1 = pack_seqs(s1, batch_size, L)
                 c2, l2 = pack_seqs(s2, batch_size, L)
                 yield PairedChunk(
@@ -313,8 +329,7 @@ def _iter_paired_chunks_py(paths1: Sequence[str], paths2: Sequence[str],
                     ReadChunk(c2, l2, batch_size))
                 s1, s2, names = [], [], []
     if s1:
-        L = bucket_len(max(max(len(x) for x in s1),
-                           max(len(x) for x in s2)), max_len)
+        L = width()
         c1, l1 = pack_seqs(s1, batch_size, L)
         c2, l2 = pack_seqs(s2, batch_size, L)
         yield PairedChunk(

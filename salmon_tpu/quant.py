@@ -336,14 +336,30 @@ def quantify(
             sam_fh.write(f"@SQ\tSN:{index.names[i]}\t"
                          f"LN:{int(index.complete_lengths[i])}\n")
         sam_fh.write("@PG\tID:salmon_tpu\tPN:salmon_tpu\n")
+    # multi-host input policy: with >1 input file, each process streams
+    # ONLY its own files (round-robin assignment — no redundant cross-
+    # host parsing; the IO-affinity analog of per-NUMA worker pools);
+    # with a single shared file every process parses it and keeps its
+    # chunk stride. Both modes pin the chunk row width so per-process
+    # rows assemble into one global batch.
+    file_assign = multiproc and len(reads1) > 1
+    r1_local, r2_local = reads1, reads2
+    if file_assign:
+        r1_local = list(reads1[pid::nproc])
+        r2_local = list(reads2[pid::nproc]) if paired else None
+        logger.info("process %d streams %d/%d input files", pid,
+                    len(r1_local), len(reads1))
     if paired:
-        chunks = iter_paired_chunks(reads1, reads2, opts.reads_per_batch,
+        chunks = iter_paired_chunks(r1_local, r2_local,
+                                    opts.reads_per_batch,
                                     opts.max_read_len,
-                                    want_names=want_names)
+                                    want_names=want_names,
+                                    fixed_len=multiproc)
     else:
-        chunks = iter_single_chunks(reads1, opts.reads_per_batch,
+        chunks = iter_single_chunks(r1_local, opts.reads_per_batch,
                                     opts.max_read_len,
-                                    want_names=want_names)
+                                    want_names=want_names,
+                                    fixed_len=multiproc)
 
     def submit(chunk):
         """Launch the jitted map for one chunk (async dispatch: returns
@@ -483,33 +499,48 @@ def quantify(
                 / max(totals["num_processed"], 1))
 
     if multiproc:
-        # each process maps the pid-th chunk of every nproc-chunk group;
-        # missing tail chunks become all-padding rows
-        def my_chunks(it):
-            import itertools
-            group = []
-            empty = None
-            for c in it:
-                group.append(c)
-                if len(group) == nproc:
-                    yield group[pid]
-                    group = []
-            if group:
-                tmpl = group[0]
-                if pid < len(group):
-                    yield group[pid]
-                else:
-                    import copy
-                    e = copy.deepcopy(tmpl)
-                    if paired:
-                        e.left.lengths[:] = 0
-                        e.right.lengths[:] = 0
-                        e.left.codes[:] = 4
-                        e.right.codes[:] = 4
-                    else:
-                        e.lengths[:] = 0
-                        e.codes[:] = 4
-                    yield e
+        from salmon_tpu.io.fastq import (PairedChunk, ReadChunk,
+                                         bucket_len)
+        _Lfix = bucket_len(opts.max_read_len, opts.max_read_len)
+        _B = opts.reads_per_batch
+
+        def _empty_chunk():
+            codes = np.full((_B, _Lfix), 4, np.uint8)
+            lens = np.zeros(_B, np.int32)
+            names = [] if want_names else None
+            if paired:
+                return PairedChunk(ReadChunk(codes, lens, 0, names),
+                                   ReadChunk(codes.copy(), lens.copy(),
+                                             0))
+            return ReadChunk(codes, lens, 0, names)
+
+        if file_assign:
+            # per-process file streams end at different times: agree on
+            # super-batch count with a tiny has-data allgather, padding
+            # finished processes
+            def my_chunks(it):
+                from jax.experimental import multihost_utils
+                it = iter(it)
+                while True:
+                    c = next(it, None)
+                    flags = multihost_utils.process_allgather(
+                        np.array([0 if c is None else 1], np.int32))
+                    if int(np.asarray(flags).sum()) == 0:
+                        return
+                    yield c if c is not None else _empty_chunk()
+        else:
+            # shared file: each process maps the pid-th chunk of every
+            # nproc-chunk group; missing tail chunks become padding
+            def my_chunks(it):
+                group = []
+                for c in it:
+                    group.append(c)
+                    if len(group) == nproc:
+                        yield group[pid]
+                        group = []
+                if group:
+                    yield (group[pid] if pid < len(group)
+                           else _empty_chunk())
         chunks = my_chunks(chunks)
 
     pending = None  # 1-deep host/device pipeline

@@ -116,7 +116,7 @@ def main():
         sampleUnaligned=False, writeUnmappedNames=False, seed=271828)
     opts = SalmonDefaults()
     t0 = time.perf_counter()
-    rc = quantify_alignments(args, opts, cmd_args=["bench"])
+    rc = quantify_alignments(args, opts, cmd_args={"bench": True})
     dt = time.perf_counter() - t0
     assert rc == 0
     log(f"# quantify_alignments: {n_frags} fragments in {dt:.2f}s")

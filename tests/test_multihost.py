@@ -30,29 +30,30 @@ def test_two_process_quant_matches_single(tmp_path):
          os.path.join(DATA, "transcripts.fasta"), "-i", idx, "-k", "25"],
         env=env0, check=True, capture_output=True)
 
-    def quant(out, multihost):
+    def quant(out, multihost, r1, r2, port="8891"):
         procs = []
         for pid in range(2 if multihost else 1):
             env = dict(env0)
             if multihost:
-                env["SALMON_TPU_COORDINATOR"] = "127.0.0.1:8891"
+                env["SALMON_TPU_COORDINATOR"] = "127.0.0.1:" + port
                 env["SALMON_TPU_NUM_PROCS"] = "2"
                 env["SALMON_TPU_PROC_ID"] = str(pid)
                 env["XLA_FLAGS"] = \
                     "--xla_force_host_platform_device_count=2"
             procs.append(subprocess.Popen(
                 [sys.executable, "-m", "salmon_tpu", "quant", "-i", idx,
-                 "-l", "IU", "-1", os.path.join(DATA, "reads_1.fastq"),
-                 "-2", os.path.join(DATA, "reads_2.fastq"),
+                 "-l", "IU", "-1", *r1, "-2", *r2,
                  "-o", out, "-q"], env=env,
                 stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL))
         for p in procs:
             assert p.wait(timeout=600) == 0
 
+    r1 = [os.path.join(DATA, "reads_1.fastq")]
+    r2 = [os.path.join(DATA, "reads_2.fastq")]
     q1 = str(tmp_path / "q1")
     q2 = str(tmp_path / "q2")
-    quant(q1, multihost=False)
-    quant(q2, multihost=True)
+    quant(q1, False, r1, r2)
+    quant(q2, True, r1, r2)
     a = read_quant_sf(os.path.join(q1, "quant.sf"))
     b = read_quant_sf(os.path.join(q2, "quant.sf"))
     assert a["Name"] == b["Name"]
@@ -63,3 +64,31 @@ def test_two_process_quant_matches_single(tmp_path):
     assert meta["num_processed"] == 10000
     d = np.abs(a["NumReads"] - b["NumReads"]).max()
     assert d <= 1.0, f"multihost counts diverge by {d}"
+
+    # --- split-file IO affinity: 3 unequal files over 2 processes,
+    # each process streams only its own files (round-robin) and ragged
+    # tails pad via the has-data collective
+    def split_fastq(src, parts, sizes):
+        outs = []
+        with open(src) as fh:
+            recs = fh.read().splitlines(keepends=False)
+        at = 0
+        for j, n in enumerate(sizes):
+            p = str(tmp_path / f"{parts}_{j}.fastq")
+            with open(p, "w") as o:
+                o.write("\n".join(recs[4 * at:4 * (at + n)]) + "\n")
+            outs.append(p)
+            at += n
+        return outs
+
+    sizes = [4000, 3500, 2500]
+    r1s = split_fastq(r1[0], "r1", sizes)
+    r2s = split_fastq(r2[0], "r2", sizes)
+    q3 = str(tmp_path / "q3")
+    quant(q3, True, r1s, r2s, port="8893")
+    c = read_quant_sf(os.path.join(q3, "quant.sf"))
+    meta3 = json.load(open(os.path.join(q3, "aux_info",
+                                        "meta_info.json")))
+    assert meta3["num_processed"] == 10000
+    d3 = np.abs(a["NumReads"] - np.asarray(c["NumReads"])).max()
+    assert d3 <= 1.5, f"split-file multihost counts diverge by {d3}"
