@@ -135,13 +135,27 @@ def _em_iters_per_s():
     a0 = em_mod.initial_alphas(T, None, eq.num_fragments)
     pri = em_mod.prior_alphas(T, eff, 1e-2, True)
     packed = fastem.pack_routed(eq, T, eff)
-    N_IT = 100
-    fastem.optimize_routed(eq, T, eff, a0, pri, True, 1e-12, N_IT, N_IT,
-                           packed=packed)  # compile+warm
+
+    def run(n):
+        fastem.optimize_routed(eq, T, eff, a0, pri, True, 1e-12, n, n,
+                               packed=packed)
+
+    # steady-state marginal iteration rate: two warmed runs with
+    # different trip counts difference out the per-call overhead
+    # (transfers + dispatch; block_until_ready does not block on this
+    # backend, but optimize_routed reads back a scalar per chunk)
+    run(100)                                  # compile + warm
     t0 = time.perf_counter()
-    fastem.optimize_routed(eq, T, eff, a0, pri, True, 1e-12, N_IT, N_IT,
-                           packed=packed)
-    return N_IT / (time.perf_counter() - t0), E
+    run(100)
+    t100 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    run(400)
+    t400 = time.perf_counter() - t0
+    marginal = max((t400 - t100) / 300.0, 1e-9)
+    _log(f"# EM: 100 iters {t100:.3f}s, 400 iters {t400:.3f}s -> "
+         f"{1.0 / marginal:.0f} iters/s marginal "
+         f"({100.0 / t100:.0f} incl. overhead)")
+    return 1.0 / marginal, E
 
 
 def _human_scale():
