@@ -65,7 +65,10 @@ KMER_AXIS = "kmer"
 def make_sharded_mesh(n_kmer_shards: int,
                       n_devices: int | None = None) -> Mesh:
     """A ("reads", "kmer") mesh: the last `n_kmer_shards` devices of
-    each row hold one index shard each."""
+    each row hold one index shard each. In a multi-host launch the mesh
+    spans all processes (jax.devices() is global, process-major), so
+    each kmer row stays within one host when the local device count is
+    a multiple of n_kmer_shards."""
     devs = jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
@@ -75,6 +78,17 @@ def make_sharded_mesh(n_kmer_shards: int,
             f"{n} devices not divisible by {n_kmer_shards} index shards")
     arr = np.array(devs).reshape(n // n_kmer_shards, n_kmer_shards)
     return Mesh(arr, (READS_AXIS, KMER_AXIS))
+
+
+def _put(arr, sharding):
+    """device_put that also works on a multi-process (global) mesh —
+    every process holds the full host array and contributes its
+    addressable shards."""
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sharding)
+    arr = np.asarray(arr)
+    return jax.make_array_from_callback(arr.shape, sharding,
+                                        lambda idx: arr[idx])
 
 
 def shard_batch_reads(mesh: Mesh, batch: dict) -> dict:
@@ -102,15 +116,14 @@ def device_sharded_index(idx: TranscriptomeIndex, mesh: Mesh,
         else np.int32
     big = total >= 2**28
     dev = {
-        "tab_fp": jax.device_put(sharded.tab_fp, shard_sh),
-        "tab_st": jax.device_put(sharded.tab_st, shard_sh),
-        "occ_quad": jax.device_put(sharded.occ_quad, shard_sh),
-        "txp_lens": jax.device_put(idx.lengths.astype(np.int32), repl),
-        "seq_codes": jax.device_put(
+        "tab_fp": _put(sharded.tab_fp, shard_sh),
+        "tab_st": _put(sharded.tab_st, shard_sh),
+        "occ_quad": _put(sharded.occ_quad, shard_sh),
+        "txp_lens": _put(idx.lengths.astype(np.int32), repl),
+        "seq_codes": _put(
             idx.seq_codes if not big else np.zeros(1, np.uint8), repl),
-        "seq_off": jax.device_put(idx.seq_offsets.astype(off_dtype),
-                                  repl),
-        "seq4": jax.device_put(_seq4_words(idx), repl),
+        "seq_off": _put(idx.seq_offsets.astype(off_dtype), repl),
+        "seq4": _put(_seq4_words(idx), repl),
     }
     overrides = {"n_slots": sharded.n_slots,
                  "shard_bits": sharded.shard_bits}

@@ -233,23 +233,25 @@ def quantify(
     multiproc = nproc > 1
     shard_bits = 0
     if opts.index_shards > 1:
-        if multiproc:
-            raise ValueError("--indexShards is not supported together "
-                             "with multi-host launch yet")
         from salmon_tpu.parallel.sharded import (device_sharded_index,
                                                  make_sharded_mesh,
                                                  shard_batch_reads,
                                                  sharded_map_paired,
                                                  sharded_map_single)
         mesh = make_sharded_mesh(opts.index_shards)
+        if multiproc and mesh.shape["reads"] % nproc:
+            raise ValueError(
+                f"mesh reads axis {mesh.shape['reads']} not divisible "
+                f"by {nproc} processes (need local device count to be "
+                f"a multiple of --indexShards)")
         dev, _shard_over = device_sharded_index(index, mesh)
         cfg = dataclasses.replace(cfg, n_slots=_shard_over["n_slots"],
                                   sparse_seed=True)
         shard_bits = _shard_over["shard_bits"]
         logger.info(
             "index sharded %d-way over the kmer axis; reads axis %d "
-            "(mesh %s)", opts.index_shards, mesh.shape["reads"],
-            dict(mesh.shape))
+            "(mesh %s, %d hosts)", opts.index_shards,
+            mesh.shape["reads"], dict(mesh.shape), nproc)
     else:
         dev = device_index_arrays(index)
         if n_dev > 1:
@@ -388,8 +390,13 @@ def quantify(
             }
             if multiproc:
                 batch = _dist.make_global_batch(mesh, batch)
-                out = parallel_map_paired(mesh, batch, dev, cfg,
-                                          fld_logpmf, cp, co)
+                if opts.index_shards > 1:
+                    out = sharded_map_paired(mesh, batch, dev, cfg,
+                                             shard_bits, fld_logpmf,
+                                             cp, co)
+                else:
+                    out = parallel_map_paired(mesh, batch, dev, cfg,
+                                              fld_logpmf, cp, co)
             elif shard_bits or opts.index_shards > 1:
                 batch = shard_batch_reads(mesh, batch)
                 out = sharded_map_paired(mesh, batch, dev, cfg,
@@ -408,8 +415,12 @@ def quantify(
             }
             if multiproc:
                 batch = _dist.make_global_batch(mesh, batch)
-                out = parallel_map_single(mesh, batch, dev, cfg,
-                                          fld_logpmf, cs)
+                if opts.index_shards > 1:
+                    out = sharded_map_single(mesh, batch, dev, cfg,
+                                             shard_bits, fld_logpmf, cs)
+                else:
+                    out = parallel_map_single(mesh, batch, dev, cfg,
+                                              fld_logpmf, cs)
             elif shard_bits or opts.index_shards > 1:
                 batch = shard_batch_reads(mesh, batch)
                 out = sharded_map_single(mesh, batch, dev, cfg,

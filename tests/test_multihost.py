@@ -92,3 +92,58 @@ def test_two_process_quant_matches_single(tmp_path):
     assert meta3["num_processed"] == 10000
     d3 = np.abs(a["NumReads"] - np.asarray(c["NumReads"])).max()
     assert d3 <= 1.5, f"split-file multihost counts diverge by {d3}"
+
+
+@pytest.mark.slow
+def test_multihost_with_sharded_index(tmp_path):
+    """--indexShards composed with a 2-process launch: a (reads=2,
+    kmer=2) global mesh — each process holds one mesh row, the k-mer
+    planes shard over its two local devices (BASELINE config-5 shape:
+    pod-scale genome-decoy index)."""
+    import json
+    import subprocess as sp
+
+    from salmon_tpu.io.writers import read_quant_sf
+
+    idx = str(tmp_path / "idx")
+    env0 = dict(os.environ)
+    env0["JAX_PLATFORMS"] = "cpu"
+    env0["PYTHONPATH"] = REPO
+    env0.pop("SALMON_TPU_COORDINATOR", None)
+    sp.run([sys.executable, "-m", "salmon_tpu", "index", "-t",
+            os.path.join(DATA, "transcripts.fasta"), "-i", idx,
+            "-k", "25"], env=env0, check=True, capture_output=True)
+
+    def quant(out, multihost, shards):
+        procs = []
+        for pid in range(2 if multihost else 1):
+            env = dict(env0)
+            if multihost:
+                env["SALMON_TPU_COORDINATOR"] = "127.0.0.1:8895"
+                env["SALMON_TPU_NUM_PROCS"] = "2"
+                env["SALMON_TPU_PROC_ID"] = str(pid)
+                env["XLA_FLAGS"] = \
+                    "--xla_force_host_platform_device_count=2"
+            cmd = [sys.executable, "-m", "salmon_tpu", "quant", "-i",
+                   idx, "-l", "IU",
+                   "-1", os.path.join(DATA, "reads_1.fastq"),
+                   "-2", os.path.join(DATA, "reads_2.fastq"),
+                   "-o", out, "-q"]
+            if shards:
+                cmd += ["--indexShards", str(shards)]
+            procs.append(sp.Popen(cmd, env=env, stdout=sp.DEVNULL,
+                                  stderr=sp.DEVNULL))
+        for p in procs:
+            assert p.wait(timeout=600) == 0
+
+    q1 = str(tmp_path / "q1")
+    q2 = str(tmp_path / "q2")
+    quant(q1, False, 0)
+    quant(q2, True, 2)
+    a = read_quant_sf(os.path.join(q1, "quant.sf"))
+    b = read_quant_sf(os.path.join(q2, "quant.sf"))
+    meta = json.load(open(os.path.join(q2, "aux_info",
+                                       "meta_info.json")))
+    assert meta["num_processed"] == 10000
+    d = np.abs(np.asarray(a["NumReads"]) - np.asarray(b["NumReads"])).max()
+    assert d <= 1.0, f"sharded multihost counts diverge by {d}"
