@@ -98,6 +98,10 @@ def _add_quant_shared(p):
     p.add_argument("--seed", type=int, default=271828,
                    help="RNG seed for Gibbs/bootstrap draws")
     p.add_argument("--no-version-check", action="store_true")
+    p.add_argument("--profileDir", default=None,
+                   help="dump a device profiler trace of the mapping "
+                        "loop to this directory (jax.profiler; open "
+                        "with xprof/tensorboard)")
     p.add_argument("-q", "--quiet", action="store_true")
 
 
@@ -282,6 +286,7 @@ def _opts_from_args(args):
         # base-position step between queried k-mer windows
         o.kmer_stride = max(1, args.mismatchSeedSkip)
         o.index_shards = args.indexShards
+        o.profile_dir = getattr(args, "profileDir", None)
         o.hit_filter_policy = args.hitFilterPolicy
         o.mimic_bt2 = args.mimicBT2
         o.mimic_strict_bt2 = args.mimicStrictBT2
@@ -347,6 +352,29 @@ def cmd_quant(args) -> int:
         return 1
     if not (args.mates1 and args.mates2) and not args.unmatedReads:
         logger.error("provide -1/-2 (paired) or -r (single-end) reads")
+        return 1
+    # up-front input checks (InputFileUtils / ReadLibrary::checkValid
+    # role, ReadLibrary.hpp:130-170): fail before loading the index or
+    # compiling anything; FIFOs (process substitution) are fine
+    import stat as _stat
+    for path in ((args.mates1 or []) + (args.mates2 or [])
+                 + (args.unmatedReads or [])):
+        try:
+            st = os.stat(path)
+        except OSError as e:
+            logger.error("cannot read input %s: %s", path, e.strerror)
+            return 1
+        if not (_stat.S_ISREG(st.st_mode) or _stat.S_ISFIFO(st.st_mode)):
+            logger.error("input %s is neither a regular file nor a "
+                         "FIFO", path)
+            return 1
+        if _stat.S_ISREG(st.st_mode) and st.st_size == 0:
+            logger.error("input %s is empty", path)
+            return 1
+    if args.mates1 and args.mates2 and \
+            len(args.mates1) != len(args.mates2):
+        logger.error("-1 and -2 must list the same number of files "
+                     "(%d vs %d)", len(args.mates1), len(args.mates2))
         return 1
 
     from salmon_tpu.index.builder import load_index

@@ -119,6 +119,7 @@ class SalmonDefaults:
     sparse_seed: bool = True             # batch-global compacted hit list (mapping.seed_sparse) vs dense (R,P,C)
     seed_hits_per_end: int = 32          # B: hit budget per read end in the sparse seed flow
     index_shards: int = 1                # split the k-mer table/occ CSR over this many mesh devices (genome-decoy scale)
+    profile_dir: str | None = None       # --profileDir: jax.profiler trace of the mapping loop
     dp_budget: int = 4                   # avg DP-validated candidates per fragment
     weight_width: int = 32               # W: score-sorted hits kept per fragment for weighting/eq emission
 

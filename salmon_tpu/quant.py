@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 import time
 from typing import Optional, Sequence
 
@@ -554,6 +555,15 @@ def quantify(
                            else _empty_chunk())
         chunks = my_chunks(chunks)
 
+    # --profileDir: device profiler trace over the mapping loop (the
+    # tracing/progress aux subsystem, SURVEY §5; open with xprof)
+    profile_dir = getattr(opts, "profile_dir", None)
+    if profile_dir:
+        import jax.profiler as _prof
+        os.makedirs(profile_dir, exist_ok=True)
+        _prof.start_trace(profile_dir)
+        logger.info("profiler trace -> %s", profile_dir)
+
     pending = None  # 1-deep host/device pipeline
     for chunk in chunks:
         batch, out = submit(chunk)
@@ -580,6 +590,9 @@ def quantify(
         pending = (chunk, batch, out)
     if pending is not None:
         _consume(*pending)
+    if profile_dir:
+        import jax.profiler as _prof
+        _prof.stop_trace()
     if auto_detect and resolved_format is None:
         # input ended before 50k samples: guess from what we saw
         resolved_format = _detect_library_format(detect_hist, paired)
