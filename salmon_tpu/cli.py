@@ -368,9 +368,9 @@ def cmd_quant(args) -> int:
             logger.error("input %s is neither a regular file nor a "
                          "FIFO", path)
             return 1
-        if _stat.S_ISREG(st.st_mode) and st.st_size == 0:
-            logger.error("input %s is empty", path)
-            return 1
+        # NB: empty regular files are allowed through — they take the
+        # graceful insufficient-assigned-fragments path (empty outputs
+        # + exit 1), matching the reference
     if args.mates1 and args.mates2 and \
             len(args.mates1) != len(args.mates2):
         logger.error("-1 and -2 must list the same number of files "
