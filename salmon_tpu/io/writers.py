@@ -146,19 +146,47 @@ def write_meta_info(out_dir: str, aux_dir: str, meta: dict) -> str:
     return path
 
 
-def write_fld(out_dir: str, aux_dir: str, fld_pmf: np.ndarray) -> str:
-    """Binary fld.gz (reference writes int32 count histogram) plus a
-    human-readable flenDist.txt of the log-pmf."""
+def write_fld(out_dir: str, aux_dir: str, fld_pmf: np.ndarray,
+              seed: int = 271828) -> str:
+    """Binary fld.gz: int32 histogram of 10,000 samples drawn from the
+    fitted pmf — the layout consumers of the reference's fld.gz parse
+    (GZipWriter.cpp:329-333, samplesFromLogPMF: DistributionUtils.cpp:57;
+    the reference seeds from /dev/urandom, here the run seed for
+    reproducibility) — plus a human-readable flenDist.txt log-pmf."""
     d = os.path.join(out_dir, aux_dir)
     os.makedirs(d, exist_ok=True)
+    pmf = np.asarray(fld_pmf, dtype=np.float64)
+    pmf = pmf / max(pmf.sum(), 1e-300)
+    rng = np.random.default_rng(seed)
+    samples = rng.multinomial(10_000, pmf).astype(np.int32)
     with gzip.open(os.path.join(d, "fld.gz"), "wb") as fh:
-        fh.write(np.asarray(fld_pmf, dtype=np.float64).tobytes())
+        fh.write(samples.tobytes())
     path = os.path.join(out_dir, "libParams")
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "flenDist.txt"), "w") as fh:
         logp = np.log(np.maximum(fld_pmf, 1e-300))
         fh.write("\t".join(f"{v:.5f}" for v in logp) + "\n")
     return os.path.join(d, "fld.gz")
+
+
+def write_vestigial_bias_vectors(out_dir: str, aux_dir: str) -> None:
+    """expected_bias.gz / observed_bias.gz / observed_bias_3p.gz.
+
+    In the live reference these carry ONLY their initial state — the
+    ReadKmerDist update path is dead code (the live sampler feeds the
+    SBModel VLMM instead, SalmonQuantify.cpp:2235 uses
+    seqBiasModelFW/RC), so observed counts stay at the pseudo-count 1
+    (BiasLibraryState.hpp:35 inits expectedSeqBias to 1.0 and
+    ReadKmerDist's ctor sets counts[i]=1). Written for artifact-layout
+    compatibility: 4096 float64 ones / 4096 int32 ones
+    (GZipWriter.cpp:335-351)."""
+    d = os.path.join(out_dir, aux_dir)
+    os.makedirs(d, exist_ok=True)
+    with gzip.open(os.path.join(d, "expected_bias.gz"), "wb") as fh:
+        fh.write(np.ones(4096, np.float64).tobytes())
+    for nm in ("observed_bias.gz", "observed_bias_3p.gz"):
+        with gzip.open(os.path.join(d, nm), "wb") as fh:
+            fh.write(np.ones(4096, np.int32).tobytes())
 
 
 def write_eq_classes(out_dir: str, aux_dir: str, names: Sequence[str],

@@ -831,10 +831,16 @@ def write_outputs(result: QuantResult, index: TranscriptomeIndex,
         "call": "quant",
         "num_em_iterations": result.em_info.get("iterations", 0),
         "em_converged": result.em_info.get("converged", False),
-        "fld_summary": result.fld.summary() if result.fld else {},
+        # reference meta keys (GZipWriter.cpp:527-529)
+        "frag_length_mean": (result.fld.summary()["mean"]
+                             if result.fld else 0.0),
+        "frag_length_sd": (result.fld.summary()["sd"]
+                           if result.fld else 0.0),
     })
     if result.fld is not None:
-        writers.write_fld(out_dir, aux, result.fld.pmf())
+        writers.write_fld(out_dir, aux, result.fld.pmf(),
+                          seed=getattr(opts, "seed", 271828))
+    writers.write_vestigial_bias_vectors(out_dir, aux)
     if result.bias is not None and result.bias.enabled:
         writers.write_bias_models(out_dir, aux, result.bias, opts)
     if result.eq_classes is not None:
