@@ -140,6 +140,7 @@ def write_meta_info(out_dir: str, aux_dir: str, meta: dict) -> str:
         "start_time": time.strftime("%a %b %d %H:%M:%S %Y"),
     }
     base.update(meta)
+    base.setdefault("end_time", time.strftime("%a %b %d %H:%M:%S %Y"))
     path = os.path.join(d, "meta_info.json")
     with open(path, "w") as fh:
         json.dump(base, fh, indent=4, default=float)

@@ -816,6 +816,11 @@ def write_outputs(result: QuantResult, index: TranscriptomeIndex,
         "length_classes": [],
         "index_seq_hash": index.info.get("SeqHash256", ""),
         "index_name_hash": index.info.get("NameHash256", ""),
+        "index_seq_hash512": index.info.get("SeqHash512", ""),
+        "index_name_hash512": index.info.get("NameHash512", ""),
+        "index_decoy_seq_hash": index.info.get("DecoySeqHash", ""),
+        "index_decoy_name_hash": index.info.get("DecoyNameHash", ""),
+        "num_targets": index.num_targets,
         "num_processed": result.num_processed,
         "num_mapped": result.num_mapped,
         "num_orphans_rescued": result.num_orphans_rescued,
