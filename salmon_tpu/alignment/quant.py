@@ -362,7 +362,8 @@ def quantify_alignments(args, opts, cmd_args) -> int:
     unmapped_fh = None
     want_names = bool(getattr(args, "writeUnmappedNames", False))
     if want_names:
-        aux = os.path.join(args.output, "aux_info")
+        aux = os.path.join(args.output,
+                           getattr(args, "auxDir", "aux_info"))
         os.makedirs(aux, exist_ok=True)
         unmapped_fh = open(os.path.join(aux, "unmapped_names.txt"), "w")
 
@@ -566,7 +567,8 @@ def quantify_alignments(args, opts, cmd_args) -> int:
                 bias_state.obs.add_batch(bo)
 
     if num_mapped < opts.min_assigned_frags:
-        writers.write_empty_outputs(args.output, "aux_info", names,
+        writers.write_empty_outputs(args.output,
+                                    getattr(args, "auxDir", "aux_info"), names,
                                     tlens)
         logger.error("only %d assigned fragments (min %d)", num_mapped,
                      opts.min_assigned_frags)

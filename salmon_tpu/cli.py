@@ -94,7 +94,38 @@ def _add_quant_shared(p):
     p.add_argument("--forgettingFactor", type=float, default=0.65)
     p.add_argument("--numBurninFrags", type=int, default=5_000_000)
     p.add_argument("--numPreAuxModelSamples", type=int, default=5000)
-    p.add_argument("--dontExtrapolateCounts", action="store_true")
+    p.add_argument("--dontExtrapolateCounts", "--noExtrapolateCounts",
+                   action="store_true")
+    p.add_argument("--numGCBins", type=int, default=25)
+    p.add_argument("--conditionalGCBins", type=int, default=3)
+    p.add_argument("--noBiasLengthThreshold", action="store_true")
+    p.add_argument("--alternativeInitMode", action="store_true")
+    p.add_argument("--noRichEqClasses", action="store_true")
+    p.add_argument("--rankEqClasses", action="store_true",
+                   help="[unsupported] experimental rank-ordered eq "
+                        "labels; hard error if set")
+    p.add_argument("--noFragLenFactor", action="store_true",
+                   help="accepted for compatibility; vestigial in the "
+                        "reference too (the field is never read)")
+    p.add_argument("-n", "--numRequiredObs", type=float, default=5e7)
+    p.add_argument("--maxRecoverReadOcc", type=int, default=2500)
+    p.add_argument("--auxDir", default="aux_info")
+    p.add_argument("--readBatchSize", type=int, default=0,
+                   help="reads per device batch (0 = default)")
+    p.add_argument("--adaptiveReadBatch", action="store_true",
+                   help="accepted for compatibility; batches are "
+                        "fixed-shape device programs here, so there is "
+                        "nothing to adapt")
+    p.add_argument("--maxHashResizeThreads", type=int, default=0,
+                   help="accepted for compatibility; no host hash "
+                        "resizing exists in this engine")
+    p.add_argument("--disableLiveProgress", action="store_true")
+    p.add_argument("--progressUpdateMs", type=int, default=5000)
+    p.add_argument("--emitJoinDedupStats", action="store_true",
+                   help="accepted for compatibility; the sort-merge "
+                        "pair join emits unique (txp,pos) pairs by "
+                        "construction, so there are no dedup events "
+                        "to report")
     p.add_argument("--seed", type=int, default=271828,
                    help="RNG seed for Gibbs/bootstrap draws")
     p.add_argument("--no-version-check", action="store_true")
@@ -159,7 +190,8 @@ def _add_quant_parser(sub):
     p.add_argument("--softclipOverhangs", action="store_true")
     p.add_argument("--fullLengthAlignment", action="store_true")
     p.add_argument("--allowDovetail", action="store_true")
-    p.add_argument("--discardOrphans", action="store_true")
+    p.add_argument("--discardOrphans", "--discardOrphansQuasi",
+                   action="store_true")
     p.add_argument("--recoverOrphans", action="store_true")
     p.add_argument("--mimicBT2", action="store_true")
     p.add_argument("--mimicStrictBT2", action="store_true")
@@ -260,7 +292,24 @@ def _opts_from_args(args):
     o.no_effective_length_correction = args.noEffectiveLengthCorrection
     o.no_frag_length_dist = args.noFragLengthDist
     o.no_single_frag_prob = args.noSingleFragProb
+    if getattr(args, "rankEqClasses", False):
+        raise SystemExit(
+            "--rankEqClasses (experimental rank-ordered equivalence "
+            "class labels) is not supported")
     o.dont_extrapolate_counts = args.dontExtrapolateCounts
+    o.num_gc_bins = args.numGCBins
+    o.conditional_gc_bins = args.conditionalGCBins
+    o.no_bias_length_threshold = args.noBiasLengthThreshold
+    o.alternative_init_mode = args.alternativeInitMode
+    o.meta_mode = args.meta
+    o.no_rich_eq_classes = args.noRichEqClasses
+    o.num_required_frags = args.numRequiredObs
+    o.max_recover_read_occ = args.maxRecoverReadOcc
+    o.aux_dir = args.auxDir
+    if args.readBatchSize > 0:
+        o.reads_per_batch = args.readBatchSize
+    o.disable_live_progress = args.disableLiveProgress
+    o.progress_update_ms = args.progressUpdateMs
     if getattr(args, "minScoreFraction", None) is not None:
         o.min_score_fraction = args.minScoreFraction
         o.consensus_slack = args.consensusSlack
@@ -301,6 +350,15 @@ def _opts_from_args(args):
 def _process_quant_options(o) -> None:
     """Option-interaction rules (reference processQuantOptions,
     QuantOptionsUtils.cpp:105-296)."""
+    if getattr(o, "meta_mode", False):
+        # --meta implications (QuantOptionsUtils.cpp:449-454)
+        o.init_uniform = True
+        o.no_rich_eq_classes = True
+        o.use_em = True
+    if o.gc_bias_correct and not o.seq_bias_correct:
+        # gcBias without seqBias collapses the conditional GC axis
+        # (QuantOptionsUtils.cpp:505-507)
+        o.conditional_gc_bins = 1
     if o.mimic_bt2 and o.mimic_strict_bt2:
         raise SystemExit(
             "You passed both the --mimicBT2 and --mimicStrictBT2 "
@@ -386,7 +444,7 @@ def cmd_quant(args) -> int:
     index = load_index(args.index)
     unmapped_path = None
     orphan_links_path = None
-    aux = os.path.join(args.output, "aux_info")
+    aux = os.path.join(args.output, args.auxDir)
     import jax as _jax
     _suffix = (f".{_jax.process_index()}"
                if _jax.process_count() > 1 else "")
@@ -407,7 +465,7 @@ def cmd_quant(args) -> int:
     except InsufficientAssignedFragments as e:
         logger.error(str(e))
         n = index.num_valid_targets
-        writers.write_empty_outputs(args.output, "aux_info",
+        writers.write_empty_outputs(args.output, args.auxDir,
                                     index.names[:n],
                                     index.complete_lengths[:n])
         return 1

@@ -43,6 +43,7 @@ class SalmonDefaults:
     full_length_alignment: bool = False
     allow_dovetail: bool = False
     recover_orphans: bool = False
+    max_recover_read_occ: int = 2500     # --maxRecoverReadOcc (orphan-rescue occ gate)
     # full-coverage candidates skip DP with the perfect score (the
     # reference's alignment-cache role; --disableAlignmentCache)
     alignment_cache: bool = True
@@ -103,6 +104,16 @@ class SalmonDefaults:
     num_frag_gc_bins: int = 25
     num_conditional_gc_bins: int = 3
     bias_speed_samp: int = 5
+    num_gc_bins: int = 25                # --numGCBins (numFragGCBins)
+    conditional_gc_bins: int = 3         # --conditionalGCBins (1 when gcBias without seqBias)
+    no_bias_length_threshold: bool = False  # --noBiasLengthThreshold
+    alternative_init_mode: bool = False  # --alternativeInitMode
+    meta_mode: bool = False              # --meta (implies initUniform/noRich/EM)
+    no_rich_eq_classes: bool = False     # --noRichEqClasses: flat aux weights
+    num_required_frags: float = 5e7      # --numRequiredObs (EM init blend)
+    aux_dir: str = "aux_info"            # --auxDir
+    disable_live_progress: bool = False  # --disableLiveProgress
+    progress_update_ms: int = 5000       # --progressUpdateMs (log-line throttle; the reference's TTY ticker defaults to 500)
 
     # --- index -----------------------------------------------------------
     kmer_len: int = 31                   # k (odd, <= 31)

@@ -170,13 +170,16 @@ def run_em(eqd: dict, alpha0: jax.Array, prior: jax.Array,
 
 def initial_alphas(num_txps: int, online_mass: Optional[np.ndarray],
                    total_mapped: float, init_uniform: bool = False,
-                   num_required_frags: float = 5e7) -> np.ndarray:
+                   num_required_frags: float = 5e7,
+                   alt_init: bool = False) -> np.ndarray:
     """Linear blend of online estimates and uniform (reference optimize
-    :800-823)."""
+    :800-823). alt_init (--alternativeInitMode, also implied by --meta)
+    blends with a per-transcript mass of 1.0 instead of the uniform
+    prior (:817-818)."""
     if online_mass is None or init_uniform:
         return np.full(num_txps, max(total_mapped, 1.0) / max(num_txps, 1))
-    frac = min(0.999, total_mapped / num_required_frags)
-    uniform = total_mapped / max(num_txps, 1)
+    frac = min(0.999, total_mapped / max(num_required_frags, 1.0))
+    uniform = 1.0 if alt_init else total_mapped / max(num_txps, 1)
     return online_mass * frac + uniform * (1.0 - frac)
 
 
@@ -199,7 +202,9 @@ def optimize(eq: PackedEqClasses, num_txps: int, eff_lens: np.ndarray,
              total_mapped: Optional[float] = None,
              config: EMConfig = EMConfig(),
              init_uniform: bool = False,
-             engine: str = "auto") -> dict:
+             engine: str = "auto",
+             num_required_frags: float = 5e7,
+             alt_init: bool = False) -> dict:
     """Host-facing optimize: packs, runs the jitted loop, truncates.
 
     engine: 'auto' (sort-routed above ROUTED_MIN_ENTRIES), 'routed',
@@ -214,7 +219,7 @@ def optimize(eq: PackedEqClasses, num_txps: int, eff_lens: np.ndarray,
     if use_routed:
         from salmon_tpu.inference import fastem
         a0 = initial_alphas(num_txps, online_mass, total_mapped,
-                            init_uniform)
+                            init_uniform, num_required_frags, alt_init)
         pri = prior_alphas(num_txps, eff_lens, config.vb_prior,
                            config.per_transcript_prior)
         res = fastem.optimize_routed(
@@ -227,7 +232,8 @@ def optimize(eq: PackedEqClasses, num_txps: int, eff_lens: np.ndarray,
         return res
 
     eqd, (E, Cl, Ep, Clp) = pad_eqclasses(eq)
-    a0 = initial_alphas(num_txps, online_mass, total_mapped, init_uniform)
+    a0 = initial_alphas(num_txps, online_mass, total_mapped, init_uniform,
+                        num_required_frags, alt_init)
     pri = prior_alphas(num_txps, eff_lens, config.vb_prior,
                        config.per_transcript_prior)
     alpha, iters, mrd, n_degen, available = run_em(

@@ -302,10 +302,14 @@ def write_bias_models(out_dir: str, aux_dir: str, bias_state,
             _write_matrix_gz(os.path.join(d, "exp3_seq.gz"),
                              bias_state.exp3_counts)
     if opts.gc_bias_correct:
-        _write_matrix_gz(os.path.join(d, "obs_gc.gz"), obs.gc_obs)
+        # dump at the configured model resolution (numGCBins x
+        # conditionalGCBins), like the reference's GCFragModel counts
+        _write_matrix_gz(os.path.join(d, "obs_gc.gz"),
+                         getattr(bias_state, "gc_obs_model", obs.gc_obs))
         if hasattr(bias_state, "gc_exp"):
-            _write_matrix_gz(os.path.join(d, "exp_gc.gz"),
-                             bias_state.gc_exp)
+            _write_matrix_gz(
+                os.path.join(d, "exp_gc.gz"),
+                getattr(bias_state, "gc_exp_model", bias_state.gc_exp))
     if opts.pos_bias_correct:
         _write_matrix_gz(os.path.join(d, "obs5_pos.gz"), obs.pos5)
         _write_matrix_gz(os.path.join(d, "obs3_pos.gz"), obs.pos3)

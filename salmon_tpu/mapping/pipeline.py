@@ -77,6 +77,7 @@ class MapperConfig:
     dp_bandwidth: int = DEFAULTS.dp_bandwidth
     # orphan rescue (reference recoverOrphans, opt-in)
     recover_orphans: bool = DEFAULTS.recover_orphans
+    max_recover_read_occ: int = DEFAULTS.max_recover_read_occ
     rescue_bandwidth: int = DEFAULTS.rescue_bandwidth
     # single-end/orphan ambiguous fragment-length model (reference
     # LogCMFCache, DistributionUtils.hpp:84 / SalmonQuantify.cpp:640-650)
@@ -129,6 +130,8 @@ class MapperConfig:
             gap_extend_penalty=opts.gap_extend_penalty,
             dp_bandwidth=opts.dp_bandwidth,
             recover_orphans=opts.recover_orphans,
+            max_recover_read_occ=getattr(opts, "max_recover_read_occ",
+                                         2500),
             rescue_bandwidth=opts.rescue_bandwidth,
             model_single_frag_prob=not opts.no_single_frag_prob,
             no_frag_length_dist=opts.no_frag_length_dist,
@@ -458,6 +461,10 @@ def _rescue_orphans(joined: dict, batch: dict, dev: dict,
     pos0 = joined["pos"][:, 0]
     fw0 = joined["fw"][:, 0]
     cand_ok = joined["valid"][:, 0] & is_orph
+    # reference gate: skip rescue for reads mapping more than
+    # maxRecoverReadOcc times (ProgramOptionsGenerator.cpp:493-497)
+    n_occ = jnp.sum(joined["valid"].astype(jnp.int32), axis=1)
+    cand_ok = cand_ok & (n_occ <= cfg.max_recover_read_occ)
 
     # FLD mean (the predicted fragment length)
     mean_fl = jnp.sum(jnp.exp(fld_logpmf)

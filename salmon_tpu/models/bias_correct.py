@@ -51,6 +51,41 @@ def _gc_ratio(obs, exp, max_ratio=B.GC_RATIO_MAX):
     return np.clip(r, 1.0 / max_ratio, max_ratio)
 
 
+def _gc_percent_to_bin(n_bins: int) -> np.ndarray:
+    """GCDesc::fragBin(n): percent (0..100) -> bin under an n-bin model
+    (GCFragModel.hpp:19-22)."""
+    p = np.arange(101)
+    return np.minimum(n_bins - 1, (p / (100.0 / n_bins)).astype(np.int64))
+
+
+def fold_gc_counts(mat101, n_bins: int, cond_bins: int) -> np.ndarray:
+    """Fold percent-resolution (3, 101) GC masses into the configured
+    (cond_bins, n_bins) model — the device always collects at percent
+    resolution (a superset), so --numGCBins/--conditionalGCBins are a
+    lossless host-side re-bin (reference default: 3 x 25,
+    SalmonDefaults.hpp:105-106; gcBias without seqBias collapses the
+    conditional axis, QuantOptionsUtils.cpp:505-507)."""
+    m = np.asarray(mat101, np.float64)
+    if cond_bins == 1:
+        m = m.sum(axis=0, keepdims=True)
+    b = _gc_percent_to_bin(n_bins)
+    out = np.zeros((m.shape[0], n_bins))
+    np.add.at(out, (np.arange(m.shape[0])[:, None],
+                    np.broadcast_to(b, (m.shape[0], 101))), m)
+    return out
+
+
+def expand_gc_ratio(ratio_n: np.ndarray, n_bins: int,
+                    cond_bins: int) -> np.ndarray:
+    """Expand a (cond_bins, n_bins) ratio table back to the device's
+    fixed (3, 101) percent-resolution lookup (each percent reads its
+    bin's ratio; a collapsed conditional axis broadcasts)."""
+    r = np.asarray(ratio_n, np.float64)[:, _gc_percent_to_bin(n_bins)]
+    if cond_bins == 1:
+        r = np.broadcast_to(r, (B.GC_COND_BINS, 101)).copy()
+    return r
+
+
 @functools.partial(jax.jit, static_argnums=(6, 7, 8, 9, 10, 11))
 def _expected_bucket_jit(codes, lens, weights, len_class, cdf, _pad,
                          fld_low, fld_high, gc_samp, seq_bias, gc_bias,
@@ -64,11 +99,11 @@ def _expected_bucket_jit(codes, lens, weights, len_class, cdf, _pad,
 def _efflen_bucket_jit(codes, lens, eff_in, process_row, len_class, cdf,
                        obs5, exp5, obs3, exp3, gc_ratio, grid_fw, grid_rc,
                        fld_low, fld_high, gc_samp, seq_gc_pos, _pad):
-    seq_bias, gc_bias, pos_bias = seq_gc_pos
+    seq_bias, gc_bias, pos_bias, no_threshold = seq_gc_pos
     return BE.efflen_pass_bucket(
         codes, lens, eff_in, process_row, len_class, cdf, fld_low,
         fld_high, gc_samp, obs5, exp5, obs3, exp3, gc_ratio, grid_fw,
-        grid_rc, seq_bias, gc_bias, pos_bias)
+        grid_rc, seq_bias, gc_bias, pos_bias, no_threshold)
 
 
 class BiasState:
@@ -151,8 +186,17 @@ class BiasState:
         obs3_logp = B.sb_normalize(self.obs.obs3) if seq_b else zeros
         exp5_logp = B.sb_normalize(exp5) if seq_b else zeros
         exp3_logp = B.sb_normalize(exp3) if seq_b else zeros
-        gc_ratio = (_gc_ratio(self.obs.gc_obs, gc_exp) if gc_b
-                    else np.ones((B.GC_COND_BINS, B.GC_BINS)))
+        if gc_b:
+            n_gc = int(getattr(o, "num_gc_bins", 25))
+            n_cond = int(getattr(o, "conditional_gc_bins", 3))
+            self.gc_obs_model = fold_gc_counts(self.obs.gc_obs, n_gc,
+                                               n_cond)
+            self.gc_exp_model = fold_gc_counts(gc_exp, n_gc, n_cond)
+            gc_ratio = expand_gc_ratio(
+                _gc_ratio(self.gc_obs_model, self.gc_exp_model),
+                n_gc, n_cond)
+        else:
+            gc_ratio = np.ones((B.GC_COND_BINS, B.GC_BINS))
         if pos_b:
             grid_fw = _pos_factor_grid(self.obs.pos5, pos5_exp)
             grid_rc = _pos_factor_grid(self.obs.pos3, pos3_exp)
@@ -180,7 +224,9 @@ class BiasState:
                 jnp.asarray(gc_ratio, jnp.float32),
                 jnp.asarray(grid_fw, jnp.float32),
                 jnp.asarray(grid_rc, jnp.float32),
-                fld_low, fld_high, gc_samp, (seq_b, gc_b, pos_b),
+                fld_low, fld_high, gc_samp,
+                (seq_b, gc_b, pos_b,
+                 bool(getattr(o, "no_bias_length_threshold", False))),
                 mat.shape[1])
             eff_out[idxs] = np.asarray(eff_b, dtype=np.float64)
         return eff_out

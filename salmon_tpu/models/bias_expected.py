@@ -226,7 +226,8 @@ def efflen_pass_bucket(codes, lens, eff_in, process_row, len_class, cdf,
                        fld_low: int, fld_high: int, gc_samp: int,
                        obs5_logp, exp5_logp, obs3_logp, exp3_logp,
                        gc_ratio, pos_grid_fw, pos_grid_rc,
-                       seq_bias: bool, gc_bias: bool, pos_bias: bool):
+                       seq_bias: bool, gc_bias: bool, pos_bias: bool,
+                       no_threshold: bool = False):
     """Pass 2 for one bucket: bias-corrected effective lengths.
 
     obs/exp *_logp: (64, 9) conditional log-prob tables (None-like zeros
@@ -318,10 +319,16 @@ def efflen_pass_bucket(codes, lens, eff_in, process_row, len_class, cdf,
         return acc + fl_w * fl_mass
 
     eff = jax.lax.fori_loop(0, n_fl, body, jnp.zeros((B,), jnp.float32))
-    # barrier: keep within [min(elen, unprocessedLen), ...] (reference
-    # :1955-1975): effLensOut = max(eff, min(elenNoBias, unprocessedLen))
     unprocessed = jnp.maximum(
         lens.astype(jnp.float32) - eff_in, 0.0)
-    offset = jnp.maximum(1.0, unprocessed)
-    barrier = jnp.maximum(eff, jnp.minimum(eff_in, offset))
-    return jnp.where(row_ok, barrier, eff_in)
+    if no_threshold:
+        # --noBiasLengthThreshold (reference :1959-1964): take the raw
+        # corrected length whenever it is meaningful
+        out = jnp.where((unprocessed > 0.0) & (eff > 1.0), eff, eff_in)
+    else:
+        # barrier: keep within [min(elen, unprocessedLen), ...]
+        # (reference :1955-1975):
+        # effLensOut = max(eff, min(elenNoBias, unprocessedLen))
+        offset = jnp.maximum(1.0, unprocessed)
+        out = jnp.maximum(eff, jnp.minimum(eff_in, offset))
+    return jnp.where(row_ok, out, eff_in)

@@ -501,7 +501,11 @@ def quantify(
         if totals["num_processed"] >= opts.num_burnin_frags:
             fld.freeze()
         n_batches += 1
-        if progress and n_batches % 25 == 0:
+        # live progress (--disableLiveProgress / --progressUpdateMs)
+        if (progress and not getattr(opts, "disable_live_progress", False)
+                and time.time() - _last_progress[0]
+                >= getattr(opts, "progress_update_ms", 500) / 1000.0):
+            _last_progress[0] = time.time()
             el = time.time() - t0
             logger.info(
                 "processed %d fragments (%.0f frags/s), mapped %.2f%%",
@@ -565,6 +569,7 @@ def quantify(
         logger.info("profiler trace -> %s", profile_dir)
 
     pending = None  # 1-deep host/device pipeline
+    _last_progress = [time.time()]
     for chunk in chunks:
         batch, out = submit(chunk)
 
@@ -629,6 +634,14 @@ def quantify(
             acc._t2 = acc._t2 or cfg.max_pair_cands
             acc._buffered = acc._chunks[0][0].shape[0]
     eq = acc.finish()
+    if getattr(opts, "no_rich_eq_classes", False) \
+            and eq.labels.shape[0]:
+        # --noRichEqClasses (also implied by --meta): flat aux weights
+        # 1/|label| instead of the accumulated conditional probabilities
+        # (reference noRichEqClasses, SalmonQuantify.cpp:328)
+        sz = np.repeat(eq.class_sizes.astype(np.float64),
+                       eq.class_sizes)
+        eq = dataclasses.replace(eq, weights=1.0 / np.maximum(sz, 1.0))
     # decoys never enter eq classes (filtered on device), but keep shapes for
     # valid targets only in the EM (reference dropDecoyTranscripts)
     n_valid = index.num_valid_targets
@@ -669,7 +682,12 @@ def quantify(
         res = em_mod.optimize(eq, n_valid, eff,
                               online_mass=online_mass[:n_valid],
                               total_mapped=float(totals["num_mapped"]),
-                              config=emc, init_uniform=opts.init_uniform)
+                              config=emc, init_uniform=opts.init_uniform,
+                              num_required_frags=getattr(
+                                  opts, "num_required_frags", 5e7),
+                              alt_init=getattr(
+                                  opts, "alternative_init_mode", False)
+                              or getattr(opts, "meta_mode", False))
     if bias_state is not None and bias_state.enabled \
             and not opts.skip_quant:
         # bias-aware effective-length recompute + re-optimize (reference:
@@ -683,7 +701,11 @@ def quantify(
             res = em_mod.optimize(
                 eq, n_valid, eff, online_mass=online_mass[:n_valid],
                 total_mapped=float(totals["num_mapped"]), config=emc,
-                init_uniform=opts.init_uniform)
+                init_uniform=opts.init_uniform,
+                num_required_frags=getattr(opts, "num_required_frags",
+                                           5e7),
+                alt_init=getattr(opts, "alternative_init_mode", False)
+                or getattr(opts, "meta_mode", False))
     em_seconds = time.time() - t_em
     res["map_seconds"] = map_seconds
     res["em_seconds"] = em_seconds
@@ -762,7 +784,8 @@ def write_outputs(result: QuantResult, index: TranscriptomeIndex,
     if aux_ids is not None:
         import json as _json
         os_mod = __import__("os")
-        d = os_mod.path.join(out_dir, "aux_info")
+        d = os_mod.path.join(out_dir,
+                             getattr(opts, "aux_dir", "aux_info"))
         os_mod.makedirs(d, exist_ok=True)
         with open(os_mod.path.join(d, "aux_target_ids.json"), "w") as fh:
             _json.dump({"aux_target_ids": aux_ids}, fh)
@@ -783,7 +806,7 @@ def write_outputs(result: QuantResult, index: TranscriptomeIndex,
     writers.write_lib_format_counts(
         out_dir, result.lib_format, result.fmt_counts, num_compat,
         result.num_processed, result.num_mapped)
-    aux = "aux_info"
+    aux = getattr(opts, "aux_dir", "aux_info")
     samples, samp_type = (None, "none")
     if (result.eq_classes is not None and result.eq_classes.num_classes
             and not getattr(opts, "skip_quant", False)):

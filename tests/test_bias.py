@@ -153,6 +153,36 @@ def test_quant_with_bias_end_to_end(tmp_path, sample_data_dir):
         assert os.path.exists(os.path.join(out_p, "aux_info", f)), f
 
 
+def test_gc_fold_expand_roundtrip():
+    """--numGCBins re-binning: percent-resolution masses fold into the
+    n-bin model exactly as GCDesc::fragBin(n) would bin each percent,
+    and the expanded ratio reads each percent's bin."""
+    from salmon_tpu.models.bias_correct import (expand_gc_ratio,
+                                                fold_gc_counts, _gc_ratio)
+    rng = np.random.default_rng(0)
+    obs = rng.random((3, 101))
+    exp = rng.random((3, 101))
+    for n in (25, 101, 10):
+        fo = fold_gc_counts(obs, n, 3)
+        assert fo.shape == (3, n)
+        assert fo.sum() == pytest.approx(obs.sum())
+        # percent p lands in bin min(n-1, floor(p/(100/n)))
+        for p in (0, 37, 99, 100):
+            b = min(n - 1, int(p / (100.0 / n)))
+            assert fo[0, b] >= obs[0, p] - 1e-12 or n == 101
+        r = expand_gc_ratio(_gc_ratio(fo, fold_gc_counts(exp, n, 3)),
+                            n, 3)
+        assert r.shape == (3, 101)
+    # conditional collapse (gcBias without seqBias)
+    f1 = fold_gc_counts(obs, 25, 1)
+    assert f1.shape == (1, 25)
+    r1 = expand_gc_ratio(_gc_ratio(f1, fold_gc_counts(exp, 25, 1)), 25, 1)
+    assert r1.shape == (3, 101)
+    assert np.allclose(r1[0], r1[2])
+    # identity at 101 bins / 3 cond: fold is a no-op
+    np.testing.assert_allclose(fold_gc_counts(obs, 101, 3), obs)
+
+
 def test_pos_efflen_matches_bruteforce():
     """Pin pass-2 positional semantics: the jitted bucket pass must equal
     the reference formula sum_fl flW(fl) * sum_s posFW(s/L) * posRC(e/L)
