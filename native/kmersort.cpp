@@ -82,6 +82,76 @@ void kmer_enumerate(const uint8_t* seq, const int64_t* offsets,
   }
 }
 
+// Partitioned variants for genome-scale builds (3Gb+ concatenated
+// input, where one flat enumeration would need >100 GB of sort
+// buffers): only k-mers whose canonical value has top `part_bits`
+// equal to `part_id` are kept. Partitioning by the TOP canonical bits
+// means per-partition sorts concatenate into the globally ascending
+// order, and each partition needs only its share of the buffers.
+int64_t kmer_count_part(const uint8_t* seq, const int64_t* offsets,
+                        int64_t n_txps, int32_t k, int64_t* counts,
+                        int32_t part_bits, uint64_t part_id) {
+  const int shift_hi = 2 * (k - 1);
+  const uint64_t mask = (k == 32) ? ~0ull : ((1ull << (2 * k)) - 1);
+  const int part_shift = 2 * k - part_bits;
+  int64_t total = 0;
+#pragma omp parallel for schedule(dynamic, 64) reduction(+ : total)
+  for (int64_t t = 0; t < n_txps; ++t) {
+    const uint8_t* s = seq + offsets[t];
+    const int64_t n = offsets[t + 1] - offsets[t];
+    int64_t cnt = 0;
+    uint64_t fw = 0, rc = 0;
+    int64_t last_bad = -1;
+    for (int64_t i = 0; i < n; ++i) {
+      const uint64_t c = s[i] < 4 ? s[i] : 0;
+      if (s[i] >= 4) last_bad = i;
+      fw = ((fw << 2) | c) & mask;
+      rc = (rc >> 2) | ((3ull - c) << shift_hi);
+      if (i >= k - 1 && last_bad < i - k + 1) {
+        const uint64_t canon = fw <= rc ? fw : rc;
+        if ((canon >> part_shift) == part_id) ++cnt;
+      }
+    }
+    counts[t] = cnt;
+    total += cnt;
+  }
+  return total;
+}
+
+void kmer_enumerate_part(const uint8_t* seq, const int64_t* offsets,
+                         int64_t n_txps, int32_t k,
+                         const int64_t* starts, uint64_t* keys,
+                         uint64_t* payload, int32_t part_bits,
+                         uint64_t part_id) {
+  const int shift_hi = 2 * (k - 1);
+  const uint64_t mask = (k == 32) ? ~0ull : ((1ull << (2 * k)) - 1);
+  const int part_shift = 2 * k - part_bits;
+#pragma omp parallel for schedule(dynamic, 64)
+  for (int64_t t = 0; t < n_txps; ++t) {
+    const uint8_t* s = seq + offsets[t];
+    const int64_t n = offsets[t + 1] - offsets[t];
+    int64_t out = starts[t];
+    uint64_t fw = 0, rc = 0;
+    int64_t last_bad = -1;
+    for (int64_t i = 0; i < n; ++i) {
+      const uint64_t c = s[i] < 4 ? s[i] : 0;
+      if (s[i] >= 4) last_bad = i;
+      fw = ((fw << 2) | c) & mask;
+      rc = (rc >> 2) | ((3ull - c) << shift_hi);
+      if (i >= k - 1 && last_bad < i - k + 1) {
+        const bool is_fw = fw <= rc;
+        const uint64_t canon = is_fw ? fw : rc;
+        if ((canon >> part_shift) != part_id) continue;
+        const uint64_t pos = (uint64_t)(i - k + 1);
+        keys[out] = canon;
+        payload[out] = ((uint64_t)t << 32) | (pos << 1) |
+                       (is_fw ? 1ull : 0ull);
+        ++out;
+      }
+    }
+  }
+}
+
 // Unpack sorted payload words into (txp, pos, fwd) columns in one
 // parallel pass (numpy's u64 shift+cast chain costs several seconds at
 // hundreds of millions of occurrences).

@@ -16,10 +16,13 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import logging
 import os
 from typing import Optional
 
 import numpy as np
+
+logger = logging.getLogger("salmon_tpu")
 
 from salmon_tpu.constants import DEFAULTS
 from salmon_tpu.index.hashtable import KmerHashTable, build_hash_table
@@ -62,6 +65,10 @@ class TranscriptomeIndex:
         return self.seq_codes[self.seq_offsets[i]:self.seq_offsets[i + 1]]
 
 
+PARTITIONED_BUILD_BASES = 1_500_000_000   # switch to the partitioned build
+TABLE_DIRECT_MAX_KEYS = 800_000_000       # past this, tables are per-shard
+
+
 def build_index(
     transcripts_path: str,
     k: int = DEFAULTS.kmer_len,
@@ -70,12 +77,20 @@ def build_index(
     gencode: bool = False,
     keep_duplicates: bool = True,
     noclip_polya: bool = False,
+    partition_bits: Optional[int] = None,
 ) -> TranscriptomeIndex:
     """Build the index from a transcript FASTA (+ optional decoy FASTA).
 
     Reference CLI contract: k odd and <= 31 (BuildSalmonIndex.cpp:70-100).
     `decoy_names_path` mimics `-d decoys.txt` with a combined FASTA: names
     listed there are treated as decoys (they must come last).
+
+    Genome-decoy scale (BASELINE config 5, 3Gb+ concatenated input): the
+    enumeration runs per canonical-top-bits partition (`partition_bits`,
+    auto-enabled past PARTITIONED_BUILD_BASES) so peak sort-buffer memory
+    stays ~1/2^bits of the flat path, and past TABLE_DIRECT_MAX_KEYS no
+    monolithic hash table is built — such indexes must be quantified
+    with --indexShards, which builds self-contained per-shard tables.
     """
     if k % 2 == 0 or k > 31 or k < 5:
         raise ValueError(f"k must be odd and in [5, 31], got {k}")
@@ -115,6 +130,14 @@ def build_index(
     # (native/kmersort.cpp); the pure-numpy fallback is the same
     # computation with a single-threaded stable argsort.
     from salmon_tpu.index import native_kmers
+    total_bases = int(seq_offsets[-1])
+    if partition_bits is None:
+        partition_bits = 6 if total_bases >= PARTITIONED_BUILD_BASES \
+            else 0
+    if partition_bits and native_kmers.available():
+        return _build_partitioned(records, info, k, first_decoy_index,
+                                  seq_codes, seq_offsets, partition_bits,
+                                  keep_duplicates)
     native = native_kmers.enumerate_sorted(seq_codes, seq_offsets, k)
     if native is not None:
         km, tx, po, fw = native
@@ -184,6 +207,89 @@ _INDEX_ARRAYS = ("lengths", "complete_lengths", "kmers", "occ_offsets",
                  "seq_codes", "seq_offsets")
 
 
+def _build_partitioned(records, info, k, first_decoy_index, seq_codes,
+                       seq_offsets, partition_bits,
+                       keep_duplicates) -> TranscriptomeIndex:
+    """Memory-bounded build: per canonical-top-bits partition, enumerate
+    + sort + extract unique keys, writing into buffers preallocated at
+    the (cheaply pre-counted) total record count. Output is bit-identical
+    to the flat path; only peak memory differs (partition-sized sort
+    scratch instead of whole-input buffers)."""
+    from salmon_tpu.index import native_kmers
+
+    names = [r.name for r in records]
+    lengths = np.array([r.seq_codes.shape[0] for r in records], np.int32)
+    complete_lengths = np.array([r.complete_length for r in records],
+                                np.int32)
+    total = native_kmers.count_total(seq_codes, seq_offsets, k)
+    logger.info("partitioned index build: %d records over %d partitions",
+                total, 1 << partition_bits)
+    tx = np.empty(total, np.int32)
+    po = np.empty(total, np.int32)
+    fw = np.empty(total, bool)
+    # unique-key buffers at the record-count upper bound (~6% slack at
+    # transcriptome scale); trimmed by view at the end
+    uniq_buf = np.empty(total, np.uint64)
+    off_buf = np.empty(total + 1, np.int64)
+    base = 0
+    nu = 0
+    for out in native_kmers.enumerate_sorted_partitioned(
+            seq_codes, seq_offsets, k, partition_bits):
+        if out is None:
+            raise RuntimeError("native library required for the "
+                               "partitioned build")
+        kmp, txp_, pop_, fwp_ = out
+        n = kmp.shape[0]
+        if not n:
+            continue
+        tx[base:base + n] = txp_
+        po[base:base + n] = pop_
+        fw[base:base + n] = fwp_
+        up, sp = np.unique(kmp, return_index=True)
+        m = up.shape[0]
+        uniq_buf[nu:nu + m] = up
+        off_buf[nu:nu + m] = sp.astype(np.int64) + base
+        nu += m
+        base += n
+    off_buf[nu] = total
+    uniq = uniq_buf[:nu]
+    offsets = off_buf[:nu + 1]
+
+    if nu <= TABLE_DIRECT_MAX_KEYS:
+        table = build_hash_table(uniq, occ_offsets=offsets)
+        if table.n_shadowed:
+            from salmon_tpu.index.hashtable import appendix_plan
+            is_sep, gi, sep_fp = appendix_plan(table)
+            tx = np.concatenate([tx, np.where(is_sep, -1, tx[gi])
+                                 .astype(np.int32)])
+            po = np.concatenate([po, np.where(is_sep, sep_fp, po[gi])
+                                 .astype(np.int32)])
+            fw = np.concatenate([fw, np.where(is_sep, False, fw[gi])])
+    else:
+        table = None
+        info["requires_shards"] = True
+        logger.info("index has %d keys: skipping the monolithic table "
+                    "(quantify with --indexShards; per-shard tables are "
+                    "built at load)", nu)
+
+    info.update({
+        "index_format_version": INDEX_FORMAT_VERSION,
+        "k": k,
+        "num_targets": len(records),
+        "num_decoys": len(records) - first_decoy_index,
+        "num_kmers": int(nu),
+        "num_occurrences": int(total),
+        "keep_duplicates": keep_duplicates,
+    })
+    return TranscriptomeIndex(
+        k=k, names=names, lengths=lengths,
+        complete_lengths=complete_lengths,
+        first_decoy_index=first_decoy_index,
+        kmers=uniq, occ_offsets=offsets, occ_txp=tx, occ_pos=po,
+        occ_fwd=fw, table=table, seq_codes=seq_codes,
+        seq_offsets=seq_offsets, info=info)
+
+
 def save_index(idx: TranscriptomeIndex, out_dir: str) -> None:
     """One raw .npy per array: multi-GB members load with mmap_mode='r'
     (lazy page-in; arrays the caller never touches are never read),
@@ -195,7 +301,9 @@ def save_index(idx: TranscriptomeIndex, out_dir: str) -> None:
         "lengths": idx.lengths, "complete_lengths": idx.complete_lengths,
         "kmers": idx.kmers, "occ_offsets": idx.occ_offsets,
         "occ_txp": idx.occ_txp, "occ_pos": idx.occ_pos,
-        "occ_fwd": idx.occ_fwd, "table_rows": idx.table.rows,
+        "occ_fwd": idx.occ_fwd,
+        "table_rows": (idx.table.rows if idx.table is not None
+                       else np.zeros((0, 16), np.int32)),
         "seq_codes": idx.seq_codes, "seq_offsets": idx.seq_offsets}
     for name in _INDEX_ARRAYS:
         np.save(os.path.join(out_dir, f"{name}.npy"), arrays[name])
@@ -203,8 +311,10 @@ def save_index(idx: TranscriptomeIndex, out_dir: str) -> None:
     meta.update({
         "k": idx.k,
         "first_decoy_index": idx.first_decoy_index,
-        "table_n_slots": idx.table.n_slots,
-        "table_max_probes": idx.table.max_probes,
+        "table_n_slots": (idx.table.n_slots if idx.table is not None
+                          else 0),
+        "table_max_probes": (idx.table.max_probes
+                             if idx.table is not None else 0),
     })
     with open(os.path.join(out_dir, "info.json"), "w") as fh:
         json.dump(meta, fh, indent=2, default=str)
@@ -229,10 +339,11 @@ def load_index(index_dir: str) -> TranscriptomeIndex:
              for name in _INDEX_ARRAYS}
     else:  # legacy single-.npz layout (eager full read per member)
         z = np.load(os.path.join(index_dir, "index.npz"))
-    table = KmerHashTable(
+    table = (KmerHashTable(
         rows=z["table_rows"],
         n_slots=int(meta["table_n_slots"]),
         max_probes=int(meta["table_max_probes"]))
+        if int(meta.get("table_n_slots", 0)) else None)
     return TranscriptomeIndex(
         k=int(meta["k"]), names=names, lengths=z["lengths"],
         complete_lengths=z["complete_lengths"],

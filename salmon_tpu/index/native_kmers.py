@@ -46,6 +46,15 @@ def _native_lib():
         lib.kmer_decode_payload.restype = None
         lib.kmer_decode_payload.argtypes = [u64p, ctypes.c_int64, i32p,
                                             i32p, u8p]
+        lib.kmer_count_part.restype = ctypes.c_int64
+        lib.kmer_count_part.argtypes = [u8p, i64p, ctypes.c_int64,
+                                        ctypes.c_int32, i64p,
+                                        ctypes.c_int32, ctypes.c_uint64]
+        lib.kmer_enumerate_part.restype = None
+        lib.kmer_enumerate_part.argtypes = [u8p, i64p, ctypes.c_int64,
+                                            ctypes.c_int32, i64p, u64p,
+                                            u64p, ctypes.c_int32,
+                                            ctypes.c_uint64]
     except (OSError, AttributeError, Exception):
         return None
     _LIB = lib
@@ -88,3 +97,58 @@ def enumerate_sorted(seq_codes: np.ndarray, seq_offsets: np.ndarray,
     if total:
         lib.kmer_decode_payload(payload, total, tx, po, fw8)
     return keys, tx, po, fw8.view(bool)
+
+
+def count_total(seq_codes: np.ndarray, seq_offsets: np.ndarray,
+                k: int) -> int:
+    """Total valid k-mer windows (cheap parallel pre-count)."""
+    lib = _native_lib()
+    seq = np.ascontiguousarray(seq_codes, np.uint8)
+    off = np.ascontiguousarray(seq_offsets, np.int64)
+    n_txps = off.shape[0] - 1
+    if lib is None:
+        lens = np.diff(off)
+        return int(np.maximum(lens - (k - 1), 0).sum())  # upper bound
+    counts = np.zeros(max(n_txps, 1), np.int64)
+    return int(lib.kmer_count(seq, off, n_txps, k, counts))
+
+
+def enumerate_sorted_partitioned(seq_codes: np.ndarray,
+                                 seq_offsets: np.ndarray, k: int,
+                                 part_bits: int):
+    """Generator over (keys, txp, pos, fwd) per canonical-top-bits
+    partition, each sorted; concatenating the partitions in order
+    yields exactly enumerate_sorted's output with peak buffer memory
+    ~1/2^part_bits of the flat path (genome-decoy-scale builds). Yields
+    None when the native library is unavailable."""
+    lib = _native_lib()
+    if lib is None:
+        yield None
+        return
+    seq = np.ascontiguousarray(seq_codes, np.uint8)
+    off = np.ascontiguousarray(seq_offsets, np.int64)
+    n_txps = off.shape[0] - 1
+    low_bits = 2 * k - part_bits
+    for part in range(1 << part_bits):
+        counts = np.zeros(max(n_txps, 1), np.int64)
+        total = int(lib.kmer_count_part(seq, off, n_txps, k, counts,
+                                        part_bits, part))
+        keys = np.empty(total, np.uint64)
+        payload = np.empty(total, np.uint64)
+        if total:
+            starts = np.zeros(n_txps, np.int64)
+            starts[1:] = np.cumsum(counts[:n_txps])[:-1]
+            lib.kmer_enumerate_part(seq, off, n_txps, k, starts, keys,
+                                    payload, part_bits, part)
+            tk = np.empty(total, np.uint64)
+            tp = np.empty(total, np.uint64)
+            # top part_bits are constant within a partition: sort the
+            # low bits only (fewer radix passes)
+            lib.radix_sort_u64(keys, payload, total, low_bits, tk, tp)
+            del tk, tp
+        tx = np.empty(total, np.int32)
+        po = np.empty(total, np.int32)
+        fw8 = np.empty(total, np.uint8)
+        if total:
+            lib.kmer_decode_payload(payload, total, tx, po, fw8)
+        yield keys, tx, po, fw8.view(bool)

@@ -101,10 +101,17 @@ class MapperConfig:
 
     @staticmethod
     def from_index(idx: TranscriptomeIndex, opts: SalmonDefaults = DEFAULTS,
+                   allow_no_table: bool = False,
                    **overrides) -> "MapperConfig":
+        if idx.table is None and not allow_no_table:
+            raise ValueError(
+                "this index has no monolithic hash table (built at "
+                "genome-decoy scale); quantify with --indexShards N")
         cfg = dict(
-            k=idx.k, n_slots=idx.table.n_slots,
-            max_probes=idx.table.max_probes,
+            k=idx.k,
+            n_slots=idx.table.n_slots if idx.table is not None else 0,
+            max_probes=(idx.table.max_probes if idx.table is not None
+                        else 16),
             first_decoy_index=idx.first_decoy_index,
             num_txps=idx.num_targets,
             occ_cap=opts.occ_cap, max_cands=opts.max_cands,

@@ -219,7 +219,8 @@ def quantify(
     if isinstance(index, str):
         index = load_index(index)
     paired = reads2 is not None
-    cfg = MapperConfig.from_index(index, opts)
+    cfg = MapperConfig.from_index(
+        index, opts, allow_no_table=opts.index_shards > 1)
 
     # multi-chip: shard each batch data-parallel over all devices of the
     # (possibly multi-host) mesh (reference analog: N worker threads over

@@ -96,12 +96,15 @@ def main():
     ap.add_argument("--n-txps", type=int, default=200_000)
     ap.add_argument("--n-pairs", type=int, default=200_000)
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--no-reads", action="store_true")
     args = ap.parse_args()
     os.makedirs(args.out_dir, exist_ok=True)
     names, seqs = make_txome(args.n_txps, seed=args.seed)
     total = sum(s.shape[0] for s in seqs)
     print(f"transcriptome: {len(names)} txps, {total / 1e6:.0f} Mb")
     write_fasta(os.path.join(args.out_dir, "txome.fasta"), names, seqs)
+    if args.no_reads:
+        return
     r1, r2 = make_reads(names, seqs, args.n_pairs, seed=args.seed + 1)
     write_fastq(os.path.join(args.out_dir, "reads_1.fastq"), r1)
     write_fastq(os.path.join(args.out_dir, "reads_2.fastq"), r2)

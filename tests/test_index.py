@@ -1,3 +1,5 @@
+import os
+
 import numpy as np
 import pytest
 
@@ -207,6 +209,55 @@ def test_hashtable_count_saturation():
     start, count = lookup_host(tab, keys)
     assert start[0] == 0 and count[0] == 0xFFFF  # saturated
     assert start[1] == 100000 and count[1] == 2
+
+
+def test_partitioned_build_matches_flat(sample_data_dir):
+    """The memory-bounded partitioned build (genome-decoy-scale path)
+    must produce a bit-identical index to the flat path."""
+    from salmon_tpu.index import native_kmers
+    if not native_kmers.available():
+        pytest.skip("native library unavailable")
+    flat = build_index(SAMPLE_TRANSCRIPTS, k=25)
+    part = build_index(SAMPLE_TRANSCRIPTS, k=25, partition_bits=3)
+    np.testing.assert_array_equal(part.kmers, flat.kmers)
+    np.testing.assert_array_equal(part.occ_offsets, flat.occ_offsets)
+    np.testing.assert_array_equal(part.occ_txp, flat.occ_txp)
+    np.testing.assert_array_equal(part.occ_pos, flat.occ_pos)
+    np.testing.assert_array_equal(part.occ_fwd, flat.occ_fwd)
+    np.testing.assert_array_equal(part.table.rows, flat.table.rows)
+
+
+def test_tableless_index_requires_shards(tmp_path, monkeypatch,
+                                         sample_data_dir):
+    """Past TABLE_DIRECT_MAX_KEYS the build skips the monolithic table;
+    such an index round-trips through save/load and quantifies via
+    --indexShards, while the plain path errors with guidance."""
+    from salmon_tpu.index import builder as B
+    from salmon_tpu.index import native_kmers
+    if not native_kmers.available():
+        pytest.skip("native library unavailable")
+    monkeypatch.setattr(B, "TABLE_DIRECT_MAX_KEYS", 10)
+    idx = B.build_index(SAMPLE_TRANSCRIPTS, k=25, partition_bits=2)
+    assert idx.table is None
+    assert idx.info.get("requires_shards") is True
+    d = str(tmp_path / "big_idx")
+    save_index(idx, d)
+    idx2 = load_index(d)
+    assert idx2.table is None
+
+    from salmon_tpu.mapping.pipeline import MapperConfig
+    with pytest.raises(ValueError, match="indexShards"):
+        MapperConfig.from_index(idx2)
+
+    from salmon_tpu.constants import SalmonDefaults
+    from salmon_tpu.quant import quantify
+    o = SalmonDefaults()
+    o.index_shards = 4
+    o.reads_per_batch = 4096
+    r1 = [os.path.join(sample_data_dir, "reads_1.fastq")]
+    r2 = [os.path.join(sample_data_dir, "reads_2.fastq")]
+    res = quantify(idx2, "IU", r1, r2, opts=o, progress=False)
+    assert res.num_mapped == 10000
 
 
 def test_native_kmer_enumeration_matches_numpy(rng):
