@@ -48,14 +48,15 @@ def expand_batch(b, sel_idx, ref_map, seq_codes, seq_off, txp_lens):
         return {k: np.zeros(0, np.int32)
                 for k in ("aln", "prev", "cur", "bin")}
     n = sel_idx.size
-    # flatten each record's cigar ops into columns
-    c_off = b.cigar_off[sel_idx]
-    c_n = b.cigar_n[sel_idx]
+    # flatten each record's cigar ops into columns (vectorized ragged
+    # ranges — a per-record arange loop costs more than the expansion)
+    c_off = b.cigar_off[sel_idx].astype(np.int64)
+    c_n = b.cigar_n[sel_idx].astype(np.int64)
     total_ops = int(c_n.sum())
     op_rec = np.repeat(np.arange(n), c_n)
-    op_idx = np.concatenate([np.arange(o, o + k) for o, k in
-                             zip(c_off, c_n)]) if total_ops else \
-        np.zeros(0, np.int64)
+    op_idx = (np.repeat(c_off, c_n) + np.arange(total_ops)
+              - np.repeat(np.cumsum(c_n) - c_n, c_n)) if total_ops \
+        else np.zeros(0, np.int64)
     ops = b.cigar_op[op_idx].astype(np.int64)
     oplens = b.cigar_oplen[op_idx].astype(np.int64)
 
@@ -101,15 +102,16 @@ def expand_batch(b, sel_idx, ref_map, seq_codes, seq_off, txp_lens):
         seq_codes[np.clip(toff[col_rec] + ref_pos, 0,
                           seq_codes.size - 1)].astype(np.int64), 4)
 
-    # state symbols per CIGAR op (setBasesFromCIGAROp_)
-    rb = np.where(col_op == 1, ALN_DASH, ref_base)        # I: ref dash
-    rb = np.where(col_op == 4, ALN_SOFT, rb)              # S
-    rb = np.where(col_op == 5, ALN_HARD, rb)              # H
-    rb = np.where(col_op == 6, ALN_PAD, rb)               # P
-    qb = np.where(col_op == 2, ALN_DASH, read_base)       # D: read dash
-    qb = np.where(col_op == 3, ALN_SKIP, qb)              # N
-    qb = np.where(col_op == 5, ALN_HARD, qb)              # H
-    qb = np.where(col_op == 6, ALN_PAD, qb)               # P
+    # state symbols per CIGAR op (setBasesFromCIGAROp_): one table
+    # lookup per side instead of four full-array where passes.
+    # rb override per op: I->dash, S->soft, H->hard, P->pad; else base
+    col_op_c = np.clip(col_op, 0, 8)
+    rb_override = np.array([-1, ALN_DASH, -1, -1, ALN_SOFT, ALN_HARD,
+                            ALN_PAD, -1, -1], np.int64)[col_op_c]
+    qb_override = np.array([-1, -1, ALN_DASH, ALN_SKIP, -1, ALN_HARD,
+                            ALN_PAD, -1, -1], np.int64)[col_op_c]
+    rb = np.where(rb_override >= 0, rb_override, ref_base)
+    qb = np.where(qb_override >= 0, qb_override, read_base)
     qb = np.clip(qb, 0, N_STATES - 1)
     rb = np.clip(rb, 0, N_STATES - 1)
 
