@@ -34,8 +34,29 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, HERE)
 
 RATE = float(os.environ.get("POSBIAS_RATE", 1.5))
+# FACTORIZED mode: fragment weight = g(start/L) * h(end/L) — the
+# generative model the reference's fw*rc factor product nominally
+# assumes. MEASURED (2026-08-18): gain is STILL negative (-15% at 48
+# txps / 80k frags, -16% at the defaults) — with the implementation
+# pinned to the reference formula at the integral level
+# (tests/test_bias.py::test_pos_efflen_matches_bruteforce), the
+# residual error is attributable to the algorithm itself (5-quantile
+# length classes + 20 linear bins projected through Cufflinks-knot
+# splines are too coarse for smooth exponential biases at this scale).
+FACTORIZED = os.environ.get("POSBIAS_FACTORIZED", "0") == "1"
+RATE_END = float(os.environ.get("POSBIAS_RATE_END", 0.75))
 FLEN_MU, FLEN_SD = 200, 15
 READ_LEN = 75
+
+
+def _start_weights(L, max_start):
+    """Unnormalized start-position weights for one transcript."""
+    rel = np.arange(max_start) / L
+    g = np.exp(-RATE * rel)
+    if FACTORIZED:
+        rel_e = (np.arange(max_start) + FLEN_MU) / L
+        g = g * np.exp(RATE_END * np.minimum(rel_e, 1.0))
+    return g
 
 
 def make_sim(out_dir, n_txps=24, n_frags=20000, seed=11):
@@ -52,8 +73,7 @@ def make_sim(out_dir, n_txps=24, n_frags=20000, seed=11):
     eta = rng.lognormal(0.0, 1.0, n_txps)
     s = np.zeros(n_txps)
     for i, L in enumerate(lens):
-        p = np.arange(max(L - FLEN_MU, 1))
-        s[i] = np.exp(-RATE * p / L).sum()
+        s[i] = _start_weights(L, max(L - FLEN_MU, 1)).sum()
     w = eta * s
     c = rng.multinomial(n_frags, w / w.sum())
     tpm_true = eta / eta.sum() * 1e6
@@ -75,10 +95,10 @@ def make_sim(out_dir, n_txps=24, n_frags=20000, seed=11):
             flens = np.clip(rng.normal(FLEN_MU, FLEN_SD, c[i]).astype(int),
                             2 * READ_LEN, None)
             max_start = np.maximum(L - flens, 1)
-            rel = np.arange(int(max_start.max()))
+            pw_full = _start_weights(L, int(max_start.max()))
             for j in range(c[i]):
                 ms = int(max_start[j])
-                pw = np.exp(-RATE * rel[:ms] / L)
+                pw = pw_full[:ms]
                 pos = int(rng.choice(ms, p=pw / pw.sum()))
                 fl = int(min(flens[j], L - pos))
                 left = sq[pos:pos + READ_LEN]
@@ -117,7 +137,10 @@ def tpm_error(names, tpm_true, est):
 
 def main():
     sim_dir = tempfile.mkdtemp(prefix="salmon_tpu_posbias_")
-    names, tpm_true, c = make_sim(sim_dir)
+    names, tpm_true, c = make_sim(
+        sim_dir,
+        n_txps=int(os.environ.get("POSBIAS_TXPS", 24)),
+        n_frags=int(os.environ.get("POSBIAS_FRAGS", 20000)))
     print(f"# sim at {sim_dir}: {int(c.sum())} fragments", file=sys.stderr)
     est0 = run_quant(sim_dir, os.path.join(sim_dir, "q0"), False)
     est1 = run_quant(sim_dir, os.path.join(sim_dir, "q1"), True)
