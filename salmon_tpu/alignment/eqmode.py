@@ -130,7 +130,7 @@ def quantify_eqclasses(args, opts, cmd_args) -> int:
     writers.write_quant_sf(out, names, eff.astype(np.int64), eff, counts,
                            sig_digits=opts.sig_digits)
     writers.write_cmd_info(out, cmd_args)
-    writers.write_meta_info(out, "aux_info", {
+    writers.write_meta_info(out, getattr(args, "auxDir", "aux_info"), {
         "opt_type": "vb" if emc.use_vbem else "em",
         "mapping_type": "eqclass",
         "num_valid_targets": n,
