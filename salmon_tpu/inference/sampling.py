@@ -16,6 +16,8 @@ replicates vmap over the same dense update (SURVEY.md §2.11 item 6).
 
 from __future__ import annotations
 
+import functools
+
 
 import jax
 import jax.numpy as jnp
@@ -264,3 +266,85 @@ def bootstrap_samples(eq: PackedEqClasses, num_txps: int,
     keys = jax.random.split(jax.random.PRNGKey(seed ^ 0x5A17), num_boot)
     out = jax.vmap(one_replicate)(keys)
     return np.asarray(out, dtype=np.float64)
+
+
+def bootstrap_samples_routed(eq: PackedEqClasses, num_txps: int,
+                             eff_lens: np.ndarray, num_boot: int,
+                             use_vbem: bool, vb_prior: float,
+                             per_transcript_prior: bool,
+                             active_mask: np.ndarray | None = None,
+                             reproject: bool = False,
+                             tol: float = DEFAULTS.relative_diff_tolerance,
+                             max_iter: int = DEFAULTS.max_em_iterations,
+                             seed: int = 271828) -> np.ndarray:
+    """Bootstrap replicates over the sort-routed EM engine — the
+    at-scale path (inference.fastem): the eq structure is packed ONCE
+    (layouts + route keys depend only on the class structure) and the
+    resampled class counts enter as data; replicates run as one
+    vmapped chunked program (batched 1-D route sorts).
+
+    Semantics match bootstrap_samples (reference: multinomial resample
+    of class counts + independent optimization per replicate,
+    CollapsedEMOptimizer gatherBootstraps)."""
+    from salmon_tpu.inference import em as em_mod
+    from salmon_tpu.inference import fastem
+
+    r = fastem.pack_routed(eq, num_txps, eff_lens)
+    total = float(eq.counts.sum())
+    if active_mask is None:
+        active = np.zeros(num_txps, dtype=bool)
+        active[eq.labels] = True
+    else:
+        active = active_mask
+    uniform = float(total / max(1, active.sum()))
+    alpha0 = np.where(active, uniform, 0.0)[r.txp_order]
+    prior_r = jnp.asarray(em_mod.prior_alphas(
+        num_txps, np.asarray(eff_lens), vb_prior,
+        per_transcript_prior)[r.txp_order], jnp.float32)
+
+    # multinomial resample over classes, in region order (host rng —
+    # reproducible; counts are data to the packed program)
+    rng = np.random.default_rng(seed ^ 0x5A17)
+    base = np.asarray(r.counts_region, np.float64)
+    p = base / max(base.sum(), 1e-300)
+    counts_b = rng.multinomial(
+        max(1, int(round(total))), p, size=num_boot).astype(np.float32)
+
+    static = (r.num_txps, r.s_c, r.s_l, r.n_route, r.c_regions,
+              r.l_regions, r.n_absent,
+              float(DEFAULTS.alpha_check_cutoff))
+    arrays = {"key_lc": r.key_lc, "key_cl": r.key_cl, "cw_c": r.cw_c,
+              "sizes_region": r.sizes_region}
+
+    expand = jax.jit(functools.partial(
+        fastem._expand_regions, regions=r.c_regions))
+    counts_slots_b = jax.vmap(expand)(jnp.asarray(counts_b))
+
+    def chunk_one(alpha, counts_slots, n):
+        return fastem._em_chunk(static, arrays, alpha, prior_r,
+                                counts_slots, use_vbem, n)
+
+    alpha = jnp.broadcast_to(jnp.asarray(alpha0, jnp.float32),
+                             (num_boot, num_txps))
+    min_iter = 50
+    iters = 0
+    while iters < max_iter:
+        n = min(fastem.EM_CHUNK, max_iter - iters)
+        alpha, mrd = jax.vmap(chunk_one, in_axes=(0, 0, None))(
+            alpha, counts_slots_b, n)
+        iters += n
+        if iters >= min_iter and float(jnp.max(mrd)) <= tol:
+            break
+    if reproject:
+        # one update against the ORIGINAL counts (--bootstrapReproject)
+        orig_slots = jnp.broadcast_to(
+            expand(jnp.asarray(base, jnp.float32)),
+            (num_boot, r.s_c))
+        alpha, _ = jax.vmap(chunk_one, in_axes=(0, 0, None))(
+            alpha, orig_slots, 1)
+    out = np.asarray(alpha, np.float64)[:, :]
+    inv = np.empty(num_txps, np.int64)
+    inv[r.txp_order] = np.arange(num_txps)
+    out = out[:, inv]
+    out[out < DEFAULTS.min_alpha] = 0.0
+    return out

@@ -756,7 +756,13 @@ def _posterior_samples(result: QuantResult, opts: SalmonDefaults,
             prior=prior, no_gamma_draw=opts.no_gamma_draw, seed=seed)
         return samples, "gibbs"
     if opts.num_bootstraps > 0:
-        samples = sampling.bootstrap_samples(
+        # at scale the sort-routed engine packs once and runs all
+        # replicates as one vmapped chunked program
+        boot_fn = (sampling.bootstrap_samples_routed
+                   if result.eq_classes.labels.shape[0]
+                   >= em_mod.ROUTED_MIN_ENTRIES
+                   else sampling.bootstrap_samples)
+        samples = boot_fn(
             result.eq_classes, n, result.eff_lens, opts.num_bootstraps,
             use_vbem=opts.use_vb_opt and not opts.use_em,
             vb_prior=opts.vb_prior,

@@ -88,6 +88,42 @@ def test_bootstrap_shapes_and_totals():
     assert np.std(b[:, 1]) > 0
 
 
+def test_bootstrap_routed_matches_dense():
+    """The sort-routed bootstrap engine (at-scale path) must agree with
+    the dense vmapped engine in distribution: same per-transcript means
+    within resampling noise on a mid-size random fixture, and totals
+    conserved."""
+    rng = np.random.default_rng(3)
+    T, NCLS = 200, 400
+    sizes = np.minimum(1 + rng.geometric(0.4, NCLS), 8).astype(np.int32)
+    E = int(sizes.sum())
+    seg = np.repeat(np.arange(NCLS), sizes)
+    labels = rng.integers(0, T, E).astype(np.int32)
+    w = rng.random(E)
+    wsum = np.bincount(seg, weights=w, minlength=NCLS)
+    weights = w / wsum[seg]
+    counts = rng.integers(1, 30, NCLS).astype(np.float64)
+    offsets = np.zeros(NCLS + 1, np.int64)
+    offsets[1:] = np.cumsum(sizes)
+    eq = PackedEqClasses(labels=labels, weights=weights, offsets=offsets,
+                         counts=counts, class_sizes=sizes)
+    eff = np.full(T, 150.0)
+    kw = dict(use_vbem=True, vb_prior=1e-2, per_transcript_prior=True,
+              max_iter=300)
+    bd = sampling.bootstrap_samples(eq, T, eff, 24, seed=5, **kw)
+    br = sampling.bootstrap_samples_routed(eq, T, eff, 24, seed=5, **kw)
+    total = counts.sum()
+    np.testing.assert_allclose(bd.sum(axis=1), total, rtol=0.01)
+    np.testing.assert_allclose(br.sum(axis=1), total, rtol=0.01)
+    md, mr = bd.mean(axis=0), br.mean(axis=0)
+    sd = bd.std(axis=0) / np.sqrt(24) + br.std(axis=0) / np.sqrt(24)
+    big = md > 5.0
+    assert np.abs(md[big] - mr[big]).max() <= (4 * sd[big]
+                                               + 0.05 * md[big]).max()
+    from scipy.stats import spearmanr
+    assert spearmanr(md, mr).statistic > 0.98
+
+
 def test_bootstrap_vbem_runs():
     eq = _toy_eq()
     eff = np.array([100.0, 100.0, 100.0])
