@@ -77,6 +77,9 @@ class RoutedEq:
     key_lc: jax.Array             # (n_route,) uint32 route L->C
     key_cl: jax.Array             # (n_route,) uint32 route C->L
     cw_c: jax.Array               # (s_c,) f32 combined weights (0 on pad)
+    aux_c: jax.Array              # (s_c,) f32 raw aux weights (0 on pad)
+    inv_el_c: jax.Array           # (s_c,) f32 1/effLen per entry (0 on pad)
+    real_c: jax.Array             # (s_c,) bool real-entry slots
     class_of_slot: jax.Array      # (s_c,) int32 region-ordered class index
     counts_region: jax.Array      # (n_classes,) f64->f32 counts, region order
     sizes_region: jax.Array       # (n_classes,) int32 class sizes, region order
@@ -124,6 +127,13 @@ def pack_routed(eq, num_txps: int, eff_lens: np.ndarray) -> RoutedEq:
 
     cw_c = np.zeros(s_c, np.float32)
     cw_c[c_slot] = cw.astype(np.float32)
+    # Gibbs planes: raw aux weights, per-entry 1/effLen, real-slot mask
+    aux_c = np.zeros(s_c, np.float32)
+    aux_c[c_slot] = np.asarray(eq.weights, np.float32)
+    inv_el_c = np.zeros(s_c, np.float32)
+    inv_el_c[c_slot] = (1.0 / el).astype(np.float32)
+    real_c = np.zeros(s_c, bool)
+    real_c[c_slot] = True
     # region-ordered class arrays (for counts/sizes broadcast in-graph)
     counts_region = np.asarray(eq.counts, np.float64)[c_order]
     sizes_region = sizes[c_order].astype(np.int32)
@@ -195,6 +205,9 @@ def pack_routed(eq, num_txps: int, eff_lens: np.ndarray) -> RoutedEq:
         n_absent=len(absent),
         key_lc=jnp.asarray(key_lc), key_cl=jnp.asarray(key_cl),
         cw_c=jnp.asarray(cw_c),
+        aux_c=jnp.asarray(aux_c),
+        inv_el_c=jnp.asarray(inv_el_c),
+        real_c=jnp.asarray(real_c),
         class_of_slot=jnp.asarray(np.zeros(1, np.int32)),  # unused
         counts_region=jnp.asarray(counts_region, jnp.float32),
         sizes_region=jnp.asarray(sizes_region),

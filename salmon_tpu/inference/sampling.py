@@ -171,6 +171,110 @@ def gibbs_samples(eq: PackedEqClasses, num_txps: int, eff_lens: np.ndarray,
     return out
 
 
+def gibbs_samples_routed(eq: PackedEqClasses, num_txps: int,
+                         eff_lens: np.ndarray, init_counts: np.ndarray,
+                         num_samples: int,
+                         thinning: int = DEFAULTS.thinning_factor,
+                         prior: np.ndarray | float = 1e-3,
+                         no_gamma_draw: bool = False,
+                         seed: int = 271828) -> np.ndarray:
+    """Gibbs sampling over the sort-routed layout — the at-scale path.
+
+    Same semantics as gibbs_samples (mu Gamma draws + per-class
+    multinomial reassignment, reference CollapsedGibbsSampler), but the
+    per-round data movement is the two route sorts of the routed EM
+    instead of dense (C, maxW) gathers, and the per-class multinomials
+    run region-wise ((n, w) rows of equal width — singleton regions
+    need no sampling at all)."""
+    from salmon_tpu.inference import fastem
+
+    r = fastem.pack_routed(eq, num_txps, eff_lens)
+    n_present = num_txps - r.n_absent
+    eff_r = jnp.asarray(np.maximum(np.asarray(eff_lens), 1.0)
+                        [r.txp_order], jnp.float32)
+    pri_r = jnp.asarray(np.broadcast_to(
+        np.asarray(prior, np.float64), (num_txps,))[r.txp_order],
+        jnp.float32)
+    init_r = jnp.asarray(np.asarray(init_counts)[r.txp_order],
+                         jnp.float32)
+    counts_region = jnp.asarray(r.counts_region, jnp.float32)
+    c_slices = []
+    pos = 0
+    cpos = 0
+    for wv, n in r.c_regions:
+        c_slices.append((pos, wv, n, cpos))
+        pos += wv * n
+        cpos += n
+
+    def one_round(key, txp_count_r):
+        k_mu, k_mult = jax.random.split(key)
+        ci = txp_count_r + pri_r
+        if no_gamma_draw:
+            mu = ci / eff_r
+        else:
+            g = jax.random.gamma(k_mu, jnp.maximum(ci, 1e-6))
+            mu = g / (GIBBS_BETA + eff_r)
+        base_l = fastem._expand_regions(mu[:n_present], r.l_regions)
+        mu_c = fastem._route(r.key_lc, base_l, r.n_route)[:r.s_c]
+        probs = 1000.0 * mu_c * r.aux_c
+        # degenerate-denominator fallbacks (reference :103-130)
+        denom = fastem._expand_regions(
+            fastem._reduce_regions(probs, r.c_regions), r.c_regions)
+        probs = jnp.where(denom > MIN_EQ_WEIGHT, probs, r.inv_el_c)
+        denom2 = fastem._expand_regions(
+            fastem._reduce_regions(probs, r.c_regions), r.c_regions)
+        probs = jnp.where(denom2 > MIN_EQ_WEIGHT, probs,
+                          r.real_c.astype(jnp.float32))
+        # region-wise per-class multinomial reassignment
+        parts = []
+        keys = jax.random.split(k_mult, len(c_slices))
+        for kk, (p0, wv, n, c0) in zip(keys, c_slices):
+            cnt = jax.lax.dynamic_slice_in_dim(counts_region, c0, n)
+            if wv == 1:
+                parts.append(cnt)  # singleton classes: full count
+                continue
+            pr = jax.lax.dynamic_slice_in_dim(
+                probs, p0, wv * n).reshape(n, wv)
+            msk = jax.lax.dynamic_slice_in_dim(
+                r.real_c, p0, wv * n).reshape(n, wv)
+            parts.append(multinomial_rows(kk, cnt, pr, msk).reshape(-1))
+        assign_c = jnp.concatenate(parts)
+        back = fastem._route(r.key_cl, assign_c, r.n_route)[:r.s_l]
+        cnt_p = fastem._reduce_regions(back, r.l_regions)
+        return jnp.concatenate(
+            [cnt_p, jnp.zeros(r.n_absent, jnp.float32)])
+
+    nchains = 1
+    if num_samples >= 200:
+        nchains = 8
+    elif num_samples >= 100:
+        nchains = 4
+    elif num_samples >= 50:
+        nchains = 2
+    per_chain = -(-num_samples // nchains)
+
+    @jax.jit
+    def one_chain(key):
+        def sample_step(carry, _):
+            tc, key = carry
+            def thin_round(i, c):
+                t, k = c
+                k, sub = jax.random.split(k)
+                return one_round(sub, t), k
+            tc, key = jax.lax.fori_loop(0, thinning, thin_round,
+                                        (tc, key))
+            return (tc, key), tc
+        (_, _), samples = jax.lax.scan(
+            sample_step, (init_r, key), None, length=per_chain)
+        return samples
+
+    keys = jax.random.split(jax.random.PRNGKey(seed), nchains)
+    all_s = np.asarray(jax.vmap(one_chain)(keys)).reshape(-1, num_txps)
+    inv = np.empty(num_txps, np.int64)
+    inv[r.txp_order] = np.arange(num_txps)
+    return all_s[:num_samples][:, inv]
+
+
 def bootstrap_samples(eq: PackedEqClasses, num_txps: int,
                       eff_lens: np.ndarray, num_boot: int,
                       use_vbem: bool, vb_prior: float,

@@ -750,7 +750,11 @@ def _posterior_samples(result: QuantResult, opts: SalmonDefaults,
             prior = 1e-3
         if not opts.per_transcript_prior:
             prior = prior * np.maximum(result.eff_lens, 1.0)
-        samples = sampling.gibbs_samples(
+        gibbs_fn = (sampling.gibbs_samples_routed
+                    if result.eq_classes.labels.shape[0]
+                    >= em_mod.ROUTED_MIN_ENTRIES
+                    else sampling.gibbs_samples)
+        samples = gibbs_fn(
             result.eq_classes, n, result.eff_lens, result.counts,
             opts.num_gibbs_samples, thinning=opts.thinning_factor,
             prior=prior, no_gamma_draw=opts.no_gamma_draw, seed=seed)

@@ -88,6 +88,43 @@ def test_bootstrap_shapes_and_totals():
     assert np.std(b[:, 1]) > 0
 
 
+def test_gibbs_routed_matches_dense():
+    """The routed Gibbs engine must agree with the dense engine in
+    distribution (same posterior means within MC noise) on a mid-size
+    random fixture."""
+    rng = np.random.default_rng(9)
+    T, NCLS = 150, 300
+    sizes = np.minimum(1 + rng.geometric(0.45, NCLS), 6).astype(np.int32)
+    E = int(sizes.sum())
+    seg = np.repeat(np.arange(NCLS), sizes)
+    labels = rng.integers(0, T, E).astype(np.int32)
+    w = rng.random(E)
+    wsum = np.bincount(seg, weights=w, minlength=NCLS)
+    weights = w / wsum[seg]
+    counts = rng.integers(1, 25, NCLS).astype(np.float64)
+    offsets = np.zeros(NCLS + 1, np.int64)
+    offsets[1:] = np.cumsum(sizes)
+    eq = PackedEqClasses(labels=labels, weights=weights, offsets=offsets,
+                         counts=counts, class_sizes=sizes)
+    eff = np.full(T, 120.0)
+    init = np.bincount(labels, weights=counts[seg] * weights,
+                       minlength=T)
+    kw = dict(thinning=4, prior=1e-3, no_gamma_draw=False)
+    gd = sampling.gibbs_samples(eq, T, eff, init, 64, seed=21, **kw)
+    gr = sampling.gibbs_samples_routed(eq, T, eff, init, 64, seed=21,
+                                       **kw)
+    total = counts.sum()
+    np.testing.assert_allclose(gd.sum(axis=1), total, rtol=1e-4)
+    np.testing.assert_allclose(gr.sum(axis=1), total, rtol=1e-4)
+    md, mr = gd.mean(axis=0), gr.mean(axis=0)
+    from scipy.stats import spearmanr
+    assert spearmanr(md, mr).statistic > 0.97
+    big = md > 5.0
+    se = gd.std(axis=0) / 8 + gr.std(axis=0) / 8
+    assert np.abs(md[big] - mr[big]).max() <= (4 * se[big]
+                                               + 0.08 * md[big]).max()
+
+
 def test_bootstrap_routed_matches_dense():
     """The sort-routed bootstrap engine (at-scale path) must agree with
     the dense vmapped engine in distribution: same per-transcript means
