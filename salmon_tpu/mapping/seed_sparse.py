@@ -198,10 +198,20 @@ def rebudget_hits(hits, *, P: int, hits_per_end: int):
     (a superset of the single-device kept set, since every window's
     occurrences live in exactly one owner shard); keeping the leftmost
     `hits_per_end` of the union — windows first, CSR order within a
-    window — restores the single-device budget semantics bit-exactly,
-    so mapping results do not depend on --indexShards. One stable
-    global sort by (read-end, window): within-window order is already
-    contiguous per shard, and stable sorting preserves it."""
+    window — restores the single-device budget semantics, so mapping
+    results do not depend on --indexShards. One stable global sort by
+    (read-end, window): within-window order is already contiguous per
+    shard, and stable sorting preserves it.
+
+    Precision note: the per-shard collect budget counts a merged
+    window's separator/foreign rows (the slot count includes them),
+    while this re-budget ranks only REAL hits — so when the budget is
+    BINDING on a read-end whose windows hit shadow-merged slots (both
+    rare: ~2.4e-4 of keys merge, and default budgets bind only on
+    highly repetitive reads), the kept set can differ from the
+    single-device path by the few hits displaced by separators. The
+    400-seed parity scan (scripts/repro_shard_parity.py) and the
+    default-budget eq-diff on the bundled sample find zero divergence."""
     rid_u, key, key2, diag = hits
     H = rid_u.shape[0]
     window_bits = max(8, _ceil_log2(P))
