@@ -191,7 +191,7 @@ def build_index(
         "num_targets": len(records),
         "num_decoys": len(records) - first_decoy_index,
         "num_kmers": int(uniq.shape[0]),
-        "num_occurrences": int(km.shape[0]),
+        "num_occurrences": int(tx.shape[0]),  # incl. shadow-merge appendix
         "keep_duplicates": keep_duplicates,
     })
     return TranscriptomeIndex(
@@ -278,7 +278,7 @@ def _build_partitioned(records, info, k, first_decoy_index, seq_codes,
         "num_targets": len(records),
         "num_decoys": len(records) - first_decoy_index,
         "num_kmers": int(nu),
-        "num_occurrences": int(total),
+        "num_occurrences": int(tx.shape[0]),  # incl. shadow-merge appendix
         "keep_duplicates": keep_duplicates,
     })
     return TranscriptomeIndex(
@@ -332,13 +332,10 @@ def load_index(index_dir: str) -> TranscriptomeIndex:
             f"{INDEX_FORMAT_VERSION}; please rebuild")
     with open(os.path.join(index_dir, "ref_names.txt")) as fh:
         names = [ln.rstrip("\n") for ln in fh if ln.rstrip("\n")]
-    if os.path.exists(os.path.join(index_dir, "table_rows.npy")):
-        # format v2 .npy layout: mmap so untouched arrays never hit disk
-        z = {name: np.load(os.path.join(index_dir, f"{name}.npy"),
-                           mmap_mode="r")
-             for name in _INDEX_ARRAYS}
-    else:  # legacy single-.npz layout (eager full read per member)
-        z = np.load(os.path.join(index_dir, "index.npz"))
+    # one raw .npy per array: mmap so untouched arrays never hit disk
+    z = {name: np.load(os.path.join(index_dir, f"{name}.npy"),
+                       mmap_mode="r")
+         for name in _INDEX_ARRAYS}
     table = (KmerHashTable(
         rows=z["table_rows"],
         n_slots=int(meta["table_n_slots"]),

@@ -153,8 +153,8 @@ class KmerHashTable:
 
 def _rank_in_bucket(bucket: np.ndarray, counts: np.ndarray):
     """Per-key rank within its bucket, lowest occurrence count first
-    (ties by input order). Returns (rank, order) where order is the
-    lexsort permutation the rank is aligned with the INPUT via."""
+    (ties by input order). Returns the per-key rank aligned with the
+    input order."""
     n = bucket.shape[0]
     order = np.lexsort((counts, bucket))
     b_sorted = bucket[order]
@@ -210,6 +210,14 @@ def build_hash_table(keys_u64: np.ndarray,
         starts = np.arange(n, dtype=np.int32)
         counts = np.ones(n, dtype=np.int64)
     else:
+        if int(occ_offsets[-1]) >= 2**31:
+            # slot starts are int32 by design (8-byte device slots);
+            # past 2^31 records the index must be built table-less and
+            # quantified with --indexShards (per-shard local offsets)
+            raise ValueError(
+                f"{int(occ_offsets[-1])} occurrence records exceed the "
+                "int32 slot-offset range; use a sharded index "
+                "(--indexShards)")
         starts = occ_offsets[:-1].astype(np.int32)
         counts = np.diff(occ_offsets)
 
@@ -279,7 +287,7 @@ def build_hash_table(keys_u64: np.ndarray,
 
     # ---- fingerprint-shadow resolution (see module docstring) ----------
     # placed keys, their slot coordinates, and their probe position
-    appendix = np.zeros((0, 2), np.int64)
+    appendix = np.zeros((0, 3), np.int64)
     n_shadowed = 0
     if pk.size:
         own_pos = pslot + np.where(pbucket == b1[pk], 0, SLOTS_PER_BUCKET)

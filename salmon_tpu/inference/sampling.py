@@ -30,6 +30,18 @@ from salmon_tpu.inference.eqclasses import PackedEqClasses
 GIBBS_BETA = 0.1  # reference: beta in sampleRoundNonCollapsedMultithreaded_
 
 
+def _nchains(num_samples: int) -> int:
+    """Chain count keyed off the sample budget (reference sample
+    :425-437)."""
+    if num_samples >= 200:
+        return 8
+    if num_samples >= 100:
+        return 4
+    if num_samples >= 50:
+        return 2
+    return 1
+
+
 def dense_classes(eq: PackedEqClasses, num_txps: int):
     """Pad CSR classes to dense (C, S) numpy arrays.
 
@@ -140,13 +152,7 @@ def gibbs_samples(eq: PackedEqClasses, num_txps: int, eff_lens: np.ndarray,
                                       (num_txps,)), jnp.float32)
     init = jnp.asarray(init_counts, jnp.float32)
 
-    nchains = 1
-    if num_samples >= 200:
-        nchains = 8
-    elif num_samples >= 100:
-        nchains = 4
-    elif num_samples >= 50:
-        nchains = 2
+    nchains = _nchains(num_samples)
     per_chain = -(-num_samples // nchains)
 
     @jax.jit
@@ -244,13 +250,7 @@ def gibbs_samples_routed(eq: PackedEqClasses, num_txps: int,
         return jnp.concatenate(
             [cnt_p, jnp.zeros(r.n_absent, jnp.float32)])
 
-    nchains = 1
-    if num_samples >= 200:
-        nchains = 8
-    elif num_samples >= 100:
-        nchains = 4
-    elif num_samples >= 50:
-        nchains = 2
+    nchains = _nchains(num_samples)
     per_chain = -(-num_samples // nchains)
 
     @jax.jit
@@ -340,14 +340,19 @@ def bootstrap_samples(eq: PackedEqClasses, num_txps: int,
     min_iter = 50
     cutoff = DEFAULTS.alpha_check_cutoff
 
-    @jax.jit
-    def one_replicate(key):
-        # multinomial resample over classes (reference csamp over
-        # sampleWeights = class counts)
-        counts = multinomial_rows(
-            key, jnp.asarray([total], jnp.float32),
-            dcls["counts"][None, :], jnp.ones((1, C), bool))[0]
+    # multinomial resample over classes on the HOST (reference csamp
+    # over sampleWeights = class counts): exact integer counts (the
+    # device conditional-binomial path would carry the running total in
+    # float32, drifting past 2^24 fragments) and no C-step sequential
+    # loop per replicate
+    rng_h = np.random.default_rng(seed ^ 0x5A17)
+    base_counts = np.asarray(eq.counts, np.float64)
+    pvec = base_counts / max(base_counts.sum(), 1e-300)
+    counts_all = jnp.asarray(rng_h.multinomial(
+        max(1, int(round(total))), pvec, size=num_boot), jnp.float32)
 
+    @jax.jit
+    def one_replicate(counts):
         def cond(state):
             _, it, converged = state
             return (it < min_iter) | ((it < max_iter) & ~converged)
@@ -367,8 +372,7 @@ def bootstrap_samples(eq: PackedEqClasses, num_txps: int,
         alpha = jnp.where(alpha < DEFAULTS.min_alpha, 0.0, alpha)
         return alpha
 
-    keys = jax.random.split(jax.random.PRNGKey(seed ^ 0x5A17), num_boot)
-    out = jax.vmap(one_replicate)(keys)
+    out = jax.vmap(one_replicate)(counts_all)
     return np.asarray(out, dtype=np.float64)
 
 

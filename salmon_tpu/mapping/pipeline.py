@@ -33,6 +33,7 @@ from salmon_tpu.mapping.pair import (MS_LEFT_ORPHAN, MS_PAIRED,
                                      MS_RIGHT_ORPHAN, join_pairs,
                                      merge_paired_with_orphans, orphan_hits)
 from salmon_tpu.mapping.score import (candidate_read_start,
+                                      diag_bucket_bits_for,
                                       expand_occurrences, score_candidates)
 
 INVALID_TXP = jnp.int32(0x7FFFFFFF)
@@ -46,6 +47,7 @@ class MapperConfig:
     max_probes: int
     first_decoy_index: int
     num_txps: int
+    max_tpos: int = 1 << 20       # max transcript length (diag-bucket sizing)
     occ_cap: int = DEFAULTS.occ_cap
     max_cands: int = DEFAULTS.max_cands
     max_pair_cands: int = DEFAULTS.max_pair_cands
@@ -114,6 +116,8 @@ class MapperConfig:
                         else 16),
             first_decoy_index=idx.first_decoy_index,
             num_txps=idx.num_targets,
+            max_tpos=int(np.asarray(idx.lengths).max())
+            if idx.num_targets else 1,
             occ_cap=opts.occ_cap, max_cands=opts.max_cands,
             max_pair_cands=opts.max_pair_cands,
             max_occs_per_hit=opts.max_occs_per_hit,
@@ -230,11 +234,14 @@ def _seed_candidates(ends, lengths_per_end, dev, cfg: MapperConfig):
               for codes, lengths in zip(ends, lengths_per_end)]
     if cfg.sparse_seed:
         from salmon_tpu.mapping.seed_sparse import seed_candidates_sparse
+        P = seeded[0][1][0].shape[1]
+        wb = max(8, int(np.ceil(np.log2(max(P, 2)))))
         cands = seed_candidates_sparse(
             seeded, dev["occ_quad"], occ_cap=cfg.occ_cap,
             max_occs_per_hit=cfg.max_occs_per_hit,
             hits_per_end=cfg.seed_hits_per_end,
-            max_cands=cfg.max_cands, stride=cfg.kmer_stride)
+            max_cands=cfg.max_cands, stride=cfg.kmer_stride,
+            diag_bucket_bits=diag_bucket_bits_for(cfg.max_tpos, wb))
     else:
         cands = [_dense_candidates(km, lk, dev, cfg)
                  for km, lk in seeded]
@@ -263,7 +270,8 @@ def _dense_candidates(km, lk, dev, cfg: MapperConfig):
             f"raise kmer_stride or reduce max_read_len")
     return score_candidates(
         key.reshape(R, n), rpos.reshape(R, n), diag.reshape(R, n),
-        cfg.max_cands, stride=cfg.kmer_stride, window_bits=window_bits)
+        cfg.max_cands, stride=cfg.kmer_stride, window_bits=window_bits,
+        diag_bucket_bits=diag_bucket_bits_for(cfg.max_tpos, window_bits))
 
 
 def _device_revcomp(codes, lengths):

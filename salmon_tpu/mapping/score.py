@@ -145,6 +145,20 @@ def segment_carry_first(values, seg_start, axis=1):
 DIAG_OFFSET = 4096  # diag >= -max_read_len, so +4096 keeps buckets >= 0
 
 
+def diag_bucket_bits_for(max_tpos: int, window_bits: int,
+                         min_bits: int = 5) -> int:
+    """Smallest diagonal-bucket shift such that
+    (max_diag + DIAG_OFFSET) >> bits fits the 32 - window_bits key bits
+    above the window field. Diagonals are transcript-LOCAL positions,
+    so ordinary transcriptomes stay at the default width while huge
+    decoy chromosomes (64Mb+) COARSEN the chain bands instead of
+    silently wrapping the packed sort key (which would alias unrelated
+    diagonal bands and corrupt chain scores/min_diag)."""
+    import numpy as _np
+    need = int(_np.ceil(_np.log2(max(max_tpos + DIAG_OFFSET + 1, 2))))
+    return max(min_bits, need - (32 - window_bits))
+
+
 def score_candidates(key, rpos, diag, max_cands: int, stride: int = 1,
                      window_bits: int = 8, diag_bucket_bits: int = 5):
     """Sort hits per read and reduce co-linear runs to top-T candidates.

@@ -176,10 +176,13 @@ def _sharded_cands(ends_cl, dev, cfg: MapperConfig, shard_bits: int,
               for c, l in ends_cl]
     E = len(seeded)
     R, Pw = seeded[0][1][0].shape
+    from salmon_tpu.mapping.score import diag_bucket_bits_for
+    wb = max(8, int(np.ceil(np.log2(max(Pw, 2)))))
     hits = collect_hits_sparse(
         seeded, occ_quad, occ_cap=cfg.occ_cap,
         max_occs_per_hit=cfg.max_occs_per_hit,
-        hits_per_end=cfg.seed_hits_per_end, stride=cfg.kmer_stride)
+        hits_per_end=cfg.seed_hits_per_end, stride=cfg.kmer_stride,
+        diag_bucket_bits=diag_bucket_bits_for(cfg.max_tpos, wb))
     # concat the shards' hit lists (global coordinates), then re-apply
     # the per-end budget over the union so results match the
     # single-device path bit-exactly (seed_sparse.rebudget_hits)

@@ -123,3 +123,22 @@ def test_sparse_budget_truncation_keeps_leftmost():
                seed_hits_per_end=4)
     # every sample read is unique-mapping with hits in its first windows
     assert int(out["num_mapped"]) == R
+
+
+def test_diag_bucket_bits_never_overflow_key():
+    """key2 = diag_bucket << window_bits must fit uint32 for any
+    transcript-local diagonal up to the index's max transcript length
+    (64Mb+ decoy chromosomes coarsen the bands instead of wrapping)."""
+    from salmon_tpu.mapping.score import DIAG_OFFSET, diag_bucket_bits_for
+    for max_tpos in (1000, 100_000, 1 << 20, 64_000_000, 250_000_000,
+                     2_000_000_000):
+        for wb in (8, 9, 10, 11, 12):
+            b = diag_bucket_bits_for(max_tpos, wb)
+            assert b >= 5
+            db_max = (max_tpos + DIAG_OFFSET) >> b
+            assert db_max < (1 << (32 - wb)), (max_tpos, wb, b)
+            # and not needlessly coarse: one fewer bit would overflow
+            # (unless already at the floor)
+            if b > 5:
+                assert ((max_tpos + DIAG_OFFSET) >> (b - 1)) \
+                    >= (1 << (32 - wb))
