@@ -186,11 +186,30 @@ def _human_scale():
 
 
 def main():
+    # watchdog: device discovery hangs indefinitely when the TPU tunnel
+    # is down (observed 2026-08-18); emit a diagnostic JSON line and
+    # exit instead of hanging the driver silently
+    import threading
+    ready = threading.Event()
+
+    def _watchdog():
+        if not ready.wait(float(os.environ.get("BENCH_DEVICE_TIMEOUT",
+                                               900))):
+            print(json.dumps({
+                "metric": "reads/s/chip", "value": 0.0,
+                "unit": "fragments/s", "vs_baseline": 0.0,
+                "error": "device discovery timed out (TPU tunnel down)",
+            }), flush=True)
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     import jax
 
     from salmon_tpu.index.builder import build_index
 
     dev_kind = jax.devices()[0].device_kind
+    ready.set()
     _log(f"# bench device: {dev_kind}")
 
     idx = build_index(os.path.join(DATA, "transcripts.fasta"), k=25)
