@@ -73,6 +73,12 @@ def multinomial_rows(key, n, probs, mask):
     Conditional-binomial method: slot i gets
     Binomial(remaining_j, p_i / tail_p_j). probs need not be normalized.
     n: (C,) float counts; probs/mask: (C, S). Returns (C, S) float32.
+
+    Precision bound: the running remainder is float32, so a single ROW
+    with n > 2^24 (~16.7M fragments in one equivalence class) loses
+    integer precision in the redistribution. Bootstrap TOTALS are exact
+    (resampled on the host); this bound applies to Gibbs reassignment
+    of pathologically deep single classes only.
     """
     C, S = probs.shape
     p = jnp.where(mask, probs, 0.0)
