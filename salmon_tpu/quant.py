@@ -365,6 +365,33 @@ def quantify(
                                     want_names=want_names,
                                     fixed_len=multiproc)
 
+    # SALMON_TPU_AOT_CACHE: swap the jitted mapping entry for an
+    # AOT-deserialized executable when a cached one exists for this
+    # (shapes, cfg) signature — kills the multi-minute per-process
+    # first compile on backends whose persistent cache does not
+    # rehydrate (utils/aotcache.py; single-device path only)
+    from salmon_tpu.utils import aotcache as _aot
+    _aot_compiled: dict = {}
+
+    def _map_paired_aot(batch, dev_, cfg_, fld_logpmf, cp_, co_):
+        shape_sig = tuple(
+            (k, tuple(v.shape), str(v.dtype))
+            for k, v in sorted(batch.items()))
+        comp = _aot_compiled.get(shape_sig)
+        if comp is None:
+            comp = _aot.compile_cached(
+                map_paired_batch, repr(("paired", shape_sig, cfg_)),
+                (batch, dev_, cfg_, fld_logpmf, cp_, co_),
+                (batch, dev_, fld_logpmf, cp_, co_))
+            _aot_compiled[shape_sig] = comp if comp is not None \
+                else False
+        if comp:
+            return comp(batch, dev_, fld_logpmf, cp_, co_)
+        return map_paired_batch(batch, dev_, cfg_, fld_logpmf, cp_, co_)
+
+    use_aot = (_aot.cache_dir() is not None and mesh is None
+               and not multiproc and opts.index_shards <= 1)
+
     def submit(chunk):
         """Launch the jitted map for one chunk (async dispatch: returns
         immediately with device futures)."""
@@ -407,6 +434,9 @@ def quantify(
                 batch = shard_batch_arrays(mesh, batch)
                 out = parallel_map_paired(mesh, batch, dev, cfg,
                                           fld_logpmf, cp, co)
+            elif use_aot:
+                out = _map_paired_aot(batch, dev, cfg, fld_logpmf, cp,
+                                      co)
             else:
                 out = map_paired_batch(batch, dev, cfg, fld_logpmf, cp,
                                        co)
