@@ -112,6 +112,7 @@ class SalmonDefaults:
     no_rich_eq_classes: bool = False     # --noRichEqClasses: flat aux weights
     num_required_frags: float = 5e7      # --numRequiredObs (EM init blend)
     aux_dir: str = "aux_info"            # --auxDir
+    pipeline_depth: int = 1              # host/device pipeline depth (SALMON_TPU_PIPE_DEPTH overrides)
     disable_live_progress: bool = False  # --disableLiveProgress
     progress_update_ms: int = 5000       # --progressUpdateMs (log-line throttle; the reference's TTY ticker defaults to 500)
 

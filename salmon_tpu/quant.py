@@ -599,7 +599,16 @@ def quantify(
         _prof.start_trace(profile_dir)
         logger.info("profiler trace -> %s", profile_dir)
 
-    pending = None  # 1-deep host/device pipeline
+    # K-deep host/device pipeline: consume batch N-K while N computes.
+    # Depth 1 (default) = the reference's one-batch-stale online state;
+    # deeper pipelines (opts.pipeline_depth / SALMON_TPU_PIPE_DEPTH)
+    # hide more host time behind device time at the cost of K-batch
+    # staleness in the FLD/online mass fed forward (benign — the
+    # reference's racing threads have the same property)
+    import collections as _coll
+    depth = max(1, int(os.environ.get(
+        "SALMON_TPU_PIPE_DEPTH", getattr(opts, "pipeline_depth", 1))))
+    pending = _coll.deque()
     _last_progress = [time.time()]
     for chunk in chunks:
         batch, out = submit(chunk)
@@ -618,14 +627,11 @@ def quantify(
                 expected = libformat.parse_library_format(resolved_format)
                 cp, co, cs = compat_arrays(expected)
 
-        # consume the PREVIOUS batch's results while this one computes
-        # (the FLD fed to batch N+1 is one batch stale — the reference's
-        # racing online threads have the same benign staleness)
-        if pending is not None:
-            _consume(*pending)
-        pending = (chunk, batch, out)
-    if pending is not None:
-        _consume(*pending)
+        pending.append((chunk, batch, out))
+        if len(pending) > depth:
+            _consume(*pending.popleft())
+    while pending:
+        _consume(*pending.popleft())
     if profile_dir:
         import jax.profiler as _prof
         _prof.stop_trace()
