@@ -702,11 +702,18 @@ def quantify(
                         if (opts.seq_bias_correct or opts.gc_bias_correct
                             or opts.pos_bias_correct)
                         else opts.min_em_iterations))
-    # normalizeAlphas (reference SalmonUtils.cpp:462): scale the
-    # forgetting-mass-weighted online estimates back to count scale
-    om_sum = online_mass[:n_valid].sum()
-    if om_sum > 0:
-        online_mass = online_mass * (totals["num_mapped"] / om_sum)
+    # normalizeAlphas (reference SalmonUtils.cpp:462-529): distribute
+    # each multimap-connected cluster's fragment count over its members
+    # proportionally to online mass, projected into [unique, total]
+    # counts (ClusterForest + projectToPolytope; inference/clusters.py)
+    if eq.num_classes and online_mass[:n_valid].sum() > 0:
+        from salmon_tpu.inference import clusters as clusters_mod
+        online_mass = clusters_mod.normalize_alphas(
+            eq, n_valid, online_mass[:n_valid])
+    else:
+        om_sum = online_mass[:n_valid].sum()
+        if om_sum > 0:
+            online_mass = online_mass * (totals["num_mapped"] / om_sum)
 
     t_em = time.time()
     if opts.skip_quant:
