@@ -29,6 +29,47 @@ from salmon_tpu.inference.eqclasses import PackedEqClasses
 
 GIBBS_BETA = 0.1  # reference: beta in sampleRoundNonCollapsedMultithreaded_
 
+# per-class count cap for the device multinomial: the conditional-
+# binomial scan carries its running remainder in float32, which is
+# exact for integers <= 2^24. Classes deeper than this are split into
+# equal-distribution chunks (Multinomial(n1+n2, p) = Multinomial(n1, p)
+# + Multinomial(n2, p)), keeping every device-side count exactly
+# representable at any fragment scale.
+MULTINOMIAL_COUNT_CAP = 1 << 23
+
+
+def split_deep_classes(eq: PackedEqClasses,
+                       cap: int = MULTINOMIAL_COUNT_CAP) -> PackedEqClasses:
+    """Split classes with count > cap into chunks of <= cap fragments.
+
+    The chunked multinomial reassignment has exactly the original
+    distribution, so sampling semantics are unchanged; only the f32
+    precision bound moves out of reach (>2^24-count classes would lose
+    integer precision in the device redistribution otherwise)."""
+    deep = np.flatnonzero(eq.counts > cap)
+    if deep.size == 0:
+        return eq
+    label_chunks, weight_chunks = [], []
+    counts, sizes = [], []
+    for j in range(eq.num_classes):
+        lo, hi = int(eq.offsets[j]), int(eq.offsets[j + 1])
+        n = float(eq.counts[j])
+        reps = max(1, int(np.ceil(n / cap)))
+        for r in range(reps):
+            label_chunks.append(eq.labels[lo:hi])
+            weight_chunks.append(eq.weights[lo:hi])
+            counts.append(min(float(cap), n - r * cap))
+            sizes.append(hi - lo)
+    labels = np.concatenate(label_chunks).astype(np.int32)
+    weights = np.concatenate(weight_chunks)
+    sizes = np.asarray(sizes, np.int32)
+    offsets = np.zeros(sizes.shape[0] + 1, np.int64)
+    offsets[1:] = np.cumsum(sizes)
+    return PackedEqClasses(labels=labels, weights=weights,
+                           offsets=offsets,
+                           counts=np.asarray(counts, np.float64),
+                           class_sizes=sizes)
+
 
 def _nchains(num_samples: int) -> int:
     """Chain count keyed off the sample budget (reference sample
@@ -109,9 +150,12 @@ def multinomial_rows(key, n, probs, mask):
 
 def _gibbs_round(key, txp_count, dcls, prior, eff_lens, num_txps: int,
                  no_gamma_draw: bool):
-    """One internal Gibbs round: mu draw + multinomial reassignment."""
+    """One internal Gibbs round: mu draw + multinomial reassignment.
+
+    txp_count is carried as int32 (draws are integral; int32 keeps
+    per-transcript totals exact past the f32 2^24 bound)."""
     k_mu, k_mult = jax.random.split(key)
-    ci = txp_count + prior
+    ci = txp_count.astype(jnp.float32) + prior
     if no_gamma_draw:
         mu = ci / jnp.maximum(eff_lens, 1.0)
     else:
@@ -135,8 +179,10 @@ def _gibbs_round(key, txp_count, dcls, prior, eff_lens, num_txps: int,
 
     assign = multinomial_rows(k_mult, dcls["counts"], probs, dcls["mask"])
     flat_labels = dcls["labels"].reshape(-1)
+    # draws are exact integers <= MULTINOMIAL_COUNT_CAP in f32; sum them
+    # in int32 so deep transcripts stay exact past 2^24
     flat_assign = jnp.where(dcls["mask"], assign, 0.0).reshape(-1)
-    return jax.ops.segment_sum(flat_assign, flat_labels,
+    return jax.ops.segment_sum(flat_assign.astype(jnp.int32), flat_labels,
                                num_segments=num_txps)
 
 
@@ -150,13 +196,17 @@ def gibbs_samples(eq: PackedEqClasses, num_txps: int, eff_lens: np.ndarray,
 
     Multiple chains restart from the initial EM estimate exactly as the
     reference (nchains keyed off numSamples, sample :425-437). Returns
-    (num_samples, num_txps) float32 counts.
+    (num_samples, num_txps) float64 integer counts (exact at any depth:
+    deep classes are chunked and totals accumulate in int32).
     """
+    eq = split_deep_classes(eq)
     dcls, S = dense_classes(eq, num_txps)
     eff = jnp.asarray(np.maximum(eff_lens, 1.0), jnp.float32)
     pri = jnp.asarray(np.broadcast_to(np.asarray(prior, np.float64),
                                       (num_txps,)), jnp.float32)
-    init = jnp.asarray(init_counts, jnp.float32)
+    # the carry becomes integral after the first reassignment round;
+    # rounding the (fractional) EM seed only perturbs the first mu draw
+    init = jnp.asarray(np.rint(np.asarray(init_counts)), jnp.int32)
 
     nchains = _nchains(num_samples)
     per_chain = -(-num_samples // nchains)
@@ -180,7 +230,7 @@ def gibbs_samples(eq: PackedEqClasses, num_txps: int, eff_lens: np.ndarray,
     keys = jax.random.split(jax.random.PRNGKey(seed), nchains)
     all_s = jax.vmap(one_chain)(keys)  # (nchains, per_chain, T)
     out = np.asarray(all_s).reshape(-1, num_txps)[:num_samples]
-    return out
+    return out.astype(np.float64)
 
 
 def gibbs_samples_routed(eq: PackedEqClasses, num_txps: int,
@@ -200,6 +250,7 @@ def gibbs_samples_routed(eq: PackedEqClasses, num_txps: int,
     need no sampling at all)."""
     from salmon_tpu.inference import fastem
 
+    eq = split_deep_classes(eq)
     r = fastem.pack_routed(eq, num_txps, eff_lens)
     n_present = num_txps - r.n_absent
     eff_r = jnp.asarray(np.maximum(np.asarray(eff_lens), 1.0)
@@ -207,8 +258,8 @@ def gibbs_samples_routed(eq: PackedEqClasses, num_txps: int,
     pri_r = jnp.asarray(np.broadcast_to(
         np.asarray(prior, np.float64), (num_txps,))[r.txp_order],
         jnp.float32)
-    init_r = jnp.asarray(np.asarray(init_counts)[r.txp_order],
-                         jnp.float32)
+    init_r = jnp.asarray(np.rint(np.asarray(init_counts))[r.txp_order],
+                         jnp.int32)
     counts_region = jnp.asarray(r.counts_region, jnp.float32)
     c_slices = []
     pos = 0
@@ -220,7 +271,7 @@ def gibbs_samples_routed(eq: PackedEqClasses, num_txps: int,
 
     def one_round(key, txp_count_r):
         k_mu, k_mult = jax.random.split(key)
-        ci = txp_count_r + pri_r
+        ci = txp_count_r.astype(jnp.float32) + pri_r
         if no_gamma_draw:
             mu = ci / eff_r
         else:
@@ -250,11 +301,13 @@ def gibbs_samples_routed(eq: PackedEqClasses, num_txps: int,
             msk = jax.lax.dynamic_slice_in_dim(
                 r.real_c, p0, wv * n).reshape(n, wv)
             parts.append(multinomial_rows(kk, cnt, pr, msk).reshape(-1))
-        assign_c = jnp.concatenate(parts)
+        # draws are exact integers <= MULTINOMIAL_COUNT_CAP in f32;
+        # route + reduce them in int32 so deep transcripts stay exact
+        assign_c = jnp.concatenate(parts).astype(jnp.int32)
         back = fastem._route(r.key_cl, assign_c, r.n_route)[:r.s_l]
         cnt_p = fastem._reduce_regions(back, r.l_regions)
         return jnp.concatenate(
-            [cnt_p, jnp.zeros(r.n_absent, jnp.float32)])
+            [cnt_p, jnp.zeros(r.n_absent, jnp.int32)])
 
     nchains = _nchains(num_samples)
     per_chain = -(-num_samples // nchains)
@@ -278,7 +331,7 @@ def gibbs_samples_routed(eq: PackedEqClasses, num_txps: int,
     all_s = np.asarray(jax.vmap(one_chain)(keys)).reshape(-1, num_txps)
     inv = np.empty(num_txps, np.int64)
     inv[r.txp_order] = np.arange(num_txps)
-    return all_s[:num_samples][:, inv]
+    return all_s[:num_samples][:, inv].astype(np.float64)
 
 
 def bootstrap_samples(eq: PackedEqClasses, num_txps: int,
@@ -403,6 +456,7 @@ def bootstrap_samples_routed(eq: PackedEqClasses, num_txps: int,
     from salmon_tpu.inference import em as em_mod
     from salmon_tpu.inference import fastem
 
+    eq = split_deep_classes(eq)
     r = fastem.pack_routed(eq, num_txps, eff_lens)
     total = float(eq.counts.sum())
     if active_mask is None:

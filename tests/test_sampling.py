@@ -21,6 +21,18 @@ def _toy_eq():
                            counts=counts, class_sizes=sizes)
 
 
+def _make_eq(label_sets, counts):
+    labels = np.concatenate([np.asarray(s, np.int32) for s in label_sets])
+    sizes = np.array([len(s) for s in label_sets], np.int32)
+    offsets = np.zeros(len(label_sets) + 1, np.int64)
+    offsets[1:] = np.cumsum(sizes)
+    weights = np.concatenate([np.full(len(s), 1.0 / len(s))
+                              for s in label_sets])
+    return PackedEqClasses(labels=labels, weights=weights, offsets=offsets,
+                           counts=np.asarray(counts, np.float64),
+                           class_sizes=sizes)
+
+
 def test_multinomial_rows_marginals():
     key = jax.random.PRNGKey(0)
     probs = jnp.asarray([[0.5, 0.3, 0.2], [0.1, 0.1, 0.8]])
@@ -189,3 +201,35 @@ def test_cli_gibbs_outputs(tmp_path, sample_data_dir):
     assert samples.shape[0] == 8
     assert len(names) == 15
     assert (samples.sum(axis=1) > 0).all()
+
+
+def test_gibbs_deep_class_exact_totals():
+    """A class deeper than 2^24 fragments must produce EXACTLY
+    conserved totals (the f32 conditional-binomial bound is avoided by
+    equal-distribution class chunking + int32 accumulation)."""
+    n_deep = (1 << 24) + 3            # odd and beyond exact-f32 range
+    eq = _make_eq([[0, 1], [2]], [n_deep, 5])
+    eff = np.array([300.0, 300.0, 300.0])
+    init = np.array([n_deep / 2, n_deep / 2, 5.0])
+    s = sampling.gibbs_samples(eq, 3, eff, init, num_samples=3,
+                               thinning=2, seed=11)
+    totals = s.sum(axis=1)
+    np.testing.assert_array_equal(totals, float(n_deep + 5))
+    # both chunked halves land on the two members only
+    assert (s[:, 2] == 5).all()
+
+
+def test_split_deep_classes_identity_when_shallow():
+    eq = _make_eq([[0, 1], [2]], [10, 5])
+    assert sampling.split_deep_classes(eq) is eq
+
+
+def test_split_deep_classes_chunks():
+    cap = 100
+    eq = _make_eq([[0, 1], [2]], [250, 5])
+    sp = sampling.split_deep_classes(eq, cap=cap)
+    assert sp.num_classes == 4            # 100+100+50, 5
+    np.testing.assert_allclose(sorted(sp.counts), [5, 50, 100, 100])
+    assert float(sp.counts.sum()) == 255.0
+    # labels/weights replicated per chunk
+    assert sp.labels.shape[0] == 2 * 3 + 1
