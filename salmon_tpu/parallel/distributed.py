@@ -123,3 +123,24 @@ def allgather_eq_state(keys: np.ndarray, counts: np.ndarray,
         wsum_all.append(wsum_g[p, :n])
     return (np.concatenate(keys_all), np.concatenate(counts_all),
             np.concatenate(wsum_all))
+
+
+def allreduce_histograms(arrays):
+    """Sum a list of fixed-shape float64 host histograms across
+    processes (mergeObservedBias analog — the reference merges
+    per-worker-thread BiasParams, WorkerRuntimeContext.hpp:22-70; here
+    the workers are processes). Bit-exact: payloads travel as uint32
+    views so the gather cannot downcast float64 to float32."""
+    from jax.experimental import multihost_utils as mhu
+
+    flat = np.concatenate([np.asarray(a, np.float64).ravel()
+                           for a in arrays])
+    bits = flat.view(np.uint32)                 # (2 * n,) lossless
+    g = np.asarray(mhu.process_allgather(bits, tiled=False))
+    tot = g.view(np.float64).reshape(g.shape[0], -1).sum(axis=0)
+    out, pos = [], 0
+    for a in arrays:
+        n = int(np.prod(np.shape(a)))
+        out.append(tot[pos:pos + n].reshape(np.shape(a)))
+        pos += n
+    return out

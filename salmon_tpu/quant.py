@@ -266,13 +266,6 @@ def quantify(
                         n_dev, nproc)
     if multiproc:
         from salmon_tpu.parallel import distributed as _dist
-        if (opts.seq_bias_correct or opts.gc_bias_correct
-                or opts.pos_bias_correct):
-            logger.warning("bias correction is not supported multi-host "
-                           "yet; disabling")
-            opts = dataclasses.replace(
-                opts, seq_bias_correct=False, gc_bias_correct=False,
-                pos_bias_correct=False)
 
     fld = FragmentLengthDistribution(
         max_val=opts.max_frag_length, prior_mu=opts.frag_len_prior_mean,
@@ -478,14 +471,26 @@ def quantify(
                       to_np(out["eq_bins"])
                       if cfg.range_bins > 0 else None)
         if bias_state is not None:
-            bt = out["best_txp"]
-            bs = out["best_pos"]
-            be = bs + out["best_flen"] - 1
+            if multiproc:
+                # collect over THIS process's rows only; the fixed-size
+                # histograms are allreduced once after the stream
+                # (mergeObservedBias analog)
+                bt = jnp.asarray(to_np(out["best_txp"]))
+                bs = jnp.asarray(to_np(out["best_pos"]))
+                bf = jnp.asarray(to_np(out["best_flen"]))
+                fw = jnp.asarray(to_np(out["best_fw"]))
+                ip = jnp.asarray(to_np(out["best_is_paired"]))
+                ll = jnp.asarray(to_np(batch["lengths_l"]))
+                lr = jnp.asarray(to_np(batch["lengths_r"]))
+            else:
+                bt, bs, bf = (out["best_txp"], out["best_pos"],
+                              out["best_flen"])
+                fw, ip = out["best_fw"], out["best_is_paired"]
+                ll, lr = batch["lengths_l"], batch["lengths_r"]
+            be = bs + bf - 1
             bo = bias_collect(
-                bdev, bt, bs, be, out["best_fw"],
-                batch["lengths_l"], batch["lengths_r"],
-                out["best_is_paired"]
-                & (bt < index.num_valid_targets),
+                bdev, bt, bs, be, fw, ll, lr,
+                ip & (bt < index.num_valid_targets),
                 jnp.ones_like(bs, jnp.float32))
             bias_state.obs.add_batch(bo)
         fld.add_observations(np.asarray(out["fld_hist"],
@@ -653,6 +658,17 @@ def quantify(
             f"salmon_tpu was only able to assign {totals['num_mapped']} "
             f"fragments (min required: {opts.min_assigned_frags})")
 
+    if multiproc and bias_state is not None:
+        # merge per-process observed-bias histograms (mergeObservedBias,
+        # WorkerRuntimeContext.hpp:22-70): fixed-size and additive by
+        # construction, so a single allreduce makes every process's
+        # BiasObservations identical
+        o = bias_state.obs
+        (o.obs5, o.obs3, o.gc_obs, o.pos5, o.pos3, mf, mr) = \
+            _dist.allreduce_histograms(
+                [o.obs5, o.obs3, o.gc_obs, o.pos5, o.pos3,
+                 np.float64(o.mass_fwd), np.float64(o.mass_rc)])
+        o.mass_fwd, o.mass_rc = float(mf), float(mr)
     if multiproc:
         # merge eq tables across hosts: every process ends with the
         # identical table, so the replicated EM agrees everywhere

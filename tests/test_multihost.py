@@ -147,3 +147,63 @@ def test_multihost_with_sharded_index(tmp_path):
     assert meta["num_processed"] == 10000
     d = np.abs(np.asarray(a["NumReads"]) - np.asarray(b["NumReads"])).max()
     assert d <= 1.0, f"sharded multihost counts diverge by {d}"
+
+
+@pytest.mark.slow
+def test_multihost_bias_correction_matches_single(tmp_path):
+    """--seqBias --gcBias under a 2-process launch must match the
+    single-process run: the observed-bias histograms are collected per
+    process over its own rows and allreduced once after the stream
+    (mergeObservedBias analog, WorkerRuntimeContext.hpp:22-70)."""
+    import json
+    import subprocess as sp
+
+    from salmon_tpu.io.writers import read_quant_sf
+
+    idx = str(tmp_path / "idx")
+    env0 = dict(os.environ)
+    env0["JAX_PLATFORMS"] = "cpu"
+    env0["PYTHONPATH"] = REPO
+    env0.pop("SALMON_TPU_COORDINATOR", None)
+    sp.run([sys.executable, "-m", "salmon_tpu", "index", "-t",
+            os.path.join(DATA, "transcripts.fasta"), "-i", idx,
+            "-k", "25"], env=env0, check=True, capture_output=True)
+
+    def quant(out, multihost):
+        procs = []
+        for pid in range(2 if multihost else 1):
+            env = dict(env0)
+            if multihost:
+                env["SALMON_TPU_COORDINATOR"] = "127.0.0.1:8897"
+                env["SALMON_TPU_NUM_PROCS"] = "2"
+                env["SALMON_TPU_PROC_ID"] = str(pid)
+                env["XLA_FLAGS"] = \
+                    "--xla_force_host_platform_device_count=2"
+            procs.append(sp.Popen(
+                [sys.executable, "-m", "salmon_tpu", "quant", "-i", idx,
+                 "-l", "IU",
+                 "-1", os.path.join(DATA, "reads_1.fastq"),
+                 "-2", os.path.join(DATA, "reads_2.fastq"),
+                 "-o", out, "-q", "--seqBias", "--gcBias"],
+                env=env, stdout=sp.DEVNULL, stderr=sp.DEVNULL))
+        for p in procs:
+            assert p.wait(timeout=600) == 0
+
+    q1 = str(tmp_path / "q1")
+    q2 = str(tmp_path / "q2")
+    quant(q1, False)
+    quant(q2, True)
+    a = read_quant_sf(os.path.join(q1, "quant.sf"))
+    b = read_quant_sf(os.path.join(q2, "quant.sf"))
+    assert a["Name"] == b["Name"]
+    meta = json.load(open(os.path.join(q2, "aux_info",
+                                       "meta_info.json")))
+    assert meta["num_processed"] == 10000
+    assert meta["seq_bias_correct"] is True
+    d = np.abs(a["NumReads"] - np.asarray(b["NumReads"])).max()
+    assert d <= 1.0, f"multihost bias-corrected counts diverge by {d}"
+    # the bias-corrected effective lengths must agree too (they only do
+    # when the merged histograms match the single-process observation)
+    de = np.abs(np.asarray(a["EffectiveLength"], float)
+                - np.asarray(b["EffectiveLength"], float)).max()
+    assert de <= 0.5, f"bias-corrected effective lengths diverge by {de}"
