@@ -158,19 +158,52 @@ def _em_iters_per_s():
     return 1.0 / marginal, E
 
 
+def _build_human_cache(idx_dir, r1):
+    """First-run hook: construct the human-scale cache (200k-transcript
+    synthetic txome + truth-labeled reads + k=31 index) when absent.
+    Runs in CPU-platform subprocesses so the TPU stays with this
+    process; ~15-40 min on 4 cores, then reusable forever. Disable with
+    BENCH_BUILD_HS=0."""
+    import subprocess
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = HERE + os.pathsep + env.get("PYTHONPATH", "")
+    os.makedirs(CACHE, exist_ok=True)
+    fa = os.path.join(CACHE, "txome_tmp.fasta")
+    _log("# building human-scale cache (one-time, ~15-40 min)...")
+    t0 = time.time()
+    subprocess.run(
+        [sys.executable, os.path.join(HERE, "scripts",
+                                      "make_synthetic_txome.py"),
+         "--out-dir", CACHE, "--n-txps", "200000",
+         "--n-pairs", "200000"], env=env, check=True)
+    os.replace(os.path.join(CACHE, "txome.fasta"), fa)
+    subprocess.run(
+        [sys.executable, "-m", "salmon_tpu.cli", "index", "-t", fa,
+         "-i", idx_dir, "-k", "31", "-p", "4"], env=env, check=True)
+    os.remove(fa)
+    _log(f"# human-scale cache built in {time.time() - t0:.0f}s")
+
+
 def _human_scale():
     """Mapping throughput on the 200k-transcript synthetic index
-    (prebuilt into BENCH_CACHE by scripts/make_synthetic_txome.py +
-    index build; skipped when the cache is absent)."""
+    (built once into BENCH_CACHE on first run)."""
     from salmon_tpu.index.builder import load_index
 
     idx_dir = os.path.join(CACHE, "hs_idx")
     r1 = os.path.join(CACHE, "reads_1.fastq")
     r2 = os.path.join(CACHE, "reads_2.fastq")
     if not (os.path.isdir(idx_dir) and os.path.exists(r1)):
-        _log("# human-scale cache absent; skipping "
-             f"(expected at {CACHE})")
-        return None, None
+        if os.environ.get("BENCH_BUILD_HS", "1") == "0":
+            _log("# human-scale cache absent and BENCH_BUILD_HS=0; "
+                 f"skipping (expected at {CACHE})")
+            return None, None
+        try:
+            _build_human_cache(idx_dir, r1)
+        except Exception as e:
+            _log(f"# human-scale cache build failed: {e}")
+            return None, None
     t0 = time.perf_counter()
     idx = load_index(idx_dir)
     _log(f"# human index: {idx.num_targets} txps "

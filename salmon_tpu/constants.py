@@ -128,7 +128,12 @@ class SalmonDefaults:
     hash_max_probes: int = 8             # slots per hash bucket (one row gather)
     hash_load_factor: float = 0.5
     kmer_stride: int = 3                 # seed-skip between query windows (accuracy-neutral; reference altSkip=3)
-    sparse_seed: bool = True             # batch-global compacted hit list (mapping.seed_sparse) vs dense (R,P,C)
+    # batch-global compacted hit list (mapping.seed_sparse) vs the dense
+    # (R,P,C) expansion. Default dense: measured 295k vs 109k frags/s at
+    # R=4096 on TPU v5e (the sparse flow's global sorts dominate; it
+    # remains REQUIRED for --indexShards, which all-gathers sparse hits
+    # over the kmer mesh axis, and available via SALMON_TPU_SPARSE_SEED)
+    sparse_seed: bool = False
     seed_hits_per_end: int = 32          # B: hit budget per read end in the sparse seed flow
     index_shards: int = 1                # split the k-mer table/occ CSR over this many mesh devices (genome-decoy scale)
     profile_dir: str | None = None       # --profileDir: jax.profiler trace of the mapping loop

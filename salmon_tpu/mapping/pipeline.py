@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -151,7 +153,9 @@ class MapperConfig:
             write_orphan_links=opts.write_orphan_links,
             alignment_cache=opts.alignment_cache,
             weight_width=opts.weight_width,
-            sparse_seed=opts.sparse_seed,
+            sparse_seed=(os.environ["SALMON_TPU_SPARSE_SEED"] == "1"
+                         if os.environ.get("SALMON_TPU_SPARSE_SEED")
+                         else opts.sparse_seed),
             seed_hits_per_end=opts.seed_hits_per_end,
         )
         cfg.update(overrides)

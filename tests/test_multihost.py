@@ -131,6 +131,11 @@ def test_multihost_with_sharded_index(tmp_path):
                    "-o", out, "-q"]
             if shards:
                 cmd += ["--indexShards", str(shards)]
+            else:
+                # sharded parity is defined vs the sparse seed flow
+                # (the default dense flow weights multimappers ~1%
+                # differently)
+                env["SALMON_TPU_SPARSE_SEED"] = "1"
             procs.append(sp.Popen(cmd, env=env, stdout=sp.DEVNULL,
                                   stderr=sp.DEVNULL))
         for p in procs:
