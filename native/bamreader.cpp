@@ -20,6 +20,7 @@
 // records contiguous, as the reference requires).
 
 #include <cstdint>
+#include <limits>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
@@ -217,6 +218,7 @@ int64_t bam_next_batch(void* h, int64_t cap, int64_t seq_cap,
                        int32_t* read_len, int64_t* seq_off,
                        int64_t* cigar_off, int32_t* cigar_n,
                        int32_t* as_tag, int32_t* nm_tag,
+                       float* zw_tag,
                        uint64_t* name_hash,
                        uint8_t* seq_buf, uint8_t* cigar_op,
                        uint32_t* cigar_oplen,
@@ -335,8 +337,9 @@ int64_t bam_next_batch(void* h, int64_t cap, int64_t seq_cap,
       ++cpos;
     }
 
-    // tags: AS:i and NM:i
+    // tags: AS:i, NM:i and ZW:f (posterior weight in sampled BAMs)
     int32_t as_v = INT32_MIN, nm_v = INT32_MIN;
+    float zw_v = std::numeric_limits<float>::quiet_NaN();
     size_t t = tags_at;
     while (t + 3 <= rec.size()) {
       char t1 = char(p[t]), t2 = char(p[t + 1]), ty = char(p[t + 2]);
@@ -371,13 +374,17 @@ int64_t bam_next_batch(void* h, int64_t cap, int64_t seq_cap,
       else if (ty == 'i') { int32_t v; std::memcpy(&v, p + t, 4); val = v; }
       else if (ty == 'I') { uint32_t v; std::memcpy(&v, p + t, 4);
                             val = int64_t(v); }
-      else if (ty == 'f') { val = INT32_MIN; }
+      else if (ty == 'f') {
+        val = INT32_MIN;
+        if (t1 == 'Z' && t2 == 'W') std::memcpy(&zw_v, p + t, 4);
+      }
       t += sz;
       if (t1 == 'A' && t2 == 'S' && ty != 'f') as_v = int32_t(val);
       if (t1 == 'N' && t2 == 'M' && ty != 'f') nm_v = int32_t(val);
     }
     as_tag[n] = as_v;
     nm_tag[n] = nm_v;
+    zw_tag[n] = zw_v;
     ++n;
   }
   if (n == cap && n > 0) {

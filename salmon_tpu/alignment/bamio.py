@@ -48,6 +48,8 @@ class BamBatch:
     cigar_n: np.ndarray
     as_tag: np.ndarray
     nm_tag: np.ndarray
+    # ZW:f posterior weight (NaN when absent; written by --sampleOut)
+    zw_tag: np.ndarray
     name_hash: np.ndarray
     seq_buf: np.ndarray
     cigar_op: np.ndarray
@@ -151,6 +153,7 @@ class BamReader:
                 read_len=I32(cap), seq_off=np.zeros(cap, np.int64),
                 cigar_off=np.zeros(cap, np.int64), cigar_n=I32(cap),
                 as_tag=I32(cap), nm_tag=I32(cap),
+                zw_tag=np.zeros(cap, np.float32),
                 name_hash=np.zeros(cap, np.uint64),
                 seq_buf=np.zeros(seq_cap, np.uint8),
                 cigar_op=np.zeros(cigar_cap, np.uint8),
@@ -166,6 +169,7 @@ class BamReader:
                 ptr(b.mate_refid), ptr(b.mate_pos), ptr(b.tlen),
                 ptr(b.read_len), ptr(b.seq_off), ptr(b.cigar_off),
                 ptr(b.cigar_n), ptr(b.as_tag), ptr(b.nm_tag),
+                ptr(b.zw_tag),
                 ptr(b.name_hash), ptr(b.seq_buf), ptr(b.cigar_op),
                 ptr(b.cigar_oplen), names_buf,
                 ctypes.c_int64(names_cap))
@@ -228,12 +232,12 @@ class _PyBam:
             seq[0::2] = hi
             seq[1::2] = lo
             seq = seq[:lseq]
-            as_v, nm_v = self._tags(rec[tags_at:])
+            as_v, nm_v, zw_v = self._tags(rec[tags_at:])
             h = 1469598103934665603
             for ch in rname:
                 h = ((h ^ ch) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
             yield ((refid, pos, flag, mapq, nrefid, npos, tlen,
-                    lseq, as_v, nm_v), h, bytes(rname), seq, cig)
+                    lseq, as_v, nm_v), h, bytes(rname), seq, cig, zw_v)
 
     def batches(self, cap: int,
                 want_names: bool = False) -> Iterator[BamBatch]:
@@ -274,6 +278,7 @@ class _PyBam:
             names = [x[2] for x in items] if want_names else []
             seqs = [x[3] for x in items]
             cigars = [x[4] for x in items]
+            zws = np.array([x[5] for x in items], np.float32)
             n = len(rows)
             arr = np.array(rows, dtype=np.int64)
             seq_off = np.zeros(n, np.int64)
@@ -302,6 +307,7 @@ class _PyBam:
                 cigar_n=np.array([c.size for c in cigars], np.int32),
                 as_tag=arr[:, 8].astype(np.int32),
                 nm_tag=arr[:, 9].astype(np.int32),
+                zw_tag=zws,
                 name_hash=np.array(hashes, dtype=np.uint64),
                 names=names if want_names else None,
                 seq_buf=(np.concatenate(seqs) if seqs
@@ -313,6 +319,7 @@ class _PyBam:
     @staticmethod
     def _tags(buf: bytes):
         as_v, nm_v = np.iinfo(np.int32).min, np.iinfo(np.int32).min
+        zw_v = float("nan")
         t = 0
         sizes = {"A": 1, "c": 1, "C": 1, "s": 2, "S": 2, "i": 4, "I": 4,
                  "f": 4}
@@ -339,8 +346,10 @@ class _PyBam:
                     as_v = int(val)
                 if t1 == "N" and t2 == "M":
                     nm_v = int(val)
+            elif ty == "f" and t1 == "Z" and t2 == "W":
+                (zw_v,) = struct.unpack("<f", buf[t:t + sz])
             t += sz
-        return as_v, nm_v
+        return as_v, nm_v, zw_v
 
 
 # ---------------------------------------------------------------------------

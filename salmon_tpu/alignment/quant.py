@@ -144,12 +144,13 @@ def _group_fragments(b, paired: bool):
 
 
 def _posterior_sample_bam(args, opts, out_dir, counts, eff, name_to_id,
-                          fld, lib_fmt, paired: bool) -> None:
+                          fld, lib_fmt, paired: bool, err_model=None,
+                          ont_model=None, tseq=None) -> None:
     """--sampleOut: re-walk the BAM and emit one posterior-sampled record
     (pair) per fragment as postSample.bam (reference
-    salmon::sampler::sampleLibrary; the sampling weight here is
-    abundance/effLen x FLD x compat — the error-model term is omitted in
-    this pass)."""
+    salmon::sampler::sampleLibrary, Sampler.hpp:342: the per-alignment
+    weight is the full quantifier logProb — abundance/effLen x FLD x
+    compat x trained error-model likelihood)."""
     from salmon_tpu.alignment.sampler import BamWriter, sample_fragments
 
     rng = np.random.default_rng(getattr(args, "seed", 271828))
@@ -209,13 +210,46 @@ def _posterior_sample_bam(args, opts, out_dir, counts, eff, name_to_id,
                 compat = libformat.single_compat_table(fmt)[
                     np.clip(obs[k], 0, 1)]
                 lf = 0.0
-            logw = log_alpha[txp[k]] + lf + np.where(compat, 0.0, -30.0)
-            w = np.exp(logw - logw.max())
-            sel = sample_fragments(rng, frag_id[k], w)
-            for s in sel:
-                emit(int(i1[k[s]]), zw=float(w[s]))
+            # trained error-model likelihood (the same fg-bg term the
+            # quantifier used, Sampler.hpp:342)
+            err_ll = 0.0
+            if ont_model is not None:
+                from salmon_tpu.alignment.errormodel import clip_counts
+
+                def _ont_ll(recs):
+                    fcl, bcl, scl, hcl = clip_counts(b, recs)
+                    return ont_model.log_likelihood(
+                        b.read_len[recs].astype(np.int64),
+                        b.nm_tag[recs].astype(np.int64),
+                        fcl, bcl, scl, hcl)
+                err_ll = _ont_ll(i1[k])
                 if paired:
-                    emit(int(i2[k[s]]), zw=float(w[s]))
+                    err_ll = err_ll + _ont_ll(i2[k])
+            elif err_model is not None and tseq is not None:
+                from salmon_tpu.alignment.errormodel import expand_batch
+                tseq_codes, tseq_off, tlens = tseq
+                c1 = expand_batch(b, i1[k], ref_map, tseq_codes,
+                                  tseq_off, tlens)
+                err_ll = err_model.log_likelihood(c1, k.size, 0)
+                if paired:
+                    c2 = expand_batch(b, i2[k], ref_map, tseq_codes,
+                                      tseq_off, tlens)
+                    err_ll = err_ll + err_model.log_likelihood(
+                        c2, k.size, 1)
+            logw = (log_alpha[txp[k]] + lf + err_ll
+                    + np.where(compat, 0.0, -30.0))
+            w = np.exp(logw - logw.max())
+            # ZW = the sampled alignment's posterior probability within
+            # its fragment (reference Sampler ZW tag semantics)
+            fidk = frag_id[k]
+            _, inv = np.unique(fidk, return_inverse=True)
+            tot = np.bincount(inv, weights=w)
+            zw_all = w / np.maximum(tot[inv], 1e-300)
+            sel = sample_fragments(rng, fidk, w)
+            for s in sel:
+                emit(int(i1[k[s]]), zw=float(zw_all[s]))
+                if paired:
+                    emit(int(i2[k[s]]), zw=float(zw_all[s]))
                 n_out += 1
         rdr.close()
     if writer is not None:
@@ -625,7 +659,9 @@ def quantify_alignments(args, opts, cmd_args) -> int:
                   mapping_type="alignment")
     if getattr(args, "sampleOut", False):
         _posterior_sample_bam(args, opts, out, counts, eff, name_to_id,
-                              fld, lib_fmt, bool(paired_detect))
+                              fld, lib_fmt, bool(paired_detect),
+                              err_model=err, ont_model=ont,
+                              tseq=(tseq_codes, tseq_off, tlens))
     if args.geneMap and not opts.skip_quant:
         from salmon_tpu.utils.genemap import aggregate_quant_sf
         aggregate_quant_sf(os.path.join(out, "quant.sf"), args.geneMap)

@@ -353,3 +353,55 @@ def test_alignment_mode_unmapped_names(sample_data_dir, tmp_path):
                               "unmapped_names.txt")).read().split()
     got = {ln for ln in lines if ln.startswith("um")}
     assert got == {f"um{i}" for i in range(7)}
+
+
+def test_sample_out_zw_uses_error_model(tmp_path):
+    """ZW weights in postSample.bam carry the quantifier's full
+    posterior including the trained error-model likelihood
+    (Sampler.hpp:342). With --skipQuant the abundance term is flat, so
+    for a read multimapping to a clean copy and a 10%-diverged copy the
+    ZW split is driven by the error model alone: clean picks must get
+    ZW well above 0.5 (the pre-fix weight was exactly 0.5)."""
+    from salmon_tpu.cli import main
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 4, 1000).astype(np.uint8)
+    div = base.copy()
+    at = rng.choice(1000, 100, replace=False)
+    div[at] = (div[at] + rng.integers(1, 4, 100)) % 4
+    fa = tmp_path / "t.fa"
+    with open(fa, "w") as fh:
+        fh.write(">CLEAN\n" + "".join("ACGT"[c] for c in base) + "\n")
+        fh.write(">DIVERGED\n" + "".join("ACGT"[c] for c in div) + "\n")
+    recs = []
+    for i in range(400):
+        s = int(rng.integers(0, 1000 - 80))
+        seq = "".join("ACGT"[c] for c in base[s:s + 80])
+        for rid in (0, 1):
+            recs.append(dict(name=f"m{i}", refid=rid, pos=s,
+                             flag=0x100 if rid == 1 else 0,
+                             cigar="80M", seq=seq, tags={"AS": 160}))
+    bam = str(tmp_path / "m.bam")
+    bamio.write_bam(bam, ["CLEAN", "DIVERGED"], [1000, 1000], recs)
+    out = str(tmp_path / "q")
+    rc = main(["quant", "-t", str(fa), "-l", "U", "-a", bam, "-o", out,
+               "--sampleOut", "--skipQuant", "-q"])
+    assert rc == 0
+    rdr = bamio.BamReader(os.path.join(out, "postSample.bam"),
+                          want_names=True)
+    zw_clean, zw_div, n = [], [], 0
+    for b in rdr.batches():
+        n += b.n
+        for j in range(b.n):
+            zw = b.zw_tag[j] if hasattr(b, "zw_tag") else None
+            if zw is None:
+                continue
+            (zw_clean if b.refid[j] == 0 else zw_div).append(float(zw))
+    rdr.close()
+    assert n == 400
+    assert len(zw_clean) + len(zw_div) == 400
+    zc = np.asarray(zw_clean)
+    assert (zc > 0.5).all() and (zc <= 1.0).all()
+    assert zc.mean() > 0.8, zc.mean()
+    # the clean copy wins nearly every draw
+    assert len(zw_clean) >= 360, len(zw_clean)
