@@ -48,6 +48,7 @@ class SalmonDefaults:
     # reference's alignment-cache role; --disableAlignmentCache)
     alignment_cache: bool = True
     rescue_bandwidth: int = 80           # rescue DP band (~3 sigma of FLD)
+    rescue_probes: int = 3               # FLD-quantile positions probed per orphan (1 = mean only)
     max_read_occs: int = 200
     max_occs_per_hit: int = 1000
     decoy_threshold: float = 1.0

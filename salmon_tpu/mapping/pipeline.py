@@ -83,6 +83,11 @@ class MapperConfig:
     recover_orphans: bool = DEFAULTS.recover_orphans
     max_recover_read_occ: int = DEFAULTS.max_recover_read_occ
     rescue_bandwidth: int = DEFAULTS.rescue_bandwidth
+    # FLD-quantile positions probed per orphan (1 = mean only; the
+    # reference's edlib search covers the whole window,
+    # SalmonQuantify.cpp:1356-1364 — quantile probes close the recall
+    # gap for wide/shifted FLDs at fixed DP budget)
+    rescue_probes: int = DEFAULTS.rescue_probes
     # single-end/orphan ambiguous fragment-length model (reference
     # LogCMFCache, DistributionUtils.hpp:84 / SalmonQuantify.cpp:640-650)
     model_single_frag_prob: bool = not DEFAULTS.no_single_frag_prob
@@ -146,6 +151,7 @@ class MapperConfig:
             max_recover_read_occ=getattr(opts, "max_recover_read_occ",
                                          2500),
             rescue_bandwidth=opts.rescue_bandwidth,
+            rescue_probes=getattr(opts, "rescue_probes", 3),
             model_single_frag_prob=not opts.no_single_frag_prob,
             no_frag_length_dist=opts.no_frag_length_dist,
             softclip=opts.softclip,
@@ -459,11 +465,15 @@ def _rescue_orphans(joined: dict, batch: dict, dev: dict,
     SalmonQuantify.cpp:1356-1364, edlib-based).
 
     For each orphan fragment's best candidate, the missing mate is
-    DP-aligned at its FLD-mean-predicted position with a widened band
-    (rescue_bandwidth covers +-3 sigma of typical FLDs, vs the
-    reference's full-window edlib search — narrower but kernel-reusing).
-    On success the fragment is upgraded to paired with the rescue score
-    folded in. Problems are batch-globally compacted to R/4.
+    DP-aligned at FLD-quantile-predicted positions (rescue_probes of
+    them, median first) with a widened band (rescue_bandwidth), vs the
+    reference's full-window edlib search — narrower but kernel-reusing.
+    Measured recall vs an oracle-position probe is within a few points
+    even for sigma=160 FLDs (scripts/sim_rescue_recall.py). On success
+    the fragment is upgraded to paired with the rescue score folded
+    in. (orphan, probe) pairs are batch-globally compacted into R/4 DP
+    slots, every orphan's median probe taking priority over any
+    orphan's second probe.
     """
     from salmon_tpu.mapping.align import banded_scores_indexed
 
@@ -485,11 +495,24 @@ def _rescue_orphans(joined: dict, batch: dict, dev: dict,
     n_occ = jnp.sum(joined["valid"].astype(jnp.int32), axis=1)
     cand_ok = cand_ok & (n_occ <= cfg.max_recover_read_occ)
 
-    # FLD mean (the predicted fragment length)
-    mean_fl = jnp.sum(jnp.exp(fld_logpmf)
-                      * jnp.arange(fld_logpmf.shape[0],
-                                   dtype=jnp.float32))
-    mean_fl = jnp.round(mean_fl).astype(jnp.int32)
+    # predicted fragment lengths: FLD mean (Q=1) or FLD quantiles — a
+    # wide or shifted learned FLD puts much of its mass outside one
+    # band around the mean; quantile probes cover it at the same total
+    # DP budget (reference edlib searches the whole window). Probe 0
+    # is always the median (closest to the old mean behavior).
+    Q = max(1, int(cfg.rescue_probes))
+    pmf = jnp.exp(fld_logpmf)
+    if Q == 1:
+        mean_fl = jnp.sum(pmf * jnp.arange(fld_logpmf.shape[0],
+                                           dtype=jnp.float32))
+        fl_probes = [jnp.round(mean_fl).astype(jnp.int32)]
+    else:
+        cdf = jnp.cumsum(pmf)
+        # median first, then outer quantiles by distance from 0.5
+        qs = sorted([(i + 0.5) / Q for i in range(Q)],
+                    key=lambda q: abs(q - 0.5))
+        fl_probes = [jnp.searchsorted(
+            cdf, q * cdf[-1]).astype(jnp.int32) for q in qs]
 
     left_orph = ms == MS_LEFT_ORPHAN
     miss_len = jnp.where(left_orph, len_r, len_l)
@@ -498,14 +521,25 @@ def _rescue_orphans(joined: dict, batch: dict, dev: dict,
     # pairing means the missing mate has the opposite orientation
     var = jnp.where(left_orph, jnp.where(fw0, 3, 2),
                     jnp.where(fw0, 1, 0))
-    mate_left = jnp.where(fw0, pos0 + mean_fl - miss_len,
-                          pos0 + mapped_len - mean_fl)
+    mate_left_q = [jnp.where(fw0, pos0 + fl - miss_len,
+                             pos0 + mapped_len - fl)
+                   for fl in fl_probes]
 
-    # compact to K problems
+    # compact (orphan, probe) pairs into K = R/4 DP slots (the same
+    # total budget as the single-probe version). Priority fills probe 0
+    # (the median) for EVERY orphan before any orphan gets a second
+    # probe: few orphans → each gets all Q quantiles; many orphans →
+    # each still gets the median, like the old behavior.
     K = max(1, R // 4)
-    prio = jnp.where(cand_ok, jnp.uint32(0), jnp.uint32(1))
-    sel = jnp.argsort(prio)[:K]
-    s_ok = jnp.take(cand_ok, sel)
+    orph_idx = jnp.tile(jnp.arange(R, dtype=jnp.int32), Q)   # (Q*R,)
+    q_idx = jnp.repeat(jnp.arange(Q, dtype=jnp.int32), R)
+    cand_tile = jnp.tile(cand_ok, Q)
+    prio = jnp.where(cand_tile,
+                     (q_idx * R + orph_idx).astype(jnp.uint32),
+                     jnp.uint32(0xFFFFFFFF))
+    sel_flat = jnp.argsort(prio)[:K]
+    sel = jnp.take(orph_idx, sel_flat)                       # orphan row
+    s_ok = jnp.take(cand_tile, sel_flat)
     s_txp = jnp.take(txp0, sel)
     toff = jnp.take(dev["seq_off"], jnp.clip(s_txp, 0, None), mode="clip")
     tlen = jnp.take(dev["txp_lens"], s_txp, mode="clip")
@@ -513,9 +547,10 @@ def _rescue_orphans(joined: dict, batch: dict, dev: dict,
     s_len = jnp.take(miss_len, sel)
     # flip-based rc variants (odd ids) have content at rows [L-len, L)
     s_lo = jnp.where((s_var & 1) == 1, L - s_len, 0)
-    ids = sel.astype(jnp.int32) + s_var * R
+    ids = sel + s_var * R
+    ml_flat = jnp.take(jnp.concatenate(mate_left_q), sel_flat)  # (K,)
     scores = banded_scores_indexed(
-        reads_all, ids, s_len, jnp.take(mate_left, sel) - s_lo, tlen,
+        reads_all, ids, s_len, ml_flat - s_lo, tlen,
         dev["seq_codes"], toff, cfg.rescue_bandwidth,
         float(cfg.match_score), float(cfg.mismatch_penalty),
         float(cfg.gap_open_penalty), float(cfg.gap_extend_penalty),
@@ -526,9 +561,16 @@ def _rescue_orphans(joined: dict, batch: dict, dev: dict,
     good = s_ok & (scores >= cfg.min_score_fraction
                    * cfg.match_score
                    * jnp.take(miss_len, sel).astype(jnp.float32))
-    resc = jnp.zeros(R, bool).at[sel].set(good)
-    resc_score = jnp.zeros(R, jnp.float32).at[sel].set(
+    # per-orphan reduction over its probes: best score wins; the
+    # winning probe's predicted mate position feeds the upgraded pair
+    resc = jnp.zeros(R, bool).at[sel].max(good)
+    resc_score = jnp.zeros(R, jnp.float32).at[sel].max(
         jnp.where(good, scores, 0.0))
+    is_win = good & (scores >= jnp.take(resc_score, sel))
+    mate_left = jnp.full(R, jnp.iinfo(jnp.int32).min, jnp.int32).at[
+        sel].max(jnp.where(is_win, ml_flat,
+                           jnp.iinfo(jnp.int32).min))
+    mate_left = jnp.where(resc, mate_left, 0)
 
     # upgrade fragment state (column 0 carries the rescued pair)
     from salmon_tpu.mapping.pair import observed_paired_code
