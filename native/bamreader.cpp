@@ -19,38 +19,116 @@
 // equal hash+name belong to one fragment; BAM convention keeps a read's
 // records contiguous, as the reference requires).
 
+#include <atomic>
+#include <condition_variable>
 #include <cstdint>
-#include <limits>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <deque>
+#include <limits>
+#include <memory>
+#include <mutex>
 #include <string>
+#include <thread>
 #include <vector>
 #include <zlib.h>
 
 namespace {
+
+// BGZF blocks are independent raw-deflate members, so decompression
+// parallelizes per block — the reference gets the same effect from
+// htslib's bgzf_mt thread pool (doc/source/salmon.rst:83-97 notes
+// alignment mode saturates on BAM decompression). The consumer thread
+// reads raw compressed blocks (cheap fread) and keeps up to DEPTH of
+// them inflating on a small worker pool; next_block() delivers them
+// strictly in stream order.
+struct InflateJob {
+  std::vector<uint8_t> cdata;
+  std::vector<uint8_t> out;
+  uint32_t isize{0};
+  std::atomic<int> state{0};  // 0 = pending, 1 = done, 2 = error
+};
 
 struct BGZFReader {
   FILE* fp{nullptr};
   std::vector<uint8_t> block;   // current inflated block
   size_t block_pos{0};
   bool eof{false};
+  bool raw_eof{false};
+
+  static constexpr size_t DEPTH = 48;
+  std::deque<std::unique_ptr<InflateJob>> inflight;
+  std::deque<InflateJob*> workq;
+  std::vector<std::thread> workers;
+  std::mutex mu;
+  std::condition_variable cv_work, cv_done;
+  bool stopping{false};
+
+  static int n_threads() {
+    const char* e = std::getenv("SALMON_TPU_BAM_THREADS");
+    if (e) {
+      int v = std::atoi(e);
+      if (v >= 1) return v;
+    }
+    unsigned hw = std::thread::hardware_concurrency();
+    return hw >= 4 ? 4 : (hw >= 2 ? 2 : 1);
+  }
 
   bool open(const char* path) {
     fp = std::fopen(path, "rb");
-    return fp != nullptr;
+    if (!fp) return false;
+    int t = n_threads();
+    for (int i = 0; i < t; ++i)
+      workers.emplace_back([this] { worker_loop(); });
+    return true;
   }
 
-  // Inflate the next BGZF block into `block`. Returns false at EOF.
-  bool next_block() {
+  void worker_loop() {
+    for (;;) {
+      InflateJob* j = nullptr;
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_work.wait(lk, [&] { return stopping || !workq.empty(); });
+        if (workq.empty()) {
+          if (stopping) return;
+          continue;
+        }
+        j = workq.front();
+        workq.pop_front();
+      }
+      int st = 1;
+      if (j->isize > 0) {
+        j->out.resize(j->isize);
+        z_stream zs{};
+        inflateInit2(&zs, -15);  // raw deflate
+        zs.next_in = j->cdata.data();
+        zs.avail_in = uInt(j->cdata.size());
+        zs.next_out = j->out.data();
+        zs.avail_out = j->isize;
+        int r = inflate(&zs, Z_FINISH);
+        inflateEnd(&zs);
+        if (r != Z_STREAM_END) st = 2;
+      }
+      j->cdata.clear();
+      j->cdata.shrink_to_fit();
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        j->state.store(st);
+        cv_done.notify_all();
+      }
+    }
+  }
+
+  // Read one raw BGZF block (header + compressed payload) into a job.
+  // Returns nullptr at raw EOF / malformed stream.
+  std::unique_ptr<InflateJob> read_raw_block() {
     uint8_t hdr[12];
-    if (std::fread(hdr, 1, 12, fp) != 12) { eof = true; return false; }
-    if (hdr[0] != 0x1f || hdr[1] != 0x8b) { eof = true; return false; }
+    if (std::fread(hdr, 1, 12, fp) != 12) return nullptr;
+    if (hdr[0] != 0x1f || hdr[1] != 0x8b) return nullptr;
     uint16_t xlen = uint16_t(hdr[10]) | (uint16_t(hdr[11]) << 8);
     std::vector<uint8_t> extra(xlen);
-    if (std::fread(extra.data(), 1, xlen, fp) != xlen) {
-      eof = true; return false;
-    }
+    if (std::fread(extra.data(), 1, xlen, fp) != xlen) return nullptr;
     int bsize = -1;
     for (size_t i = 0; i + 4 <= extra.size();) {
       uint8_t si1 = extra[i], si2 = extra[i + 1];
@@ -61,29 +139,50 @@ struct BGZFReader {
       }
       i += 4 + slen;
     }
-    if (bsize < 0) { eof = true; return false; }
+    if (bsize < 0) return nullptr;
     size_t cdata_len = size_t(bsize) - 12 - xlen - 8;
-    std::vector<uint8_t> cdata(cdata_len);
-    if (std::fread(cdata.data(), 1, cdata_len, fp) != cdata_len) {
-      eof = true; return false;
-    }
+    auto job = std::make_unique<InflateJob>();
+    job->cdata.resize(cdata_len);
+    if (std::fread(job->cdata.data(), 1, cdata_len, fp) != cdata_len)
+      return nullptr;
     uint8_t tail[8];
-    if (std::fread(tail, 1, 8, fp) != 8) { eof = true; return false; }
-    uint32_t isize = uint32_t(tail[4]) | (uint32_t(tail[5]) << 8) |
-                     (uint32_t(tail[6]) << 16) | (uint32_t(tail[7]) << 24);
-    block.resize(isize);
-    block_pos = 0;
-    if (isize == 0) return next_block();  // EOF marker block; try next
-    z_stream zs{};
-    inflateInit2(&zs, -15);  // raw deflate
-    zs.next_in = cdata.data();
-    zs.avail_in = uInt(cdata_len);
-    zs.next_out = block.data();
-    zs.avail_out = isize;
-    int r = inflate(&zs, Z_FINISH);
-    inflateEnd(&zs);
-    if (r != Z_STREAM_END) { eof = true; return false; }
-    return true;
+    if (std::fread(tail, 1, 8, fp) != 8) return nullptr;
+    job->isize = uint32_t(tail[4]) | (uint32_t(tail[5]) << 8) |
+                 (uint32_t(tail[6]) << 16) | (uint32_t(tail[7]) << 24);
+    return job;
+  }
+
+  void fill_pipeline() {
+    while (!raw_eof && inflight.size() < DEPTH) {
+      auto job = read_raw_block();
+      if (!job) { raw_eof = true; break; }
+      InflateJob* jp = job.get();
+      inflight.emplace_back(std::move(job));
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        workq.push_back(jp);
+      }
+      cv_work.notify_one();
+    }
+  }
+
+  // Deliver the next inflated block in stream order. False at EOF.
+  bool next_block() {
+    for (;;) {
+      fill_pipeline();
+      if (inflight.empty()) { eof = true; return false; }
+      auto job = std::move(inflight.front());
+      inflight.pop_front();
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_done.wait(lk, [&] { return job->state.load() != 0; });
+      }
+      if (job->state.load() == 2) { eof = true; return false; }
+      if (job->isize == 0) continue;  // EOF-marker block; keep going
+      block = std::move(job->out);
+      block_pos = 0;
+      return true;
+    }
   }
 
   // Read exactly n bytes spanning blocks. Returns false on EOF.
@@ -104,6 +203,13 @@ struct BGZFReader {
   }
 
   void close() {
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      stopping = true;
+    }
+    cv_work.notify_all();
+    for (auto& t : workers) t.join();
+    workers.clear();
     if (fp) { std::fclose(fp); fp = nullptr; }
   }
 };
@@ -406,6 +512,52 @@ int64_t bam_next_batch(void* h, int64_t cap, int64_t seq_cap,
     }
   }
   return n;
+}
+
+// Ragged->padded repack for the device error model (the jitted CIGAR
+// expansion in salmon_tpu/alignment/errormodel_device.py works on a
+// fixed (records, columns) grid). For each selected record, copies its
+// read codes into rseq (row-major n_sel x RL, zero-padded), its CIGAR
+// ops/lengths into ops/oplens (n_sel x P), and flags rows that fit the
+// grid (cigar ops <= P, read len <= RL, expanded columns <= col_cap);
+// rows that don't fit are left for the host fallback. Pure memcpy
+// loops — replaces numpy fancy-indexing that dominated the profile.
+void bam_pad_batch(int64_t n_sel, const int64_t* sel,
+                   const int32_t* read_len, const int64_t* seq_off,
+                   const uint8_t* seq_buf,
+                   const int64_t* cigar_off, const int32_t* cigar_n,
+                   const uint8_t* cigar_op, const uint32_t* cigar_oplen,
+                   int32_t RL, int32_t P, int32_t col_cap,
+                   int32_t* ops, int32_t* oplens, int8_t* rseq,
+                   uint8_t* ok) {
+  for (int64_t i = 0; i < n_sel; ++i) {
+    int64_t r = sel[i];
+    int32_t rl = read_len[r];
+    int32_t cn = cigar_n[r];
+    int32_t* orow = ops + i * P;
+    int32_t* lrow = oplens + i * P;
+    std::memset(orow, 0, size_t(P) * 4);
+    std::memset(lrow, 0, size_t(P) * 4);
+    int8_t* srow = rseq + i * RL;
+    std::memset(srow, 0, size_t(RL));
+    bool fits = cn > 0 && cn <= P && rl <= RL;
+    if (fits) {
+      int64_t co = cigar_off[r];
+      int64_t cols = 0;
+      for (int32_t c = 0; c < cn; ++c) {
+        orow[c] = cigar_op[co + c];
+        lrow[c] = int32_t(cigar_oplen[co + c]);
+        cols += lrow[c];
+      }
+      if (cols > col_cap) {
+        fits = false;
+      } else {
+        const uint8_t* src = seq_buf + seq_off[r];
+        std::memcpy(srow, src, size_t(rl));
+      }
+    }
+    ok[i] = fits ? 1 : 0;
+  }
 }
 
 }  // extern "C"

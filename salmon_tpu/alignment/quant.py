@@ -225,6 +225,11 @@ def _posterior_sample_bam(args, opts, out_dir, counts, eff, name_to_id,
                 err_ll = _ont_ll(i1[k])
                 if paired:
                     err_ll = err_ll + _ont_ll(i2[k])
+            elif err_model is not None and hasattr(err_model, "_pack"):
+                err_ll = err_model.log_likelihood(b, i1[k], ref_map, 0)
+                if paired:
+                    err_ll = err_ll + err_model.log_likelihood(
+                        b, i2[k], ref_map, 1)
             elif err_model is not None and tseq is not None:
                 from salmon_tpu.alignment.errormodel import expand_batch
                 tseq_codes, tseq_off, tlens = tseq
@@ -320,76 +325,26 @@ def quantify_alignments(args, opts, cmd_args) -> int:
         from salmon_tpu.alignment.errormodel import ONTErrorModel
         ont = ONTErrorModel()
     if use_error_model:
-        from salmon_tpu.alignment.errormodel import AlignmentErrorModel
-        err = AlignmentErrorModel()
-    if err is not None or ont is not None:
-        trained = 0
-        train_cap = int(getattr(args, "numPreAuxModelSamples", 5000)
-                        or 5000) * 200  # fragments
-        for bam_path in args.alignments:
-            if trained >= train_cap:
-                break
-            rdr = BamReader(bam_path)
-            ref_map0 = np.array(
-                [name_to_id.get(nm, -1) for nm in rdr.ref_names],
-                dtype=np.int64)
-            for b in rdr.batches():
-                if paired_detect is None:
-                    paired_detect = bool(b.flag[0] & FLAG_PAIRED)
-                    if auto:
-                        lib_fmt = "IU" if paired_detect else "U"
-                (frag_id, keep, refid, flen, obs, score, fw, pos, i1,
-                 i2) = _group_fragments(b, paired_detect)
-                txp = np.where(keep & (refid >= 0),
-                               ref_map0[np.clip(refid, 0,
-                                                len(ref_map0) - 1)], -1)
-                keep = keep & (txp >= 0)
-                if not keep.any():
-                    continue
-                # posterior-ish weights from AS within each fragment
-                sc = score.astype(np.float64)
-                order = np.argsort(frag_id, kind="stable")
-                inv = np.argsort(order)
-                fid_s = frag_id[order]
-                st = np.concatenate(
-                    [[0], np.nonzero(fid_s[1:] != fid_s[:-1])[0] + 1])
-                cnt = np.diff(np.concatenate([st, [fid_s.shape[0]]]))
-                mx = np.maximum.reduceat(sc[order], st)
-                wts = np.exp(score_exp * (sc[order] - np.repeat(mx, cnt)))
-                ws = np.zeros(len(frag_id))
-                ws[order] = wts
-                ws = np.where(keep, ws, 0.0)
-                ksel = np.nonzero(keep)[0]
-                if ont is not None:
-                    from salmon_tpu.alignment.errormodel import \
-                        clip_counts
-
-                    def _ont_update(recs):
-                        fcl, bcl, scl, hcl = clip_counts(b, recs)
-                        ont.update(b.read_len[recs].astype(np.int64),
-                                   b.nm_tag[recs].astype(np.int64),
-                                   fcl, bcl, scl, hcl, ws[ksel])
-                    _ont_update(i1[ksel])
-                    if paired_detect:
-                        _ont_update(i2[ksel])
-                else:
-                    from salmon_tpu.alignment.errormodel import \
-                        expand_batch
-                    cols1 = expand_batch(b, i1[ksel], ref_map0,
-                                         tseq_codes, tseq_off, tlens)
-                    err.update(cols1, ws[ksel], 0)
-                    if paired_detect:
-                        cols2 = expand_batch(b, i2[ksel], ref_map0,
-                                             tseq_codes, tseq_off, tlens)
-                        err.update(cols2, ws[ksel], 1)
-                trained += int(keep.sum())
-                if trained >= train_cap:
-                    break
-            rdr.close()
-        (ont or err).normalize()
-        logger.info("%s error model trained on %d alignments",
-                    "ONT" if ont is not None else "mismatch-transition",
-                    trained)
+        if os.environ.get("SALMON_TPU_HOST_ERRMODEL") == "1":
+            from salmon_tpu.alignment.errormodel import \
+                AlignmentErrorModel
+            err = AlignmentErrorModel()
+        else:
+            # device-side model: the CIGAR expansion + transition
+            # counting/likelihood run as one jitted program per batch
+            # (errormodel_device.py; VERDICT r2 item 4)
+            from salmon_tpu.alignment.errormodel_device import \
+                DeviceAlignmentErrorModel
+            err = DeviceAlignmentErrorModel(tseq_codes, tseq_off, tlens)
+    # error-model training happens ONLINE inside the single streaming
+    # pass below, like the reference processMiniBatch: the model's
+    # likelihood is used once numPreBurninFrags fragments have been
+    # seen and keeps updating until numBurninFrags
+    # (SalmonQuantifyAlignments.cpp:222,311,523,855-863;
+    # SalmonDefaults.hpp:73-74)
+    err_trained = 0
+    pre_burnin = int(getattr(opts, "num_pre_burnin_frags", 5000))
+    burnin_cap = int(getattr(opts, "num_burnin_frags", 5_000_000))
 
     # --writeUnmappedNames: fragments with no usable alignment
     # (reference OutputUnmappedFilter role)
@@ -432,9 +387,27 @@ def quantify_alignments(args, opts, cmd_args) -> int:
                            -1)
             keep = keep & (txp >= 0)
 
-            # error-model log-likelihood per alignment (fg - bg)
+            # error-model log-likelihood per alignment (fg - bg),
+            # using the model trained on previous batches (online
+            # burn-in; used once numPreBurninFrags fragments are seen,
+            # reference useAuxParams at :222,311)
+            model_ready = err_trained >= pre_burnin
             err_ll = np.zeros(len(frag_id))
-            if ont is not None and keep.any():
+            # device model: expand this batch's CIGARs ONCE; the keys
+            # feed both the likelihood and (during burn-in) the update
+            prep = None
+            if (err is not None and hasattr(err, "prepare")
+                    and keep.any()
+                    and (model_ready or err_trained < burnin_cap)):
+                kprep = np.nonzero(keep)[0]
+                prep = err.prepare(
+                    b, i1[kprep],
+                    i2[kprep] if paired_detect else None, ref_map)
+            if not model_ready:
+                pass
+            elif prep is not None:
+                err_ll[kprep] = prep.log_likelihood()
+            elif ont is not None and keep.any():
                 from salmon_tpu.alignment.errormodel import clip_counts
                 ksel = np.nonzero(keep)[0]
 
@@ -498,8 +471,9 @@ def quantify_alignments(args, opts, cmd_args) -> int:
             # per-alignment weight: error-model log-likelihood when
             # trained (reference processMiniBatch: AlignmentModel
             # logLikelihood replaces the coverage term), else the
-            # AS-based stand-in
-            if err is not None or ont is not None:
+            # AS-based stand-in (also used pre-burn-in, like the
+            # reference's useASWithoutCIGAR -scoreExp*(bestAS-AS))
+            if (err is not None or ont is not None) and model_ready:
                 logw = err_k + lf
             else:
                 logw = score_exp * score_k + lf
@@ -570,6 +544,41 @@ def quantify_alignments(args, opts, cmd_args) -> int:
                     weights=wn[good],
                     minlength=opts.max_frag_length + 1).astype(np.float64)
                 fld.add_observations(hist)
+
+            # online error-model update with this batch's posterior
+            # weights (reference :855-863: update sampled with
+            # probability exp(logProb) until numBurninFrags)
+            if (err is not None or ont is not None) \
+                    and err_trained < burnin_cap:
+                # posterior per alignment, back in pre-sort subset order
+                w_upd = np.empty_like(wn)
+                w_upd[order] = wn
+                ksel = np.nonzero(keep)[0]
+                if ont is not None:
+                    from salmon_tpu.alignment.errormodel import \
+                        clip_counts
+
+                    def _ont_update(recs):
+                        fcl, bcl, scl, hcl = clip_counts(b, recs)
+                        ont.update(b.read_len[recs].astype(np.int64),
+                                   b.nm_tag[recs].astype(np.int64),
+                                   fcl, bcl, scl, hcl, w_upd)
+                    _ont_update(i1[ksel])
+                    if paired_detect:
+                        _ont_update(i2[ksel])
+                elif prep is not None:
+                    prep.update(w_upd)
+                else:
+                    from salmon_tpu.alignment.errormodel import \
+                        expand_batch
+                    c1u = expand_batch(b, i1[ksel], ref_map, tseq_codes,
+                                       tseq_off, tlens)
+                    err.update(c1u, w_upd, 0)
+                    if paired_detect:
+                        c2u = expand_batch(b, i2[ksel], ref_map,
+                                           tseq_codes, tseq_off, tlens)
+                        err.update(c2u, w_upd, 1)
+                err_trained += F
             # best alignment per fragment (first max-weight entry)
             wv = np.where(valid_w, w, -1.0)
             frag_of = np.repeat(np.arange(F), counts)
