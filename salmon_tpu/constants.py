@@ -123,7 +123,13 @@ class SalmonDefaults:
     # --- TPU batching knobs (no reference analog: fixed shapes) ----------
     reads_per_batch: int = 4096          # R: fragments per device batch
     max_read_len: int = 256              # L: padded read length
-    occ_cap: int = 16                    # C: occurrences gathered per k-mer
+    occ_cap: int = 8                     # C: occurrences gathered per k-mer
+                                         # (r3: 16->8 nearly halves the
+                                         # seed stage = 77% of pipeline
+                                         # time; accuracy-gated by
+                                         # test_scale_sim/test_accuracy_gate;
+                                         # >8-occ k-mers truncate, other
+                                         # windows recover the txps)
     max_cands: int = 64                  # T: candidate (txp,orient) per end
     max_pair_cands: int = 64             # T2: joined hits kept per fragment
     hash_max_probes: int = 8             # slots per hash bucket (one row gather)
@@ -139,7 +145,7 @@ class SalmonDefaults:
     index_shards: int = 1                # split the k-mer table/occ CSR over this many mesh devices (genome-decoy scale)
     profile_dir: str | None = None       # --profileDir: jax.profiler trace of the mapping loop
     dp_budget: int = 4                   # avg DP-validated candidates per fragment
-    weight_width: int = 32               # W: score-sorted hits kept per fragment for weighting/eq emission
+    weight_width: int = 16               # W: score-sorted hits kept per fragment for weighting/eq emission (r3: 32->16, accuracy-gated)
 
 
 # Log-space constants (reference: include/salmon/internal/util/SalmonMath.hpp)

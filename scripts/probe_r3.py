@@ -62,6 +62,10 @@ def main():
             over["dp_budget"] = int(kv["dpb"])
         if "B" in kv:
             over["seed_hits_per_end"] = int(kv["B"])
+        if "occ" in kv:
+            over["occ_cap"] = int(kv["occ"])
+        if "stride" in kv:
+            over["kmer_stride"] = int(kv["stride"])
         cfg = dataclasses.replace(
             MapperConfig.from_index(idx, validate_mappings=True), **over)
         if R not in batches:
