@@ -153,14 +153,24 @@ def orphan_hits(cand: dict, start, mate_status: int, max_pair_cands: int):
     _, score, txp, pos, fw = jax.lax.sort(
         (-s, s, cand["txp"], start, cand["is_fw"].astype(jnp.int32)),
         dimension=1, num_keys=1, is_stable=False)
-    score = score[:, :T2]
+
+    def fit(a, fill=0):
+        # candidate width can be BELOW T2 (max_cands > windows*occ_cap
+        # at small occ_cap): pad so merge_paired_with_orphans always
+        # sees (R, T2)
+        if a.shape[1] >= T2:
+            return a[:, :T2]
+        pad = jnp.full((a.shape[0], T2 - a.shape[1]), fill, a.dtype)
+        return jnp.concatenate([a, pad], axis=1)
+
+    score = fit(score)
     return {
-        "txp": txp[:, :T2],
+        "txp": fit(txp),
         "score": score,
         "frag_len": jnp.zeros_like(score),
-        "pos": pos[:, :T2],
+        "pos": fit(pos),
         "obs_code": jnp.full_like(score, -1),
-        "fw": fw[:, :T2].astype(bool),
+        "fw": fit(fw).astype(bool),
         "valid": score > 0,
         "mate_status": mate_status,
     }
