@@ -100,14 +100,23 @@ def _map_throughput(idx, batch, n_batches):
     jax.block_until_ready(out["txp_mass"])
     mapped_frac = float(out["num_mapped"]) / float(out["num_processed"])
     R = batch["lengths_l"].shape[0]
-    t0 = time.perf_counter()
-    for _ in range(n_batches):
+    # steady-state throughput: a few individually-forced warm calls
+    # (the first post-compile dispatches stall on backend autotune /
+    # allocation), then the median of three pipelined loops, each
+    # forced to completion by a scalar readback (async dispatch does
+    # not block on this backend)
+    for _ in range(3):
         out = map_paired_batch(batch, dev, cfg, fld_logpmf, cp, co)
-    # force full completion (async dispatch does not block on this
-    # backend; a scalar readback does)
-    _ = float(out["txp_mass"].sum())
-    dt = time.perf_counter() - t0
-    return n_batches * R / dt, mapped_frac
+        _ = float(out["txp_mass"].sum())
+    rates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_batches):
+            out = map_paired_batch(batch, dev, cfg, fld_logpmf, cp, co)
+        _ = float(out["txp_mass"].sum())
+        rates.append(n_batches * R / (time.perf_counter() - t0))
+    rates.sort()
+    return rates[1], mapped_frac
 
 
 def _em_iters_per_s():
