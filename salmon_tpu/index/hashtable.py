@@ -4,14 +4,20 @@ Replaces the reference's SSHash minimizer dictionary (external pufferfish;
 see SURVEY.md §2.3). An MPHF is pointer-chasing and build-heavy; on TPU we
 want a branch-free, fixed-gather lookup. Design:
 
-- the table is an array of BUCKETS of 8 compact slots. Every key has TWO
+- the table is an array of BUCKETS of 4 compact slots. Every key has TWO
   candidate buckets (independent 32-bit mixes of its (hi, lo) planes);
   the build places it in its first bucket, falling back to the second on
   overflow (vectorized two-round placement). Lookup gathers BOTH bucket
-  rows — two (16 x int32) ROW gathers per query (row gathers on this
-  backend cost ~3-8 ns per row with payload width nearly free, so two
-  64-byte bucket rows beat seven 16-byte probe rows) — and 16 branch-
-  free fingerprint compares select the hit.
+  rows — two (8 x int32) ROW gathers per query — and 8 branch-free
+  fingerprint compares select the hit. The 32-byte interleaved
+  [fpcnt, start] bucket row is load-bearing twice over: 32 bytes is
+  exactly this backend's efficient gather granule (8-wide i32 rows
+  gather at ~3-15 ns/row while 16-wide rows jump to ~23 ns), and
+  keeping each slot's CSR start IN the bucket row means the whole
+  query — membership, count, AND occurrence offset — costs two row
+  gathers total (the previous 8-slot/two-plane layout needed a third
+  gather into a separate start plane, measured +50% lookup time at
+  human scale where every random row fetch is ~15 ns of HBM latency).
 - COMPACT 8-byte slots: (fpcnt, start) int32 pairs where fpcnt packs a
   16-bit key fingerprint with the 16-bit-saturated occurrence count, and
   start is the occurrence-CSR offset. The fingerprint comes from a THIRD
@@ -21,19 +27,21 @@ want a branch-free, fixed-gather lookup. Design:
   yields occurrences of a different k-mer, which the chaining filter and
   DP validation discard — the same grace the reference extends to
   multimapping noise.
-- keys overflowing BOTH buckets (~1e-4 at the default load <= 0.62)
+- keys overflowing BOTH buckets (rare at the default load <= 0.62;
+  4-slot buckets overflow more often than 8-slot ones but the kick
+  walk below keeps the table total)
   are placed by DETERMINISTIC CUCKOO KICKS (bounded random-walk,
   host-side over the tiny tail) so the dictionary is total like the
   reference's pufferfish MPHF — a query for any indexed k-mer always
   resolves. Only walk exhaustion at extreme load still drops a key
   (recorded in n_evicted; practically zero below ~0.9 load).
 - SHADOW RESOLUTION: lookup takes the FIRST fingerprint match in the
-  16-slot probe window, so a stored key whose window contains an
+  8-slot probe window, so a stored key whose window contains an
   earlier slot with the same fingerprint would silently resolve to that
   other key's occurrences — a lost true seed (the reference's
   pufferfish lookups are exact: RefSeqConstructor validates hits
   against the sequence). The build detects every shadowed stored key
-  (expected ~2.4e-4 of keys: 16 slots x 2^-16) and rewrites the
+  (expected ~1.2e-4 of keys: 8 slots x 2^-16) and rewrites the
   shadowing slot to a MERGED occurrence block appended past the
   caller's CSR (resident's records first, then each shadowed key's;
   `appendix` segments). Every segment is preceded by a SEPARATOR
@@ -56,7 +64,7 @@ import dataclasses
 
 import numpy as np
 
-SLOTS_PER_BUCKET = 8
+SLOTS_PER_BUCKET = 4
 
 
 def split_u64(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -127,8 +135,8 @@ def fingerprint30(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
 @dataclasses.dataclass
 class KmerHashTable:
     """Two-choice bucket table: canonical k-mer -> occurrence CSR range."""
-    rows: np.ndarray         # (n_buckets, 16) int32: 8 x (fpcnt, start)
-    n_slots: int             # total slots = n_buckets * 8 (power of two)
+    rows: np.ndarray         # (n_buckets, 8) int32: 4 x (fpcnt, start)
+    n_slots: int             # total slots = n_buckets * 4 (power of two)
     max_probes: int = 2 * SLOTS_PER_BUCKET   # slots examined per query
     n_evicted: int = 0       # keys dropped (overflowed both buckets)
     # fingerprint-shadow merge segments: (m, 3) int64 rows
@@ -193,7 +201,7 @@ def build_hash_table(keys_u64: np.ndarray,
 
     Sizing: the power-of-two slot count targets `load_factor` but is
     halved while the load stays under `max_load_factor` — a 312M-kmer
-    human transcriptome lands at 2^29 slots = 2^26 buckets (4.3 GB).
+    human transcriptome lands at 2^29 slots = 2^27 buckets (4.3 GB).
     `n_slots` overrides the sizing (the sharded index forces one common
     size across shards so the stacked tables tile a mesh axis).
     """

@@ -53,8 +53,7 @@ class ShardedIndexArrays:
     n_shards: int
     shard_bits: int
     n_slots: int                 # per-shard table slots (common)
-    tab_fp: np.ndarray           # (S, n_buckets, 8) int32
-    tab_st: np.ndarray           # (S, n_buckets, 8) int32
+    tab_rows: np.ndarray         # (S, n_buckets, 8) int32 (4-slot rows)
     occ_quad: np.ndarray         # (S, n_quad, 8) int32
     n_evicted: int
 
@@ -110,11 +109,8 @@ def shard_index_arrays(idx: TranscriptomeIndex,
         occ_quad[s, :txp_s.shape[0], 0] = txp_s
         occ_quad[s, :txp_s.shape[0], 1] = pf_s
     occ_quad = occ_quad.reshape(n_shards, n_quad, 8)
-    tab_fp = np.stack([np.ascontiguousarray(t.rows[:, 0::2])
-                       for t in tabs])
-    tab_st = np.stack([np.ascontiguousarray(t.rows[:, 1::2])
-                       for t in tabs])
+    tab_rows = np.stack([t.rows for t in tabs])
     return ShardedIndexArrays(
         n_shards=n_shards, shard_bits=shard_bits, n_slots=n_slots,
-        tab_fp=tab_fp, tab_st=tab_st, occ_quad=occ_quad,
+        tab_rows=tab_rows, occ_quad=occ_quad,
         n_evicted=n_evicted)

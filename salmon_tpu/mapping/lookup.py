@@ -2,9 +2,12 @@
 replacement).
 
 The table layout is built host-side by salmon_tpu.index.hashtable: one
-(16 x int32) row per 8-slot bucket, each key living in one of its two
-candidate buckets. A query is TWO row gathers plus sixteen branch-free
-fingerprint compares — no data-dependent control flow, no probe chain.
+(8 x int32) row per 4-slot bucket, [fpcnt, start] interleaved per slot,
+each key living in one of its two candidate buckets. A query is TWO
+32-byte row gathers (this backend's efficient gather granule) plus
+eight branch-free fingerprint compares — no data-dependent control
+flow, no probe chain, and no separate start-plane gather: the matching
+slot's occurrence-CSR start rides in the same row.
 
 Reference analog: pufferfish MemCollector's streaming SSHash dictionary
 queries (consumed at src/quant/SalmonQuantify.cpp:1266-1275).
@@ -17,7 +20,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-SLOTS_PER_BUCKET = 8
+SLOTS_PER_BUCKET = 4
 
 
 def mix32(hi: jax.Array, lo: jax.Array) -> jax.Array:
@@ -72,24 +75,25 @@ def fingerprint30(hi: jax.Array, lo: jax.Array) -> jax.Array:
     return x >> jnp.uint32(2)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5))
-def hash_lookup(hi, lo, fp_rows, st_rows, n_slots: int,
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def hash_lookup(hi, lo, tab_rows, n_slots: int,
                 max_probes: int = 2 * SLOTS_PER_BUCKET):
     """Look up canonical k-mers in the two-choice bucket table.
 
-    The table ships as two (n_buckets, 8) PLANES instead of one
-    (n_buckets, 16) interleaved row: on this backend 8-wide int32 row
-    gathers cost ~3 ns while 16-wide rows jump to ~23 ns (the gather
-    granule is 32 bytes), so 2 fingerprint-plane gathers + 1
-    start-plane gather of the matching bucket run ~5x faster than 2
-    interleaved-row gathers.
+    The table ships as ONE (n_buckets, 8) int32 matrix of 4-slot
+    buckets with [fpcnt, start] interleaved per slot: a 32-byte row is
+    this backend's efficient gather granule, and keeping each slot's
+    CSR start in the bucket row makes the whole query TWO row gathers
+    (the previous 8-slot/two-plane layout needed a third gather into a
+    separate start plane — ~50% more HBM-latency-bound row fetches at
+    human-scale table sizes where a random row costs ~15 ns).
 
     Args:
       hi, lo: (...,) uint32 query key planes.
-      fp_rows: (n_buckets, 8) int32 fpcnt plane (fp16<<16 | count16).
-      st_rows: (n_buckets, 8) int32 occurrence-CSR start plane.
-      n_slots: total slot count = n_buckets * 8 (static).
-      max_probes: slots examined per query (static; = 16, both buckets).
+      tab_rows: (n_buckets, 8) int32 bucket rows
+        (slot s at lanes [2s] = fp16<<16 | count16, [2s+1] = CSR start).
+      n_slots: total slot count = n_buckets * 4 (static).
+      max_probes: slots examined per query (static; = 8, both buckets).
 
     Returns (start, count, found): occurrence CSR range (start=-1/count=0
     when not found).
@@ -99,19 +103,21 @@ def hash_lookup(hi, lo, fp_rows, st_rows, n_slots: int,
     b1 = (mix32(hi, lo) & mask).astype(jnp.int32)
     b2 = (mix32b(hi, lo) & mask).astype(jnp.int32)
     fp = fingerprint16(hi, lo)
-    f1 = jax.lax.bitcast_convert_type(
-        jnp.take(fp_rows, b1, axis=0, mode="clip"), jnp.uint32)
-    f2 = jax.lax.bitcast_convert_type(
-        jnp.take(fp_rows, b2, axis=0, mode="clip"), jnp.uint32)
+    r1 = jax.lax.bitcast_convert_type(
+        jnp.take(tab_rows, b1, axis=0, mode="clip"), jnp.uint32)
+    r2 = jax.lax.bitcast_convert_type(
+        jnp.take(tab_rows, b2, axis=0, mode="clip"), jnp.uint32)
+    f1 = r1[..., 0::2]
+    f2 = r2[..., 0::2]
     m1 = ((f1 >> jnp.uint32(16)) == fp[..., None]) & (f1 != 0)
     m2 = ((f2 >> jnp.uint32(16)) == fp[..., None]) & (f2 != 0)
     in1 = m1.any(axis=-1)
     found = in1 | m2.any(axis=-1)
-    # the start plane is read once, from whichever bucket matched
-    bsel = jnp.where(in1, b1, b2)
-    st = jnp.take(st_rows, bsel, axis=0, mode="clip")  # (..., 8)
+    # both rows are already here — no third gather for the starts
+    row = jnp.where(in1[..., None], r1, r2)
     match = jnp.where(in1[..., None], m1, m2)
-    fpcnt = jnp.where(in1[..., None], f1, f2)
+    fpcnt = row[..., 0::2]
+    st = row[..., 1::2]
     # first matching slot wins (independent-hash fingerprint ties are
     # ~1/65k, but a masked sum would corrupt on one)
     start = jnp.full(b1.shape, -1, jnp.int32)
@@ -119,7 +125,9 @@ def hash_lookup(hi, lo, fp_rows, st_rows, n_slots: int,
     P = min(max_probes, 2 * SLOTS_PER_BUCKET)
     for p in range(min(P, SLOTS_PER_BUCKET) - 1, -1, -1):
         m = match[..., p]
-        start = jnp.where(m, st[..., p], start)
+        # CSR starts are int32 >= 0 by builder contract, so the uint32
+        # lanes reinterpret losslessly via astype
+        start = jnp.where(m, st[..., p].astype(jnp.int32), start)
         count = jnp.where(
             m, (fpcnt[..., p] & jnp.uint32(0xFFFF)).astype(jnp.int32),
             count)

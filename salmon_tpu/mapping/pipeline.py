@@ -192,14 +192,11 @@ def device_index_arrays(idx: TranscriptomeIndex) -> dict:
     off_dtype = np.int64 if total + _SEQ4_SHIFT + 256 >= 2**31 \
         else np.int32
     big = total >= 2**28
-    # the bucket table ships as two (n_buckets, 8) planes: 8-wide int32
-    # row gathers cost ~3 ns vs ~23 ns for the 16-wide interleaved row
-    # (32-byte gather granule) — see mapping.lookup.hash_lookup
+    # the bucket table ships as ONE (n_buckets, 8) matrix of 4-slot
+    # interleaved rows: a 32-byte row is the efficient gather granule
+    # and a query is two row gathers — see mapping.lookup.hash_lookup
     return {
-        "tab_fp": jnp.asarray(np.ascontiguousarray(
-            idx.table.rows[:, 0::2])),
-        "tab_st": jnp.asarray(np.ascontiguousarray(
-            idx.table.rows[:, 1::2])),
+        "tab_rows": jnp.asarray(idx.table.rows),
         "occ_quad": jnp.asarray(occ_quad),
         "txp_lens": jnp.asarray(idx.lengths.astype(np.int32)),
         "seq_codes": jnp.asarray(idx.seq_codes if not big
@@ -233,7 +230,7 @@ def _end_seeds(codes, lengths, dev, cfg: MapperConfig):
         # seed-skip: query every stride-th window (reference analog:
         # altSkip, SalmonDefaults.hpp:37; streaming-query skip heuristics)
         km = {k: v[:, ::cfg.kmer_stride] for k, v in km.items()}
-    lk = hash_lookup(km["hi"], km["lo"], dev["tab_fp"], dev["tab_st"],
+    lk = hash_lookup(km["hi"], km["lo"], dev["tab_rows"],
                      cfg.n_slots, cfg.max_probes)
     return km, lk
 

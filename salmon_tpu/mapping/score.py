@@ -62,7 +62,7 @@ def gather_occ_quad(occ_quad, start, C: int):
 
 def expand_occurrences(km: dict, start, count, found, occ_quad,
                        occ_cap: int, max_occs_per_hit: int,
-                       stride: int = 1):
+                       stride: int = 1, tail_frac: int = 8):
     """Gather up to C occurrences per found k-mer window.
 
     `occ_quad` is the quad-packed (n_quad, 8) int32 occurrence matrix
@@ -70,6 +70,20 @@ def expand_occurrences(km: dict, start, count, found, occ_quad,
     `stride` is the base-position step between successive windows (the
     seed-skip analog of the reference's altSkip/mismatchSeedSkip,
     SalmonDefaults.hpp:37): window p sits at read position p*stride.
+
+    BUDGETED TAIL GATHER: random row fetches into a human-scale occ
+    matrix cost ~15-17 ns each (pure HBM latency), and 82% of
+    query-weighted windows have a single occurrence (92% of stored
+    k-mers) — so fetching ceil((C+3)/4) rows for every window wastes
+    most of the expand stage on rows whose records are masked anyway.
+    Instead: ONE quad row is fetched per window (covering the first
+    4 - (start & 3) records, enough for count=1..4 at most offsets),
+    and the minority of windows whose records spill past it
+    (count + offset > 4; ~7.6% query-weighted on the human index) are
+    batch-globally compacted into K = max(1024, F // tail_frac) slots
+    that fetch the remaining ceil((C-1)/4) consecutive rows. Windows
+    past the K budget (never observed at the default 12.5% headroom)
+    degrade gracefully: they keep their first-row records only.
 
     Returns (key, rpos, diag, valid), each (R, P, C):
       key  = txp*2 + orient (uint32; orient=1 read maps forward),
@@ -79,15 +93,62 @@ def expand_occurrences(km: dict, start, count, found, occ_quad,
     """
     R, P = start.shape
     C = occ_cap
+    F = R * P
     usable = found & km["valid"] & (count <= max_occs_per_hit)
 
-    c_idx = jnp.arange(C, dtype=jnp.int32)
-    ovalid = usable[:, :, None] & (c_idx[None, None, :] < count[:, :, None])
+    q0 = (start >> 2).reshape(F)
+    off = (start.reshape(F) & 3).astype(jnp.int32)
+    cnt_c = jnp.minimum(count.reshape(F), C)
+    use_f = usable.reshape(F)
 
-    occ = gather_occ_quad(occ_quad, start, C)            # (R, P, C, 2)
-    txp = occ[..., 0]
-    tpos = occ[..., 1] >> 1
-    tfwd = (occ[..., 1] & 1).astype(bool)
+    # row 0: always fetched (one row-gather per window)
+    row0 = jnp.take(occ_quad, jnp.clip(q0, 0, None), axis=0,
+                    mode="clip")                          # (F, 8)
+
+    # tail pool: the few windows spilling past row 0
+    tail_n = max(1, -(-(C - 1) // 4))        # ceil((C-1)/4) extra rows
+    need = use_f & (cnt_c + off > 4)
+    K = min(F, max(1024, F // tail_frac))
+    idx_bits = max(1, (F - 1).bit_length())
+    packed = ((jnp.where(need, jnp.uint32(0), jnp.uint32(1))
+               << jnp.uint32(idx_bits))
+              | jnp.arange(F, dtype=jnp.uint32))
+    sel = (jax.lax.sort(packed, dimension=0, is_stable=False)[:K]
+           & jnp.uint32((1 << idx_bits) - 1)).astype(jnp.int32)
+    sel_need = jnp.take(need, sel)
+    ridx = (jnp.clip(jnp.take(q0, sel), 0, None)[:, None]
+            + jnp.arange(1, tail_n + 1, dtype=jnp.int32))
+    tail = jnp.take(occ_quad, jnp.clip(ridx, 0, None), axis=0,
+                    mode="clip")                          # (K, tail_n, 8)
+    tail = jnp.where(sel_need[:, None, None], tail, 0)
+    tail_buf = jnp.zeros((F, tail_n * 8), jnp.int32).at[sel].set(
+        tail.reshape(K, tail_n * 8), mode="drop")
+    # the sort keeps the K smallest-index needy windows, so membership
+    # is equivalently the first K needy by flat index — a cumsum beats
+    # scattering a flag
+    got_tail = need & (jnp.cumsum(need.astype(jnp.int32)) <= K)
+
+    # realign by the in-row offset on even/odd LANE views (txp at even
+    # lanes, pos<<1|fwd at odd) — strided lane slices + selects, no
+    # minor-dim-2 relayout of the full record tensor
+    flat = jnp.concatenate([row0, tail_buf], axis=1)      # (F, 8+8*tail_n)
+    txp_all = flat[:, 0::2]                               # (F, 4+4*tail_n)
+    pf_all = flat[:, 1::2]
+    txp_f = txp_all[:, 0:C]
+    pf_f = pf_all[:, 0:C]
+    for o in (1, 2, 3):
+        m = (off == o)[:, None]
+        txp_f = jnp.where(m, txp_all[:, o:o + C], txp_f)
+        pf_f = jnp.where(m, pf_all[:, o:o + C], pf_f)
+
+    c_idx = jnp.arange(C, dtype=jnp.int32)
+    ovalid = (use_f[:, None] & (c_idx[None, :] < cnt_c[:, None])
+              & ((c_idx[None, :] < 4 - off[:, None])
+                 | got_tail[:, None])).reshape(R, P, C)
+
+    txp = txp_f.reshape(R, P, C)
+    tpos = (pf_f >> 1).reshape(R, P, C)
+    tfwd = (pf_f & 1).astype(bool).reshape(R, P, C)
 
     # shadow-merged blocks: separator records (txp = -1) open a
     # sub-segment tagged with its key's fingerprint30; rows past a

@@ -62,12 +62,23 @@ def main():
         k, v = tok.split("=")
         over[k] = int(v) if v.lstrip("-").isdigit() else v
 
-    idx = build_index(os.path.join(DATA, "transcripts.fasta"), k=25)
+    hs = bool(over.pop("hs", 0))
+    if hs:
+        from salmon_tpu.index.builder import load_index
+        cache = os.environ.get(
+            "BENCH_CACHE", os.path.join(os.path.expanduser("~"),
+                                        ".cache", "salmon_tpu_bench"))
+        idx = load_index(os.path.join(cache, "hs_idx"))
+        r1 = os.path.join(cache, "reads_1.fastq")
+        r2 = os.path.join(cache, "reads_2.fastq")
+    else:
+        idx = build_index(os.path.join(DATA, "transcripts.fasta"), k=25)
+        r1 = os.path.join(DATA, "reads_1.fastq")
+        r2 = os.path.join(DATA, "reads_2.fastq")
     dev = pl.device_index_arrays(idx)
     cfg = dataclasses.replace(
         pl.MapperConfig.from_index(idx, validate_mappings=True), **over)
-    batch = _load_reads(os.path.join(DATA, "reads_1.fastq"),
-                        os.path.join(DATA, "reads_2.fastq"), R)
+    batch = _load_reads(r1, r2, R)
     codes, lengths = batch["codes_l"], batch["lengths_l"]
 
     @jax.jit
@@ -78,15 +89,15 @@ def main():
         return km
 
     @jax.jit
-    def s_lookup(km):
-        return hash_lookup(km["hi"], km["lo"], dev["tab_fp"],
-                           dev["tab_st"], cfg.n_slots, cfg.max_probes)
+    def s_lookup(km, tab_fp, tab_st):
+        return hash_lookup(km["hi"], km["lo"], tab_fp,
+                           tab_st, cfg.n_slots, cfg.max_probes)
 
     @jax.jit
-    def s_expand(km, lk):
+    def s_expand(km, lk, occ_quad):
         start_c, count_c, found = lk
         return expand_occurrences(
-            km, start_c, count_c, found, dev["occ_quad"],
+            km, start_c, count_c, found, occ_quad,
             cfg.occ_cap, cfg.max_occs_per_hit, stride=cfg.kmer_stride)
 
     @jax.jit
@@ -104,14 +115,14 @@ def main():
                                                      window_bits))
 
     km = s_kmer(codes, lengths)
-    lk = s_lookup(km)
-    exp = s_expand(km, lk)
+    lk = s_lookup(km, dev["tab_fp"], dev["tab_st"])
+    exp = s_expand(km, lk, dev["occ_quad"])
     _ = s_score(exp)
     log(f"# shapes: kmer hi {km['hi'].shape}, occ key {exp[0].shape}")
 
     t_k = bench_amp(s_kmer, (codes, lengths))
-    t_l = bench_amp(s_lookup, (km,))
-    t_e = bench_amp(s_expand, (km, lk))
+    t_l = bench_amp(s_lookup, (km, dev["tab_fp"], dev["tab_st"]))
+    t_e = bench_amp(s_expand, (km, lk, dev["occ_quad"]))
     t_s = bench_amp(s_score, (exp,))
     tot = t_k + t_l + t_e + t_s
     log(f"R={R} over={over} (ONE end; pipeline runs this x2)")

@@ -68,7 +68,21 @@ def main():
         k, v = tok.split("=")
         over[k] = int(v) if v.lstrip("-").isdigit() else v
 
-    idx = build_index(os.path.join(DATA, "transcripts.fasta"), k=25)
+    hs = bool(over.pop("hs", 0))
+    if hs:
+        # human-scale fixture: the bench cache's 200k-txp k=31 index
+        # + 100bp read pairs (built once by bench.py)
+        from salmon_tpu.index.builder import load_index
+        cache = os.environ.get(
+            "BENCH_CACHE", os.path.join(os.path.expanduser("~"),
+                                        ".cache", "salmon_tpu_bench"))
+        idx = load_index(os.path.join(cache, "hs_idx"))
+        r1 = os.path.join(cache, "reads_1.fastq")
+        r2 = os.path.join(cache, "reads_2.fastq")
+    else:
+        idx = build_index(os.path.join(DATA, "transcripts.fasta"), k=25)
+        r1 = os.path.join(DATA, "reads_1.fastq")
+        r2 = os.path.join(DATA, "reads_2.fastq")
     dev = pl.device_index_arrays(idx)
     cfg = dataclasses.replace(
         pl.MapperConfig.from_index(idx, validate_mappings=True), **over)
@@ -77,11 +91,10 @@ def main():
     fmt = libformat.parse_library_format("IU")
     cp = jnp.asarray(libformat.paired_compat_table(fmt))
     co = jnp.asarray(libformat.orphan_compat_table(fmt))
-    batch = _load_reads(os.path.join(DATA, "reads_1.fastq"),
-                        os.path.join(DATA, "reads_2.fastq"), R)
+    batch = _load_reads(r1, r2, R)
 
     @jax.jit
-    def s_seed(batch):
+    def s_seed(batch, dev):
         return pl._seed_candidates(
             [batch["codes_l"], batch["codes_r"]],
             [batch["lengths_l"], batch["lengths_r"]], dev, cfg)
@@ -101,17 +114,17 @@ def main():
                                             cfg.discard_orphans), paired
 
     @jax.jit
-    def s_dp(joined, batch):
+    def s_dp(joined, batch, dev):
         return pl._dp_scores(joined, batch, dev, cfg, single_end=False)
 
     @jax.jit
-    def s_tail(joined, paired, aln, batch):
+    def s_tail(joined, paired, aln, batch, tlens):
         aln_score, perfect = aln
         real_row = batch["lengths_l"] > 0
         W = min(cfg.weight_width, joined["txp"].shape[1])
         joined_w = {k: (v[:, :W] if v.ndim == 2 else v)
                     for k, v in joined.items()}
-        tlen = jnp.take(dev["txp_lens"],
+        tlen = jnp.take(tlens,
                         jnp.clip(joined_w["txp"], 0, cfg.num_txps - 1),
                         mode="clip")
         left_orph = joined["mate_status"] == pl.MS_LEFT_ORPHAN
@@ -123,15 +136,16 @@ def main():
             aln_score=aln_score[:, :W], perfect_score=perfect[:, :W],
             tlen=tlen, rlen_mapped=rlen_mapped)
 
-    cands = s_seed(batch)
+    cands = s_seed(batch, dev)
     joined, paired = s_join(cands, batch)
-    aln = s_dp(joined, batch)
-    _ = s_tail(joined, paired, aln, batch)
+    aln = s_dp(joined, batch, dev)
+    _ = s_tail(joined, paired, aln, batch, dev["txp_lens"])
 
-    t_seed = bench_amp(s_seed, (batch,))
+    t_seed = bench_amp(s_seed, (batch, dev))
     t_join = bench_amp(s_join, (cands, batch))
-    t_dp = bench_amp(s_dp, (joined, batch))
-    t_tail = bench_amp(s_tail, (joined, paired, aln, batch))
+    t_dp = bench_amp(s_dp, (joined, batch, dev))
+    t_tail = bench_amp(s_tail, (joined, paired, aln, batch,
+                                dev["txp_lens"]))
     total = t_seed + t_join + t_dp + t_tail
     log(f"R={R} over={over}")
     log(f"seed   {t_seed:7.2f} ms  ({t_seed/total*100:4.1f}%)")
