@@ -64,6 +64,13 @@ def _add_quant_shared(p):
     p.add_argument("--seqBias", action="store_true")
     p.add_argument("--gcBias", action="store_true")
     p.add_argument("--posBias", action="store_true")
+    p.add_argument("--posBiasCorrected", action="store_true",
+                   help="positional bias with the corrected estimator "
+                        "(fw-marginal only + spline knots matching the "
+                        "accumulation bins); --posBias alone reproduces "
+                        "the reference algorithm exactly, whose gain is "
+                        "negative under generative positional bias "
+                        "(see scripts/posbias_reference_trace.py)")
     p.add_argument("--incompatPrior", type=float, default=0.0)
     p.add_argument("-g", "--geneMap", default=None)
     p.add_argument("--meta", action="store_true")
@@ -266,7 +273,8 @@ def _opts_from_args(args):
     o = SalmonDefaults()
     o.seq_bias_correct = args.seqBias
     o.gc_bias_correct = args.gcBias
-    o.pos_bias_correct = args.posBias
+    o.pos_bias_correct = args.posBias or args.posBiasCorrected
+    o.pos_bias_corrected = args.posBiasCorrected
     o.incompat_prior = args.incompatPrior
     o.use_em = args.useEM
     o.use_vb_opt = not args.useEM

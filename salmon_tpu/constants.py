@@ -19,6 +19,12 @@ class SalmonDefaults:
     seq_bias_correct: bool = False
     gc_bias_correct: bool = False
     pos_bias_correct: bool = False
+    # corrected positional-bias estimator (--posBiasCorrected): fixes
+    # the two reference defects root-caused in
+    # scripts/posbias_reference_trace.py (fw x rc double count; uniform
+    # bins projected through non-uniform Cufflinks spline knots). OFF by
+    # default: plain --posBias stays reference-parity, defects included.
+    pos_bias_corrected: bool = False
     num_threads: int = 8
     incompat_prior: float = 0.0
     discard_orphans: bool = False
@@ -132,7 +138,8 @@ class SalmonDefaults:
                                          # windows recover the txps)
     max_cands: int = 64                  # T: candidate (txp,orient) per end
     max_pair_cands: int = 64             # T2: joined hits kept per fragment
-    hash_max_probes: int = 8             # slots per hash bucket (one row gather)
+    hash_max_probes: int = 8             # slots probed per query (4-slot
+                                         # buckets -> two row gathers)
     hash_load_factor: float = 0.5
     kmer_stride: int = 3                 # seed-skip between query windows (accuracy-neutral; reference altSkip=3)
     # batch-global compacted hit list (mapping.seed_sparse) vs the dense

@@ -25,11 +25,13 @@ import numpy as np
 logger = logging.getLogger("salmon_tpu")
 
 from salmon_tpu.constants import DEFAULTS
-from salmon_tpu.index.hashtable import KmerHashTable, build_hash_table
+from salmon_tpu.index.hashtable import (KmerHashTable, build_hash_table,
+                                        SLOTS_PER_BUCKET as
+                                        HT_SLOTS_PER_BUCKET)
 from salmon_tpu.io.fasta import load_transcripts
 from salmon_tpu.utils.dna import canonical_kmers, kmers_of
 
-INDEX_FORMAT_VERSION = 3  # v3: bucketized 8-slot rows, independent fingerprint mix
+INDEX_FORMAT_VERSION = 4  # v4: 4-slot (n_buckets, 8) rows; v3 was 8-slot 16-wide
 
 
 @dataclasses.dataclass
@@ -303,7 +305,7 @@ def save_index(idx: TranscriptomeIndex, out_dir: str) -> None:
         "occ_txp": idx.occ_txp, "occ_pos": idx.occ_pos,
         "occ_fwd": idx.occ_fwd,
         "table_rows": (idx.table.rows if idx.table is not None
-                       else np.zeros((0, 16), np.int32)),
+                       else np.zeros((0, 8), np.int32)),
         "seq_codes": idx.seq_codes, "seq_offsets": idx.seq_offsets}
     for name in _INDEX_ARRAYS:
         np.save(os.path.join(out_dir, f"{name}.npy"), arrays[name])
@@ -336,11 +338,19 @@ def load_index(index_dir: str) -> TranscriptomeIndex:
     z = {name: np.load(os.path.join(index_dir, f"{name}.npy"),
                        mmap_mode="r")
          for name in _INDEX_ARRAYS}
-    table = (KmerHashTable(
-        rows=z["table_rows"],
-        n_slots=int(meta["table_n_slots"]),
-        max_probes=int(meta["table_max_probes"]))
-        if int(meta.get("table_n_slots", 0)) else None)
+    table = None
+    if int(meta.get("table_n_slots", 0)):
+        n_slots = int(meta["table_n_slots"])
+        want = (n_slots // HT_SLOTS_PER_BUCKET, 2 * HT_SLOTS_PER_BUCKET)
+        if tuple(z["table_rows"].shape) != want:
+            raise ValueError(
+                f"index at {index_dir}: table_rows shape "
+                f"{tuple(z['table_rows'].shape)} does not match the "
+                f"{HT_SLOTS_PER_BUCKET}-slot bucket geometry {want}; "
+                f"please rebuild")
+        table = KmerHashTable(
+            rows=z["table_rows"], n_slots=n_slots,
+            max_probes=int(meta["table_max_probes"]))
     return TranscriptomeIndex(
         k=int(meta["k"]), names=names, lengths=z["lengths"],
         complete_lengths=z["complete_lengths"],

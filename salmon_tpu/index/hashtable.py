@@ -413,7 +413,7 @@ def lookup_host(tab: KmerHashTable, keys_u64: np.ndarray):
     b2 = (mix32b(hi, lo) & mask).astype(np.int64)
     fp = fingerprint16(hi, lo)
     rows = np.concatenate([tab.rows[b1], tab.rows[b2]],
-                          axis=-1)               # (..., 32)
+                          axis=-1)               # (..., 16)
     start = np.full(keys_u64.shape, -1, dtype=np.int32)
     count = np.zeros(keys_u64.shape, dtype=np.int32)
     pending = np.ones(keys_u64.shape, dtype=bool)

@@ -259,7 +259,7 @@ def _seed_candidates(ends, lengths_per_end, dev, cfg: MapperConfig):
 def _dense_candidates(km, lk, dev, cfg: MapperConfig):
     """Dense (R, P, C) expansion + per-row sort scoring (legacy path)."""
     start_c, count_c, found = lk
-    key, rpos, diag, ovalid = expand_occurrences(
+    key, rpos, diag, ovalid, n_tail_over = expand_occurrences(
         km, start_c, count_c, found, dev["occ_quad"],
         cfg.occ_cap, cfg.max_occs_per_hit, stride=cfg.kmer_stride)
     R = key.shape[0]
@@ -275,10 +275,14 @@ def _dense_candidates(km, lk, dev, cfg: MapperConfig):
             f"{n_windows} seed windows need window_bits={window_bits} "
             f"> 12, which would overflow the diagonal-bucket sort key; "
             f"raise kmer_stride or reduce max_read_len")
-    return score_candidates(
+    cand = score_candidates(
         key.reshape(R, n), rpos.reshape(R, n), diag.reshape(R, n),
         cfg.max_cands, stride=cfg.kmer_stride, window_bits=window_bits,
         diag_bucket_bits=diag_bucket_bits_for(cfg.max_tpos, window_bits))
+    # tail-budget saturation counter (see expand_occurrences docstring);
+    # popped back out by map_*_from_cands into out["seed_tail_over"]
+    cand["tail_over"] = n_tail_over
+    return cand
 
 
 def _device_revcomp(codes, lengths):
@@ -824,6 +828,8 @@ def map_paired_from_cands(cands, batch: dict, dev: dict,
     already scored — the sharded-index path (parallel.sharded) produces
     candidates from k-mer-sharded lookups and re-enters here."""
     (cand_l, start_l), (cand_r, start_r) = cands
+    seed_tail_over = (cand_l.pop("tail_over", jnp.int32(0))
+                      + cand_r.pop("tail_over", jnp.int32(0)))
 
     paired = join_pairs(cand_l, cand_r, start_l, start_r,
                         batch["lengths_l"], batch["lengths_r"],
@@ -931,6 +937,7 @@ def map_paired_from_cands(cands, batch: dict, dev: dict,
              & real_row).astype(jnp.int32)),
         "num_alns_below_threshold": jnp.sum(
             jnp.where(frag_ok & real_row, fextras["below_thresh"], 0)),
+        "seed_tail_over": seed_tail_over,
         "fld_hist": fld_hist,
         "fmt_hist": fmt_hist,
     }
@@ -963,6 +970,7 @@ def map_single_from_cands(cands, batch: dict, dev: dict,
     """Single-end stages 4-6 from pre-scored candidates (see
     map_paired_from_cands)."""
     [(cand, start)] = cands
+    seed_tail_over = cand.pop("tail_over", jnp.int32(0))
     hits = orphan_hits(cand, start, MS_PAIRED, cfg.max_pair_cands)
     # single-end compat: table over observed (fw, rc)
     joined = dict(hits)
@@ -1027,6 +1035,7 @@ def map_single_from_cands(cands, batch: dict, dev: dict,
              & real_row).astype(jnp.int32)),
         "num_alns_below_threshold": jnp.sum(
             jnp.where(frag_ok & real_row, fextras["below_thresh"], 0)),
+        "seed_tail_over": seed_tail_over,
         "fld_hist": jnp.zeros(cfg.fld_max + 1, jnp.float32),
         "fmt_hist": fmt_hist,
     }

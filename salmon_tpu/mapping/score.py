@@ -83,9 +83,12 @@ def expand_occurrences(km: dict, start, count, found, occ_quad,
     batch-globally compacted into K = max(1024, F // tail_frac) slots
     that fetch the remaining ceil((C-1)/4) consecutive rows. Windows
     past the K budget (never observed at the default 12.5% headroom)
-    degrade gracefully: they keep their first-row records only.
+    degrade gracefully: they keep their first-row records only — the
+    returned `n_tail_over` scalar counts them so saturation on unusual
+    indexes is observable instead of silent.
 
-    Returns (key, rpos, diag, valid), each (R, P, C):
+    Returns (key, rpos, diag, valid, n_tail_over); the first four are
+    (R, P, C):
       key  = txp*2 + orient (uint32; orient=1 read maps forward),
       rpos = read window position (in bases),
       diag = tpos - rpos (fw) or tpos + rpos (rc) — strand-specific
@@ -174,7 +177,9 @@ def expand_occurrences(km: dict, start, count, found, occ_quad,
         (jnp.arange(P, dtype=jnp.int32) * stride)[None, :, None],
         (R, P, C))
     diag = jnp.where(orient_fw, tpos - rpos, tpos + rpos)
-    return key, rpos, diag, ovalid
+    n_tail_over = jnp.maximum(
+        jnp.sum(need.astype(jnp.int32)) - jnp.int32(K), 0)
+    return key, rpos, diag, ovalid, n_tail_over
 
 
 def _segmented_min(values, seg_start, axis=1):

@@ -123,9 +123,18 @@ def pos_bin_of(pos, length):
                     0, POS_BINS - 1)
 
 
-def pos_project_weights(masses: np.ndarray, length: int) -> np.ndarray:
+def pos_project_weights(masses: np.ndarray, length: int,
+                        uniform_knots: bool = False) -> np.ndarray:
     """Spline-project 20 bin masses to per-position factors
-    (SimplePosBias::finalize + projectWeights)."""
+    (SimplePosBias::finalize + projectWeights).
+
+    uniform_knots=False reproduces the reference exactly: masses are
+    accumulated into UNIFORM bins (pos_bin_of) but projected through
+    spline knots at the NON-uniform Cufflinks positions − 0.01 — a warp
+    that is one of the two root-caused defects behind the reference's
+    negative --posBias gain (scripts/posbias_reference_trace.py).
+    uniform_knots=True (--posBiasCorrected) places the knots at the
+    uniform bin CENTERS the masses actually came from."""
     from scipy.interpolate import CubicSpline
 
     m = np.asarray(masses, dtype=np.float64)
@@ -136,7 +145,11 @@ def pos_project_weights(masses: np.ndarray, length: int) -> np.ndarray:
     stop_knot = m[-1] / s
     spline_sum = s + start_knot + stop_knot
     ys = np.concatenate([[start_knot], m / spline_sum, [stop_knot]])
-    xs = np.concatenate([[0.0], POS_BIN_EDGES - 0.01, [1.0]])
+    if uniform_knots:
+        centers = (np.arange(POS_BINS) + 0.5) / POS_BINS
+        xs = np.concatenate([[0.0], centers, [1.0]])
+    else:
+        xs = np.concatenate([[0.0], POS_BIN_EDGES - 0.01, [1.0]])
     cs = CubicSpline(xs, ys)
     frac = np.arange(length, dtype=np.float64) / max(length, 1)
     return np.maximum(0.001, cs(frac))

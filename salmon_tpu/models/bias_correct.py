@@ -23,7 +23,7 @@ logger = logging.getLogger("salmon_tpu")
 POS_RATIO_MAX = 10.0  # spline-noise guard on sparse length classes
 
 
-def _pos_factor_grid(obs_masses, exp_masses):
+def _pos_factor_grid(obs_masses, exp_masses, uniform_knots=False):
     """(5, POS_GRID) obs/exp positional factor ratio tables, clamped to
     [1/POS_RATIO_MAX, POS_RATIO_MAX] (divergence from the reference,
     which leaves the spline ratio unclamped: sparse length classes
@@ -32,8 +32,10 @@ def _pos_factor_grid(obs_masses, exp_masses):
     for li in range(B.POS_LENGTH_CLASSES):
         # +1 pseudocount per bin (the reference's SimplePosBias starts
         # each bin at LOG_1, i.e. mass 1.0: SimplePosBias.cpp ctor)
-        o = B.pos_project_weights(obs_masses[li] + 1.0, BE.POS_GRID)
-        e = B.pos_project_weights(exp_masses[li] + 1.0, BE.POS_GRID)
+        o = B.pos_project_weights(obs_masses[li] + 1.0, BE.POS_GRID,
+                                  uniform_knots)
+        e = B.pos_project_weights(exp_masses[li] + 1.0, BE.POS_GRID,
+                                  uniform_knots)
         if obs_masses[li].sum() > 0 and exp_masses[li].sum() > 0:
             grid[li] = np.clip(o / np.maximum(e, 1e-5),
                                1.0 / POS_RATIO_MAX, POS_RATIO_MAX)
@@ -198,8 +200,18 @@ class BiasState:
         else:
             gc_ratio = np.ones((B.GC_COND_BINS, B.GC_BINS))
         if pos_b:
-            grid_fw = _pos_factor_grid(self.obs.pos5, pos5_exp)
-            grid_rc = _pos_factor_grid(self.obs.pos3, pos3_exp)
+            corrected = bool(getattr(o, "pos_bias_corrected", False))
+            grid_fw = _pos_factor_grid(self.obs.pos5, pos5_exp,
+                                       uniform_knots=corrected)
+            if corrected:
+                # --posBiasCorrected: the 5'/3' start distributions are
+                # marginals of ONE positional distribution linked by the
+                # fragment length; multiplying both factors double-counts
+                # it (posbias_reference_trace.py defect #1), so the
+                # corrected integral uses the fw marginal only
+                grid_rc = np.ones((B.POS_LENGTH_CLASSES, BE.POS_GRID))
+            else:
+                grid_rc = _pos_factor_grid(self.obs.pos3, pos3_exp)
         else:
             grid_fw = np.ones((B.POS_LENGTH_CLASSES, BE.POS_GRID))
             grid_rc = np.ones((B.POS_LENGTH_CLASSES, BE.POS_GRID))

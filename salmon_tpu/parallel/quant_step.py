@@ -39,7 +39,7 @@ _PSUM_KEYS = ("txp_mass", "fld_hist", "fmt_hist", "num_processed",
               "num_mapped", "num_paired", "num_orphans",
               "num_orphans_rescued", "num_decoy_fragments",
               "num_dovetail_fragments", "num_frags_filtered_vm",
-              "num_alns_below_threshold")
+              "num_alns_below_threshold", "seed_tail_over")
 # everything else (eq tensors, best-hit fields) stays sharded by reads
 
 

@@ -116,8 +116,7 @@ def device_sharded_index(idx: TranscriptomeIndex, mesh: Mesh,
         else np.int32
     big = total >= 2**28
     dev = {
-        "tab_fp": _put(sharded.tab_fp, shard_sh),
-        "tab_st": _put(sharded.tab_st, shard_sh),
+        "tab_rows": _put(sharded.tab_rows, shard_sh),
         "occ_quad": _put(sharded.occ_quad, shard_sh),
         "txp_lens": _put(idx.lengths.astype(np.int32), repl),
         "seq_codes": _put(
@@ -138,14 +137,14 @@ def sharded_config(idx: TranscriptomeIndex, mesh: Mesh,
         base, n_slots=overrides["n_slots"], sparse_seed=True)
 
 
-def _local_seeds(codes, lengths, tab_fp, tab_st, cfg: MapperConfig,
+def _local_seeds(codes, lengths, tab_rows, cfg: MapperConfig,
                  shard_bits: int):
     """Per-end k-mer extraction + local-shard lookup with owner mask."""
     km = extract_kmers(codes, lengths, cfg.k)
     if cfg.kmer_stride > 1:
         km = {k: v[:, ::cfg.kmer_stride] for k, v in km.items()}
     start, count, found = hash_lookup(
-        km["hi"], km["lo"], tab_fp, tab_st, cfg.n_slots, cfg.max_probes)
+        km["hi"], km["lo"], tab_rows, cfg.n_slots, cfg.max_probes)
     if shard_bits:
         owner = (mix32b(km["hi"], km["lo"])
                  >> jnp.uint32(32 - shard_bits)).astype(jnp.int32)
@@ -169,10 +168,9 @@ def _sharded_cands(ends_cl, dev, cfg: MapperConfig, shard_bits: int,
     Returns (cands_starts, sub_slicer) where sub_slicer slices any
     (R_local, ...) array to this device's sub-block.
     """
-    tab_fp = dev["tab_fp"][0]
-    tab_st = dev["tab_st"][0]
+    tab_rows = dev["tab_rows"][0]
     occ_quad = dev["occ_quad"][0]
-    seeded = [_local_seeds(c, l, tab_fp, tab_st, cfg, shard_bits)
+    seeded = [_local_seeds(c, l, tab_rows, cfg, shard_bits)
               for c, l in ends_cl]
     E = len(seeded)
     R, Pw = seeded[0][1][0].shape
@@ -218,14 +216,14 @@ def _paired_sharded(mesh, batch, dev, cfg, shard_bits, fld_logpmf, cp,
              (b["codes_r"], b["lengths_r"])], d, cfg, shard_bits, dk)
         bsub = {k: sub(v) for k, v in b.items()}
         dloc = dict(d)
-        for k in ("tab_fp", "tab_st", "occ_quad"):
+        for k in ("tab_rows", "occ_quad"):
             dloc[k] = dloc[k][0]
         out = map_paired_from_cands(cands, bsub, dloc, cfg, fld_logpmf,
                                     cp, co)
         return _merge_both(out)
 
     spec_b = {k: P(READS_AXIS) for k in batch}
-    spec_d = {k: (P(KMER_AXIS) if k in ("tab_fp", "tab_st", "occ_quad")
+    spec_d = {k: (P(KMER_AXIS) if k in ("tab_rows", "occ_quad")
                   else P()) for k in dev}
     out_shapes = jax.eval_shape(
         lambda b: map_paired_from_cands(
@@ -246,14 +244,14 @@ def _single_sharded(mesh, batch, dev, cfg, shard_bits, fld_logpmf, cs):
             [(b["codes"], b["lengths"])], d, cfg, shard_bits, dk)
         bsub = {k: sub(v) for k, v in b.items()}
         dloc = dict(d)
-        for k in ("tab_fp", "tab_st", "occ_quad"):
+        for k in ("tab_rows", "occ_quad"):
             dloc[k] = dloc[k][0]
         out = map_single_from_cands(cands, bsub, dloc, cfg, fld_logpmf,
                                     cs)
         return _merge_both(out)
 
     spec_b = {k: P(READS_AXIS) for k in batch}
-    spec_d = {k: (P(KMER_AXIS) if k in ("tab_fp", "tab_st", "occ_quad")
+    spec_d = {k: (P(KMER_AXIS) if k in ("tab_rows", "occ_quad")
                   else P()) for k in dev}
     out_shapes = jax.eval_shape(
         lambda b: map_single_from_cands(
@@ -267,7 +265,7 @@ def _single_sharded(mesh, batch, dev, cfg, shard_bits, fld_logpmf, cs):
 
 def _unstack_dev(dev):
     d = dict(dev)
-    for k in ("tab_fp", "tab_st", "occ_quad"):
+    for k in ("tab_rows", "occ_quad"):
         d[k] = d[k][0]
     return d
 

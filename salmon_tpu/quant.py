@@ -277,7 +277,8 @@ def quantify(
     totals = {"num_processed": 0, "num_mapped": 0, "num_paired": 0,
               "num_orphans": 0, "num_orphans_rescued": 0,
               "num_decoy_fragments": 0, "num_dovetail_fragments": 0,
-              "num_frags_filtered_vm": 0, "num_alns_below_threshold": 0}
+              "num_frags_filtered_vm": 0, "num_alns_below_threshold": 0,
+              "seed_tail_over": 0}
     fmt_hist_total = np.zeros(6, dtype=np.int64)
 
     # --- bias model state (observed stats collected per batch on device)
@@ -653,6 +654,13 @@ def quantify(
     if sam_fh is not None and sam_path != "-":
         sam_fh.close()
     map_seconds = time.time() - t0
+    if totals["seed_tail_over"]:
+        logger.warning(
+            "seed tail-gather budget saturated for %d k-mer windows "
+            "(their occurrences past the first quad row were dropped); "
+            "this index is unusually repeat-heavy for the budget — see "
+            "mapping.score.expand_occurrences tail_frac",
+            totals["seed_tail_over"])
     if totals["num_mapped"] < opts.min_assigned_frags:
         raise InsufficientAssignedFragments(
             f"salmon_tpu was only able to assign {totals['num_mapped']} "
@@ -896,6 +904,16 @@ def write_outputs(result: QuantResult, index: TranscriptomeIndex,
         "frag_dist_length": opts.max_frag_length + 1,
         "seq_bias_correct": opts.seq_bias_correct,
         "gc_bias_correct": opts.gc_bias_correct,
+        "pos_bias_correct": opts.pos_bias_correct,
+        # which positional estimator ran: "reference-parity" reproduces
+        # the reference algorithm exactly (incl. its two root-caused
+        # defects: fw x rc double count + uniform-bin/Cufflinks-knot
+        # warp — evidence: scripts/posbias_reference_trace.py, gain
+        # −76%/−32% under oracle generative positional bias);
+        # "corrected" (--posBiasCorrected) removes both (gain positive)
+        "pos_bias_mode": (
+            "corrected" if getattr(opts, "pos_bias_corrected", False)
+            else "reference-parity") if opts.pos_bias_correct else "off",
         "num_bias_bins": 4096,
         "mapping_type": mapping_type,
         "keep_duplicates": index.info.get("keep_duplicates", True),

@@ -129,7 +129,7 @@ def main():
           for k, v in km_full.items()}
 
     f_lk = jax.jit(lambda hi, lo: hash_lookup(
-        hi, lo, dev["tab_fp"], dev["tab_st"], cfg.n_slots, cfg.max_probes))
+        hi, lo, dev["tab_rows"], cfg.n_slots, cfg.max_probes))
     log(f"hash_lookup (P={km['hi'].shape[1]}, probes={cfg.max_probes}): "
         f"{bench_amp(f_lk, (km['hi'], km['lo'])):.2f} ms")
     start_c, count_c, found = f_lk(km["hi"], km["lo"])

@@ -305,7 +305,7 @@ def part_b_mapping():
     km = {k: jax.device_put(v) for k, v in km.items()}
 
     f_lk = jax.jit(lambda hi, lo: hash_lookup(
-        hi, lo, dev["tab_fp"], dev["tab_st"], cfg.n_slots, cfg.max_probes))
+        hi, lo, dev["tab_rows"], cfg.n_slots, cfg.max_probes))
     ms = bench(f_lk, km["hi"], km["lo"])
     log(f"hash_lookup: {ms:.2f} ms")
     start_c, count_c, found = f_lk(km["hi"], km["lo"])

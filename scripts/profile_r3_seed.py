@@ -89,9 +89,9 @@ def main():
         return km
 
     @jax.jit
-    def s_lookup(km, tab_fp, tab_st):
-        return hash_lookup(km["hi"], km["lo"], tab_fp,
-                           tab_st, cfg.n_slots, cfg.max_probes)
+    def s_lookup(km, tab_rows):
+        return hash_lookup(km["hi"], km["lo"], tab_rows,
+                           cfg.n_slots, cfg.max_probes)
 
     @jax.jit
     def s_expand(km, lk, occ_quad):
@@ -115,13 +115,13 @@ def main():
                                                      window_bits))
 
     km = s_kmer(codes, lengths)
-    lk = s_lookup(km, dev["tab_fp"], dev["tab_st"])
+    lk = s_lookup(km, dev["tab_rows"])
     exp = s_expand(km, lk, dev["occ_quad"])
     _ = s_score(exp)
     log(f"# shapes: kmer hi {km['hi'].shape}, occ key {exp[0].shape}")
 
     t_k = bench_amp(s_kmer, (codes, lengths))
-    t_l = bench_amp(s_lookup, (km, dev["tab_fp"], dev["tab_st"]))
+    t_l = bench_amp(s_lookup, (km, dev["tab_rows"]))
     t_e = bench_amp(s_expand, (km, lk, dev["occ_quad"]))
     t_s = bench_amp(s_score, (exp,))
     tot = t_k + t_l + t_e + t_s

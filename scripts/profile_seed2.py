@@ -74,7 +74,7 @@ def main():
         r2 = os.path.join(DATA, "reads_2.fastq")
     dev = device_index_arrays(idx)
     cfg = MapperConfig.from_index(idx)
-    table_planes = (dev["tab_fp"], dev["tab_st"])
+    table_planes = dev["tab_rows"]
     occ_quad = dev["occ_quad"]
 
     reads1 = list(_iter_fastq_seqs(r1))
@@ -98,7 +98,7 @@ def main():
         f"  P={km_l['hi'].shape[1]}")
 
     f_lk = jax.jit(lambda km, tr: hash_lookup(
-        km["hi"], km["lo"], tr[0], tr[1], cfg.n_slots, cfg.max_probes))
+        km["hi"], km["lo"], tr, cfg.n_slots, cfg.max_probes))
     lk_l = f_lk(km_l, table_planes)
     log(f"hash_lookup/end (P={cfg.max_probes} probes): "
         f"{bench_amp(f_lk, (km_l, table_planes)):.2f} ms")

@@ -111,14 +111,15 @@ def make_sim(out_dir, n_txps=24, n_frags=20000, seed=11):
     return names, tpm_true, c
 
 
-def run_quant(sim_dir, out, pos_bias: bool):
+def run_quant(sim_dir, out, pos_bias: bool, corrected: bool = False):
     from salmon_tpu.cli import main
     idx_dir = os.path.join(sim_dir, "idx")
     if not os.path.isdir(idx_dir):
         assert main(["index", "-t",
                      os.path.join(sim_dir, "transcripts.fasta"),
                      "-i", idx_dir, "-k", "31"]) == 0
-    flags = ["--posBias"] if pos_bias else []
+    flags = (["--posBiasCorrected"] if corrected
+             else ["--posBias"] if pos_bias else [])
     assert main(["quant", "-i", idx_dir, "-l", "IU",
                  "-1", os.path.join(sim_dir, "reads_1.fastq"),
                  "-2", os.path.join(sim_dir, "reads_2.fastq"),
@@ -144,10 +145,15 @@ def main():
     print(f"# sim at {sim_dir}: {int(c.sum())} fragments", file=sys.stderr)
     est0 = run_quant(sim_dir, os.path.join(sim_dir, "q0"), False)
     est1 = run_quant(sim_dir, os.path.join(sim_dir, "q1"), True)
+    est2 = run_quant(sim_dir, os.path.join(sim_dir, "q2"), True,
+                     corrected=True)
     e0 = tpm_error(names, tpm_true, est0)
     e1 = tpm_error(names, tpm_true, est1)
+    e2 = tpm_error(names, tpm_true, est2)
     print(f"mean |log TPM err|: uncorrected {e0:.4f}  --posBias {e1:.4f} "
-          f"(gain {100 * (1 - e1 / max(e0, 1e-12)):.1f}%)")
+          f"(gain {100 * (1 - e1 / max(e0, 1e-12)):.1f}%)  "
+          f"--posBiasCorrected {e2:.4f} "
+          f"(gain {100 * (1 - e2 / max(e0, 1e-12)):.1f}%)")
 
 
 if __name__ == "__main__":

@@ -60,6 +60,36 @@ def test_pos_project_weights_uniform():
     np.testing.assert_allclose(w, w[0], rtol=0.2)  # roughly flat
 
 
+def test_pos_project_knot_modes():
+    """Parity mode reproduces the reference's bin->knot warp (defect #2
+    of scripts/posbias_reference_trace.py): mass accumulated into
+    uniform bin 5 (rel pos [0.25, 0.30)) projects with its peak at the
+    Cufflinks knot 0.15-0.01=0.14. Corrected mode (--posBiasCorrected)
+    puts the peak at the bin's actual center 0.275."""
+    m = np.ones(20)
+    m[5] = 200.0
+    ref = B.pos_project_weights(m, 1000)
+    cor = B.pos_project_weights(m, 1000, uniform_knots=True)
+    peak_ref = np.argmax(ref) / 1000.0
+    peak_cor = np.argmax(cor) / 1000.0
+    assert abs(peak_ref - 0.14) < 0.02, peak_ref     # warped (parity)
+    assert abs(peak_cor - 0.275) < 0.02, peak_cor    # aligned (fixed)
+
+
+def test_pos_factor_grid_corrected_drops_rc():
+    """--posBiasCorrected uses the fw marginal only (defect #1: fw x rc
+    double count); parity mode keeps both factor grids."""
+    from salmon_tpu.models.bias_correct import _pos_factor_grid
+
+    rng = np.random.default_rng(0)
+    obs = rng.random((B.POS_LENGTH_CLASSES, B.POS_BINS)) * 50
+    exp = rng.random((B.POS_LENGTH_CLASSES, B.POS_BINS)) * 50
+    g_par = _pos_factor_grid(obs, exp)
+    g_cor = _pos_factor_grid(obs, exp, uniform_knots=True)
+    assert g_par.shape == g_cor.shape
+    assert not np.allclose(g_par, g_cor)  # knot placement differs
+
+
 def test_gc_desc_known_sequence():
     # transcript: 10 A's then 10 G's
     class FakeIdx:

@@ -46,10 +46,7 @@ def test_shard_partition_is_exact(small_index):
                       replace=False)
     occ_flat = sh.occ_quad.reshape(S, -1, 2)
     for s in range(S):
-        rows = np.empty((sh.tab_fp.shape[1], 16), np.int32)
-        rows[:, 0::2] = sh.tab_fp[s]
-        rows[:, 1::2] = sh.tab_st[s]
-        tab = KmerHashTable(rows=rows, n_slots=sh.n_slots)
+        tab = KmerHashTable(rows=sh.tab_rows[s], n_slots=sh.n_slots)
         start, count = lookup_host(tab, idx.kmers[pick])
         for j, ki in enumerate(pick):
             g0, g1 = idx.occ_offsets[ki], idx.occ_offsets[ki + 1]
