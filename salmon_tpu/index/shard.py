@@ -103,7 +103,8 @@ def shard_index_arrays(idx: TranscriptomeIndex,
         tabs.append(tab)
         max_occ = max(max_occ, txp_s.shape[0])
 
-    n_quad = max(-(-max_occ // 4), 1)
+    n_quad = max(-(-max_occ // 4), 2)
+    n_quad += n_quad & 1   # even, like device_index_arrays (oct view)
     occ_quad = np.zeros((n_shards, n_quad * 4, 2), np.int32)
     for s, (txp_s, pf_s) in enumerate(occ_parts):
         occ_quad[s, :txp_s.shape[0], 0] = txp_s

@@ -182,7 +182,10 @@ def device_index_arrays(idx: TranscriptomeIndex) -> dict:
     # row-gather cost is per ROW (~3 ns at 8 int32 wide vs ~7 ns at 2),
     # so a C-occurrence fetch reads ceil((C+3)/4) rows instead of C
     # (see mapping.score.gather_occ_quad)
-    n_quad = max((n_occ + 3) // 4, 1)
+    # n_quad kept EVEN so the dense expand can view the same buffer as
+    # (n_quad // 2, 16) oct rows (mapping.score.expand_occurrences)
+    n_quad = max((n_occ + 3) // 4, 2)
+    n_quad += n_quad & 1
     occ_quad = np.zeros((n_quad * 4, 2), dtype=np.int32)
     occ_quad[:n_occ, 0] = idx.occ_txp
     occ_quad[:n_occ, 1] = (idx.occ_pos.astype(np.int64) << 1

@@ -74,18 +74,21 @@ def expand_occurrences(km: dict, start, count, found, occ_quad,
     BUDGETED TAIL GATHER: random row fetches into a human-scale occ
     matrix cost ~15-17 ns each (pure HBM latency), and 82% of
     query-weighted windows have a single occurrence (92% of stored
-    k-mers) — so fetching ceil((C+3)/4) rows for every window wastes
+    k-mers) — so fetching every record's row for every window wastes
     most of the expand stage on rows whose records are masked anyway.
-    Instead: ONE quad row is fetched per window (covering the first
-    4 - (start & 3) records, enough for count=1..4 at most offsets),
+    Instead: ONE oct row (8 records, 64 B — the quad buffer viewed
+    (n_quad // 2, 16); row-gather cost is per ROW on this backend, so
+    the wider row is ~free) is fetched per window, covering the first
+    8 - (start & 7) records — enough for count <= 8 at most offsets —
     and the minority of windows whose records spill past it
-    (count + offset > 4; ~7.6% query-weighted on the human index) are
-    batch-globally compacted into K = max(1024, F // tail_frac) slots
-    that fetch the remaining ceil((C-1)/4) consecutive rows. Windows
-    past the K budget (never observed at the default 12.5% headroom)
-    degrade gracefully: they keep their first-row records only — the
-    returned `n_tail_over` scalar counts them so saturation on unusual
-    indexes is observable instead of silent.
+    (count + offset > 8; ~2% query-weighted on the human index at
+    C = 8, vs ~7.6% past a quad row) are batch-globally compacted into
+    K = max(1024, F // tail_frac) slots that fetch the remaining
+    ceil((C - 1) / 8) consecutive oct rows. Windows past the K budget
+    (never observed at the default headroom) degrade gracefully: they
+    keep their first-row records only — the returned `n_tail_over`
+    scalar counts them so saturation on unusual indexes is observable
+    instead of silent.
 
     Returns (key, rpos, diag, valid, n_tail_over); the first four are
     (R, P, C):
@@ -99,18 +102,21 @@ def expand_occurrences(km: dict, start, count, found, occ_quad,
     F = R * P
     usable = found & km["valid"] & (count <= max_occs_per_hit)
 
-    q0 = (start >> 2).reshape(F)
-    off = (start.reshape(F) & 3).astype(jnp.int32)
+    # oct view of the quad buffer (same flat record order; n_quad is
+    # kept even by device_index_arrays)
+    occ_oct = occ_quad.reshape(occ_quad.shape[0] // 2, 16)
+    q0 = (start >> 3).reshape(F)
+    off = (start.reshape(F) & 7).astype(jnp.int32)
     cnt_c = jnp.minimum(count.reshape(F), C)
     use_f = usable.reshape(F)
 
     # row 0: always fetched (one row-gather per window)
-    row0 = jnp.take(occ_quad, jnp.clip(q0, 0, None), axis=0,
-                    mode="clip")                          # (F, 8)
+    row0 = jnp.take(occ_oct, jnp.clip(q0, 0, None), axis=0,
+                    mode="clip")                          # (F, 16)
 
     # tail pool: the few windows spilling past row 0
-    tail_n = max(1, -(-(C - 1) // 4))        # ceil((C-1)/4) extra rows
-    need = use_f & (cnt_c + off > 4)
+    tail_n = max(1, -(-(C - 1) // 8))        # ceil((C-1)/8) extra rows
+    need = use_f & (cnt_c + off > 8)
     K = min(F, max(1024, F // tail_frac))
     idx_bits = max(1, (F - 1).bit_length())
     packed = ((jnp.where(need, jnp.uint32(0), jnp.uint32(1))
@@ -121,11 +127,11 @@ def expand_occurrences(km: dict, start, count, found, occ_quad,
     sel_need = jnp.take(need, sel)
     ridx = (jnp.clip(jnp.take(q0, sel), 0, None)[:, None]
             + jnp.arange(1, tail_n + 1, dtype=jnp.int32))
-    tail = jnp.take(occ_quad, jnp.clip(ridx, 0, None), axis=0,
-                    mode="clip")                          # (K, tail_n, 8)
+    tail = jnp.take(occ_oct, jnp.clip(ridx, 0, None), axis=0,
+                    mode="clip")                          # (K, tail_n, 16)
     tail = jnp.where(sel_need[:, None, None], tail, 0)
-    tail_buf = jnp.zeros((F, tail_n * 8), jnp.int32).at[sel].set(
-        tail.reshape(K, tail_n * 8), mode="drop")
+    tail_buf = jnp.zeros((F, tail_n * 16), jnp.int32).at[sel].set(
+        tail.reshape(K, tail_n * 16), mode="drop")
     # the sort keeps the K smallest-index needy windows, so membership
     # is equivalently the first K needy by flat index — a cumsum beats
     # scattering a flag
@@ -134,19 +140,19 @@ def expand_occurrences(km: dict, start, count, found, occ_quad,
     # realign by the in-row offset on even/odd LANE views (txp at even
     # lanes, pos<<1|fwd at odd) — strided lane slices + selects, no
     # minor-dim-2 relayout of the full record tensor
-    flat = jnp.concatenate([row0, tail_buf], axis=1)      # (F, 8+8*tail_n)
-    txp_all = flat[:, 0::2]                               # (F, 4+4*tail_n)
+    flat = jnp.concatenate([row0, tail_buf], axis=1)    # (F, 16+16*tail_n)
+    txp_all = flat[:, 0::2]                             # (F, 8+8*tail_n)
     pf_all = flat[:, 1::2]
     txp_f = txp_all[:, 0:C]
     pf_f = pf_all[:, 0:C]
-    for o in (1, 2, 3):
+    for o in range(1, 8):
         m = (off == o)[:, None]
         txp_f = jnp.where(m, txp_all[:, o:o + C], txp_f)
         pf_f = jnp.where(m, pf_all[:, o:o + C], pf_f)
 
     c_idx = jnp.arange(C, dtype=jnp.int32)
     ovalid = (use_f[:, None] & (c_idx[None, :] < cnt_c[:, None])
-              & ((c_idx[None, :] < 4 - off[:, None])
+              & ((c_idx[None, :] < 8 - off[:, None])
                  | got_tail[:, None])).reshape(R, P, C)
 
     txp = txp_f.reshape(R, P, C)

@@ -102,7 +102,7 @@ def main():
 
     @jax.jit
     def s_score(exp):
-        key, rpos, diag, ovalid = exp
+        key, rpos, diag, ovalid = exp[:4]
         Rr = key.shape[0]
         n = key.shape[1] * key.shape[2]
         n_windows = key.shape[1]

@@ -134,7 +134,7 @@ def main():
         def f(km, lk, orows):
             key, rpos, diag, _ = expand_occurrences(
                 km, lk[0], lk[1], lk[2], orows, C,
-                cfg.max_occs_per_hit, stride=stride)
+                cfg.max_occs_per_hit, stride=stride)[:4]
             Rr = key.shape[0]
             n = key.shape[1] * key.shape[2]
             nw = key.shape[1]
