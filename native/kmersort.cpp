@@ -27,6 +27,23 @@ static int omp_get_max_threads() { return 1; }
 
 extern "C" {
 
+// Greedy oct-alignment pads: pads[i] records inserted before key i so
+// its min(counts[i], cap) leading records never cross an 8-record row
+// boundary (salmon_tpu.index.diskfmt.oct_align_csr). Sequential phase
+// chain — trivially O(n), memory-bound.
+void oct_align_pads(const int64_t* counts, int64_t n, int64_t cap,
+                    int64_t* pads) {
+  int64_t pos = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t c = counts[i];
+    const int64_t lead = c < cap ? c : cap;
+    const int64_t phase = pos & 7;
+    const int64_t pad = (phase + lead > 8) ? (8 - phase) : 0;
+    pads[i] = pad;
+    pos += pad + c;
+  }
+}
+
 // Count valid k-mer windows per transcript (windows containing a code
 // >= 4 are invalid). Returns the total; fills counts[t] per transcript.
 int64_t kmer_count(const uint8_t* seq, const int64_t* offsets,

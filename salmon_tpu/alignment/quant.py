@@ -75,8 +75,8 @@ def _targets_index(names, tlens, records):
         complete_lengths=lens32, first_decoy_index=len(names),
         kmers=np.zeros(0, np.uint64),
         occ_offsets=np.zeros(1, np.int64),
-        occ_txp=np.zeros(0, np.int32), occ_pos=np.zeros(0, np.int32),
-        occ_fwd=np.zeros(0, bool), table=None,
+        occ_txp=np.zeros(0, np.int32), occ_pf=np.zeros(0, np.int32),
+        table=None,
         seq_codes=seq, seq_offsets=seq_off, info={})
 
 

@@ -46,6 +46,13 @@ def _add_index_parser(sub):
                    help="(accepted; feature-barcode input unsupported)")
     p.add_argument("--keepDuplicates", action="store_true")
     p.add_argument("-p", "--threads", type=int, default=2)
+    p.add_argument("--maxOccsKept", type=int, default=0,
+                   help="store at most this many occurrence records per "
+                        "k-mer (0 = all). Query-identical for any "
+                        "occ_cap <= this value: the repetitive-seed "
+                        "filter still sees true counts via the table "
+                        "row. Cuts genome-decoy index size sharply "
+                        "(repeat k-mers dominate the CSR)")
     p.add_argument("--filterSize", type=int, default=-1,
                    help="(accepted; no Bloom pre-filter in this index)")
     p.add_argument("--tmpdir", default=None)
@@ -259,7 +266,8 @@ def cmd_index(args) -> int:
     idx = build_index(
         args.transcripts, k=args.kmerLen,
         decoy_names_path=args.decoys, gencode=args.gencode,
-        keep_duplicates=args.keepDuplicates, noclip_polya=args.noClip)
+        keep_duplicates=args.keepDuplicates, noclip_polya=args.noClip,
+        max_occs_kept=args.maxOccsKept)
     save_index(idx, args.index)
     logger.info("index written to %s (%d targets, %d decoys, %d k-mers)",
                 args.index, idx.num_valid_targets,

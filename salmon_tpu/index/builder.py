@@ -31,7 +31,11 @@ from salmon_tpu.index.hashtable import (KmerHashTable, build_hash_table,
 from salmon_tpu.io.fasta import load_transcripts
 from salmon_tpu.utils.dna import canonical_kmers, kmers_of
 
-INDEX_FORMAT_VERSION = 4  # v4: 4-slot (n_buckets, 8) rows; v3 was 8-slot 16-wide
+# v4: 4-slot (n_buckets, 8) rows (v3 was 8-slot 16-wide);
+# v5: same logical index, compact disk planes (index.diskfmt) — loader
+# accepts both, writer emits v5
+INDEX_FORMAT_VERSION = 5
+LOADABLE_FORMAT_VERSIONS = (4, 5)
 
 
 @dataclasses.dataclass
@@ -44,16 +48,35 @@ class TranscriptomeIndex:
     first_decoy_index: int        # T_valid; decoys occupy [T_valid, T)
     # unique canonical k-mers, sorted ascending (uint64)
     kmers: np.ndarray
-    # CSR over unique k-mers
+    # CSR over unique k-mers (STORED records; see occ_true_counts).
+    # occ_offsets[i] is key i's start, occ_offsets[-1] the total stored
+    # record count. When the CSR is oct-aligned (diskfmt.oct_align_csr,
+    # pad records between keys so no key's leading records straddle an
+    # 8-record row), diff(occ_offsets) != per-key counts — use
+    # occ_counts, which is always the stored count per key.
     occ_offsets: np.ndarray       # (n_kmers + 1,) int64
     occ_txp: np.ndarray           # (n_occs,) int32
-    occ_pos: np.ndarray           # (n_occs,) int32
-    occ_fwd: np.ndarray           # (n_occs,) bool — txp k-mer equals canonical
+    # pos << 1 | fwd — exactly the device occ_quad payload (fwd: the
+    # transcript k-mer equals the canonical form); separator records of
+    # shadow-merged blocks carry sep_fp30 << 1 here (hashtable doc)
+    occ_pf: np.ndarray            # (n_occs,) int32
     table: KmerHashTable
-    # 2-bit-packed transcript sequences, concatenated (for DP extension / GC)
+    # per-base transcript codes 0..4, concatenated (DP extension / GC)
     seq_codes: np.ndarray         # (total_len,) uint8 codes
     seq_offsets: np.ndarray       # (T + 1,) int64
     info: dict
+    # TRUE per-key occurrence counts when the stored CSR was pruned at
+    # build time (--maxOccsKept); None = stored counts are true counts.
+    # The repetitive-seed filter (max_occs_per_hit) must see these.
+    occ_true_counts: np.ndarray | None = None
+    # stored records per key; None in the constructor means the CSR is
+    # dense (no alignment pads) and counts = diff(occ_offsets)
+    occ_counts: np.ndarray | None = None
+
+    def __post_init__(self):
+        if self.occ_counts is None:
+            self.occ_counts = np.diff(
+                np.asarray(self.occ_offsets, np.int64))
 
     @property
     def num_targets(self) -> int:
@@ -62,6 +85,24 @@ class TranscriptomeIndex:
     @property
     def num_valid_targets(self) -> int:
         return self.first_decoy_index
+
+    @property
+    def occ_pos(self) -> np.ndarray:
+        """Derived (cached) position plane — prefer occ_pf in new code."""
+        c = getattr(self, "_occ_pos_cache", None)
+        if c is None:
+            c = (np.asarray(self.occ_pf) >> 1).astype(np.int32)
+            object.__setattr__(self, "_occ_pos_cache", c)
+        return c
+
+    @property
+    def occ_fwd(self) -> np.ndarray:
+        """Derived (cached) orientation plane — prefer occ_pf."""
+        c = getattr(self, "_occ_fwd_cache", None)
+        if c is None:
+            c = (np.asarray(self.occ_pf) & 1).astype(bool)
+            object.__setattr__(self, "_occ_fwd_cache", c)
+        return c
 
     def transcript_codes(self, i: int) -> np.ndarray:
         return self.seq_codes[self.seq_offsets[i]:self.seq_offsets[i + 1]]
@@ -80,6 +121,7 @@ def build_index(
     keep_duplicates: bool = True,
     noclip_polya: bool = False,
     partition_bits: Optional[int] = None,
+    max_occs_kept: int = 0,
 ) -> TranscriptomeIndex:
     """Build the index from a transcript FASTA (+ optional decoy FASTA).
 
@@ -139,7 +181,7 @@ def build_index(
     if partition_bits and native_kmers.available():
         return _build_partitioned(records, info, k, first_decoy_index,
                                   seq_codes, seq_offsets, partition_bits,
-                                  keep_duplicates)
+                                  keep_duplicates, max_occs_kept)
     native = native_kmers.enumerate_sorted(seq_codes, seq_offsets, k)
     if native is not None:
         km, tx, po, fw = native
@@ -175,7 +217,24 @@ def build_index(
     offsets = np.concatenate([starts.astype(np.int64),
                               np.array([km.shape[0]], dtype=np.int64)])
 
-    table = build_hash_table(uniq, occ_offsets=offsets)
+    true_counts = None
+    if max_occs_kept:
+        from salmon_tpu.index.diskfmt import prune_occurrences
+        offsets, (tx, po, fw), tc = prune_occurrences(
+            offsets, (tx, po, fw), max_occs_kept)
+        if int(tc.max(initial=0)) > max_occs_kept:
+            true_counts = tc
+    # oct-align so no key's leading records straddle an 8-record row:
+    # the dense expand serves every ordinary window from ONE row gather
+    # (pads: txp = -1, masked like separator records)
+    from salmon_tpu.index.diskfmt import oct_align_csr
+    counts_kept = np.diff(offsets)
+    offsets, (tx, po, fw) = oct_align_csr(
+        offsets, (tx, po, fw), (np.int32(-1), np.int32(0), False))
+    info["occ_oct_aligned"] = True
+    table = build_hash_table(uniq, occ_offsets=offsets,
+                             counts=counts_kept,
+                             filter_counts=true_counts)
     if table.n_shadowed:
         # fingerprint-shadow merge blocks: append the merged slots'
         # occurrence records + separators past the CSR (hashtable doc)
@@ -195,23 +254,23 @@ def build_index(
         "num_kmers": int(uniq.shape[0]),
         "num_occurrences": int(tx.shape[0]),  # incl. shadow-merge appendix
         "keep_duplicates": keep_duplicates,
+        "max_occs_kept": int(max_occs_kept),
     })
+    pf = ((po.astype(np.int64) << 1) | fw).astype(np.int32)
     return TranscriptomeIndex(
         k=k, names=names, lengths=lengths,
         complete_lengths=complete_lengths,
         first_decoy_index=first_decoy_index,
-        kmers=uniq, occ_offsets=offsets, occ_txp=tx, occ_pos=po, occ_fwd=fw,
-        table=table, seq_codes=seq_codes, seq_offsets=seq_offsets, info=info)
-
-
-_INDEX_ARRAYS = ("lengths", "complete_lengths", "kmers", "occ_offsets",
-                 "occ_txp", "occ_pos", "occ_fwd", "table_rows",
-                 "seq_codes", "seq_offsets")
+        kmers=uniq, occ_offsets=offsets, occ_txp=tx, occ_pf=pf,
+        table=table, seq_codes=seq_codes, seq_offsets=seq_offsets,
+        info=info, occ_true_counts=true_counts,
+        occ_counts=counts_kept)
 
 
 def _build_partitioned(records, info, k, first_decoy_index, seq_codes,
                        seq_offsets, partition_bits,
-                       keep_duplicates) -> TranscriptomeIndex:
+                       keep_duplicates,
+                       max_occs_kept: int = 0) -> TranscriptomeIndex:
     """Memory-bounded build: per canonical-top-bits partition, enumerate
     + sort + extract unique keys, writing into buffers preallocated at
     the (cheaply pre-counted) total record count. Output is bit-identical
@@ -257,8 +316,27 @@ def _build_partitioned(records, info, k, first_decoy_index, seq_codes,
     uniq = uniq_buf[:nu]
     offsets = off_buf[:nu + 1]
 
+    true_counts = None
+    if max_occs_kept:
+        from salmon_tpu.index.diskfmt import prune_occurrences
+        offsets, (tx, po, fw), tc = prune_occurrences(
+            offsets, (tx, po, fw), max_occs_kept)
+        if int(tc.max(initial=0)) > max_occs_kept:
+            true_counts = tc
+        logger.info("pruned occurrence CSR to <= %d records/key: "
+                    "%d -> %d records", max_occs_kept, total,
+                    int(offsets[-1]))
+
+    from salmon_tpu.index.diskfmt import oct_align_csr
+    counts_kept = np.diff(offsets)
+    offsets, (tx, po, fw) = oct_align_csr(
+        offsets, (tx, po, fw), (np.int32(-1), np.int32(0), False))
+    info["occ_oct_aligned"] = True
+
     if nu <= TABLE_DIRECT_MAX_KEYS:
-        table = build_hash_table(uniq, occ_offsets=offsets)
+        table = build_hash_table(uniq, occ_offsets=offsets,
+                                 counts=counts_kept,
+                                 filter_counts=true_counts)
         if table.n_shadowed:
             from salmon_tpu.index.hashtable import appendix_plan
             is_sep, gi, sep_fp = appendix_plan(table)
@@ -282,14 +360,17 @@ def _build_partitioned(records, info, k, first_decoy_index, seq_codes,
         "num_kmers": int(nu),
         "num_occurrences": int(tx.shape[0]),  # incl. shadow-merge appendix
         "keep_duplicates": keep_duplicates,
+        "max_occs_kept": int(max_occs_kept),
     })
+    pf = ((po.astype(np.int64) << 1) | fw).astype(np.int32)
     return TranscriptomeIndex(
         k=k, names=names, lengths=lengths,
         complete_lengths=complete_lengths,
         first_decoy_index=first_decoy_index,
-        kmers=uniq, occ_offsets=offsets, occ_txp=tx, occ_pos=po,
-        occ_fwd=fw, table=table, seq_codes=seq_codes,
-        seq_offsets=seq_offsets, info=info)
+        kmers=uniq, occ_offsets=offsets, occ_txp=tx, occ_pf=pf,
+        table=table, seq_codes=seq_codes,
+        seq_offsets=seq_offsets, info=info,
+        occ_true_counts=true_counts, occ_counts=counts_kept)
 
 
 def save_index(idx: TranscriptomeIndex, out_dir: str) -> None:
@@ -299,20 +380,42 @@ def save_index(idx: TranscriptomeIndex, out_dir: str) -> None:
     compression is skipped outright — it costs tens of minutes
     single-threaded on the occurrence arrays."""
     os.makedirs(out_dir, exist_ok=True)
+    from salmon_tpu.index import diskfmt
     arrays = {
         "lengths": idx.lengths, "complete_lengths": idx.complete_lengths,
-        "kmers": idx.kmers, "occ_offsets": idx.occ_offsets,
-        "occ_txp": idx.occ_txp, "occ_pos": idx.occ_pos,
-        "occ_fwd": idx.occ_fwd,
+        "occ_txp": idx.occ_txp, "occ_pf": idx.occ_pf,
         "table_rows": (idx.table.rows if idx.table is not None
                        else np.zeros((0, 8), np.int32)),
-        "seq_codes": idx.seq_codes, "seq_offsets": idx.seq_offsets}
-    for name in _INDEX_ARRAYS:
-        np.save(os.path.join(out_dir, f"{name}.npy"), arrays[name])
+        "seq_offsets": idx.seq_offsets}
+    kz = diskfmt.pack_keys(np.asarray(idx.kmers))
+    kmer_mode = kz.pop("mode")
+    arrays.update(kz)
+    counts = np.asarray(idx.occ_counts, np.int64)
+    arrays.update(diskfmt.pack_counts(counts))
+    # alignment pads (0..7) reconstruct the padded starts at load:
+    # pads[i] = start[i] - (start[i-1] + counts[i-1])
+    off = np.asarray(idx.occ_offsets, np.int64)
+    if off.shape[0] > 1:
+        prev_end = np.concatenate([[0], off[:-2] + counts[:-1]])
+        arrays["occ_pad8"] = (off[:-1] - prev_end).astype(np.uint8)
+    else:
+        arrays["occ_pad8"] = np.zeros(0, np.uint8)
+    arrays.update(diskfmt.pack_seq2(idx.seq_codes))
+    if idx.occ_true_counts is not None:
+        # sparse exceptions: keys whose TRUE count differs from stored
+        exc = np.nonzero(np.asarray(idx.occ_true_counts) != counts)[0]
+        arrays["occ_true_esc_idx"] = exc.astype(np.int64)
+        arrays["occ_true_esc_val"] = np.asarray(
+            idx.occ_true_counts)[exc].astype(np.int64)
+    for name, arr in arrays.items():
+        np.save(os.path.join(out_dir, f"{name}.npy"), arr)
     meta = dict(idx.info)
     meta.update({
+        "index_format_version": INDEX_FORMAT_VERSION,
         "k": idx.k,
         "first_decoy_index": idx.first_decoy_index,
+        "kmer_mode": kmer_mode,
+        "has_true_counts": idx.occ_true_counts is not None,
         "table_n_slots": (idx.table.n_slots if idx.table is not None
                           else 0),
         "table_max_probes": (idx.table.max_probes
@@ -324,38 +427,83 @@ def save_index(idx: TranscriptomeIndex, out_dir: str) -> None:
         fh.write("\n".join(idx.names) + ("\n" if idx.names else ""))
 
 
+def _load_table(index_dir, meta, rows):
+    if not int(meta.get("table_n_slots", 0)):
+        return None
+    n_slots = int(meta["table_n_slots"])
+    want = (n_slots // HT_SLOTS_PER_BUCKET, 2 * HT_SLOTS_PER_BUCKET)
+    if tuple(rows.shape) != want:
+        raise ValueError(
+            f"index at {index_dir}: table_rows shape "
+            f"{tuple(rows.shape)} does not match the "
+            f"{HT_SLOTS_PER_BUCKET}-slot bucket geometry {want}; "
+            f"please rebuild")
+    return KmerHashTable(rows=rows, n_slots=n_slots,
+                         max_probes=int(meta["table_max_probes"]))
+
+
 def load_index(index_dir: str) -> TranscriptomeIndex:
     with open(os.path.join(index_dir, "info.json")) as fh:
         meta = json.load(fh)
-    if meta.get("index_format_version") != INDEX_FORMAT_VERSION:
+    ver = meta.get("index_format_version")
+    if ver not in LOADABLE_FORMAT_VERSIONS:
         raise ValueError(
-            f"index at {index_dir} has format version "
-            f"{meta.get('index_format_version')}, expected "
-            f"{INDEX_FORMAT_VERSION}; please rebuild")
+            f"index at {index_dir} has format version {ver}, expected "
+            f"one of {LOADABLE_FORMAT_VERSIONS}; please rebuild")
     with open(os.path.join(index_dir, "ref_names.txt")) as fh:
         names = [ln.rstrip("\n") for ln in fh if ln.rstrip("\n")]
-    # one raw .npy per array: mmap so untouched arrays never hit disk
-    z = {name: np.load(os.path.join(index_dir, f"{name}.npy"),
+
+    def z(name):
+        # raw .npy per array: mmap so untouched planes never hit disk
+        return np.load(os.path.join(index_dir, f"{name}.npy"),
                        mmap_mode="r")
-         for name in _INDEX_ARRAYS}
-    table = None
-    if int(meta.get("table_n_slots", 0)):
-        n_slots = int(meta["table_n_slots"])
-        want = (n_slots // HT_SLOTS_PER_BUCKET, 2 * HT_SLOTS_PER_BUCKET)
-        if tuple(z["table_rows"].shape) != want:
-            raise ValueError(
-                f"index at {index_dir}: table_rows shape "
-                f"{tuple(z['table_rows'].shape)} does not match the "
-                f"{HT_SLOTS_PER_BUCKET}-slot bucket geometry {want}; "
-                f"please rebuild")
-        table = KmerHashTable(
-            rows=z["table_rows"], n_slots=n_slots,
-            max_probes=int(meta["table_max_probes"]))
+
+    if ver == 4:
+        # v4 raw layout: derive pf from the pos/fwd planes
+        pf = ((z("occ_pos").astype(np.int64) << 1)
+              | z("occ_fwd")).astype(np.int32)
+        return TranscriptomeIndex(
+            k=int(meta["k"]), names=names, lengths=z("lengths"),
+            complete_lengths=z("complete_lengths"),
+            first_decoy_index=int(meta["first_decoy_index"]),
+            kmers=z("kmers"), occ_offsets=z("occ_offsets"),
+            occ_txp=z("occ_txp"), occ_pf=pf,
+            table=_load_table(index_dir, meta, z("table_rows")),
+            seq_codes=z("seq_codes"), seq_offsets=z("seq_offsets"),
+            info=meta)
+
+    from salmon_tpu.index import diskfmt
+    kmer_mode = meta.get("kmer_mode", "raw")
+    if kmer_mode == "raw":
+        kmers = z("kmers")
+    else:
+        kmers = diskfmt.unpack_keys(
+            {"mode": kmer_mode, "kmer_d32": z("kmer_d32"),
+             "kmer_esc_idx": z("kmer_esc_idx"),
+             "kmer_esc_val": z("kmer_esc_val")})
+    counts = diskfmt.unpack_counts(
+        {"occ_cnt8": z("occ_cnt8"),
+         "occ_cnt_esc_idx": z("occ_cnt_esc_idx"),
+         "occ_cnt_esc_val": z("occ_cnt_esc_val")})
+    pads = np.asarray(z("occ_pad8"), np.int64)
+    n = counts.shape[0]
+    cs = np.cumsum(counts + pads)
+    occ_offsets = np.empty(n + 1, np.int64)
+    occ_offsets[:-1] = cs - counts            # padded starts
+    occ_offsets[-1] = cs[-1] if n else 0
+    seq_codes = diskfmt.unpack_seq2(
+        {"seq2": z("seq2"), "seq2_n": z("seq2_n"),
+         "seq2_len": np.load(os.path.join(index_dir, "seq2_len.npy"))})
+    true_counts = None
+    if meta.get("has_true_counts"):
+        true_counts = counts.copy()
+        true_counts[z("occ_true_esc_idx")] = z("occ_true_esc_val")
     return TranscriptomeIndex(
-        k=int(meta["k"]), names=names, lengths=z["lengths"],
-        complete_lengths=z["complete_lengths"],
+        k=int(meta["k"]), names=names, lengths=z("lengths"),
+        complete_lengths=z("complete_lengths"),
         first_decoy_index=int(meta["first_decoy_index"]),
-        kmers=z["kmers"], occ_offsets=z["occ_offsets"],
-        occ_txp=z["occ_txp"], occ_pos=z["occ_pos"], occ_fwd=z["occ_fwd"],
-        table=table, seq_codes=z["seq_codes"], seq_offsets=z["seq_offsets"],
-        info=meta)
+        kmers=kmers, occ_offsets=occ_offsets,
+        occ_txp=z("occ_txp"), occ_pf=z("occ_pf"),
+        table=_load_table(index_dir, meta, z("table_rows")),
+        seq_codes=seq_codes, seq_offsets=z("seq_offsets"),
+        info=meta, occ_true_counts=true_counts, occ_counts=counts)

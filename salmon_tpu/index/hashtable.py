@@ -192,12 +192,25 @@ def build_hash_table(keys_u64: np.ndarray,
                      occ_offsets: np.ndarray | None = None,
                      load_factor: float = 0.5,
                      max_load_factor: float = 0.62,
-                     n_slots: int | None = None) -> KmerHashTable:
+                     n_slots: int | None = None,
+                     filter_counts: np.ndarray | None = None,
+                     counts: np.ndarray | None = None
+                     ) -> KmerHashTable:
     """Build the two-choice bucket table for *unique* uint64 keys.
 
     occ_offsets: (n + 1,) CSR offsets aligned with the sorted-unique key
     order; slot payload becomes (start, count). When None, payload is
     (rank, 1) — the key's index in the input order.
+
+    counts: explicit stored record counts per key — REQUIRED when the
+    CSR is oct-aligned (pad records between keys make diff(occ_offsets)
+    overcount); defaults to diff(occ_offsets).
+
+    filter_counts: per-key TRUE occurrence counts when the CSR was
+    pruned at build time (--maxOccsKept): these feed the count16 slot
+    payload so the query-time repetitive-seed filter
+    (count <= max_occs_per_hit) still sees the real multiplicity; the
+    stored offsets keep defining the gatherable record range.
 
     Sizing: the power-of-two slot count targets `load_factor` but is
     halved while the load stays under `max_load_factor` — a 312M-kmer
@@ -227,7 +240,13 @@ def build_hash_table(keys_u64: np.ndarray,
                 "int32 slot-offset range; use a sharded index "
                 "(--indexShards)")
         starts = occ_offsets[:-1].astype(np.int32)
-        counts = np.diff(occ_offsets)
+        counts = (np.asarray(counts, np.int64) if counts is not None
+                  else np.diff(occ_offsets))
+    # `counts` (stored records) governs gatherable ranges: appendix
+    # segment lengths and merged-block totals. `pay_counts` is what the
+    # query-time repetitive filter compares — the TRUE multiplicity.
+    pay_counts = (np.asarray(filter_counts, np.int64)
+                  if filter_counts is not None else counts)
 
     # balanced first choice (power of two choices): each key prefers the
     # candidate bucket with lower total candidate pressure, which evens
@@ -284,7 +303,7 @@ def build_hash_table(keys_u64: np.ndarray,
         if not done:
             n_evicted += 1          # the last displaced key is dropped
 
-    counts16 = np.minimum(counts, 0xFFFF).astype(np.uint32)
+    counts16 = np.minimum(pay_counts, 0xFFFF).astype(np.uint32)
     fpcnt = ((fp << np.uint32(16)) | counts16).view(np.int32)
 
     rows = np.zeros((n_buckets, 2 * SLOTS_PER_BUCKET), dtype=np.int32)

@@ -55,6 +55,9 @@ def _native_lib():
                                             ctypes.c_int32, i64p, u64p,
                                             u64p, ctypes.c_int32,
                                             ctypes.c_uint64]
+        lib.oct_align_pads.restype = None
+        lib.oct_align_pads.argtypes = [i64p, ctypes.c_int64,
+                                       ctypes.c_int64, i64p]
     except (OSError, AttributeError, Exception):
         return None
     _LIB = lib
@@ -152,3 +155,15 @@ def enumerate_sorted_partitioned(seq_codes: np.ndarray,
         if total:
             lib.kmer_decode_payload(payload, total, tx, po, fw8)
         yield keys, tx, po, fw8.view(bool)
+
+
+def oct_align_pads_native(counts: np.ndarray, cap: int,
+                          pads_out: np.ndarray) -> bool:
+    """Fill pads_out via the native greedy pass. Returns False when the
+    library is unavailable (caller falls back to Python)."""
+    lib = _native_lib()
+    if lib is None or not hasattr(lib, "oct_align_pads"):
+        return False
+    lib.oct_align_pads(counts, np.int64(counts.shape[0]),
+                       np.int64(cap), pads_out)
+    return True

@@ -67,12 +67,12 @@ def shard_index_arrays(idx: TranscriptomeIndex,
     shard_bits = int(n_shards).bit_length() - 1
     hi, lo = split_u64(idx.kmers)
     owner = shard_owner(hi, lo, shard_bits).astype(np.int64)
-    counts = np.diff(idx.occ_offsets)
+    counts = np.asarray(idx.occ_counts)   # NOT diff(offsets): the CSR
+    # may carry oct-alignment pads between keys (diskfmt.oct_align_csr)
     pop = np.bincount(owner, minlength=n_shards)
     n_slots = table_n_slots(int(pop.max()) if pop.size else 1)
 
-    occ_pf = (idx.occ_pos.astype(np.int64) << 1
-              | idx.occ_fwd).astype(np.int32)
+    occ_pf = np.asarray(idx.occ_pf)
     max_occ = 0
     tabs, occ_parts = [], []
     n_evicted = 0
@@ -89,7 +89,10 @@ def shard_index_arrays(idx: TranscriptomeIndex,
                 + np.arange(total_s, dtype=np.int64)
                 - np.repeat(off_s[:-1], cnt_s))
         txp_s, pf_s = idx.occ_txp[gidx], occ_pf[gidx]
-        tab = build_hash_table(keys_s, occ_offsets=off_s, n_slots=n_slots)
+        tab = build_hash_table(
+            keys_s, occ_offsets=off_s, n_slots=n_slots,
+            filter_counts=(idx.occ_true_counts[m]
+                           if idx.occ_true_counts is not None else None))
         if tab.n_shadowed:
             # per-shard fingerprint-shadow merge blocks (hashtable doc)
             is_sep, gi, sep_fp = appendix_plan(tab)

@@ -21,11 +21,14 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import logging
 import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+logger = logging.getLogger("salmon_tpu")
 
 from salmon_tpu.constants import DEFAULTS, SalmonDefaults
 from salmon_tpu.index.builder import TranscriptomeIndex
@@ -106,6 +109,10 @@ class MapperConfig:
     # batch-global sparse seed flow (mapping.seed_sparse) vs the dense
     # (R, P, C) expansion + per-row sorts
     sparse_seed: bool = DEFAULTS.sparse_seed
+    # CSR is oct-aligned (index.diskfmt.oct_align_csr): ordinary windows
+    # never spill past row0, so the expand tail pool only serves
+    # shadow-merged blocks and can shrink ~8x with zero saturation risk
+    occ_aligned: bool = False
     seed_hits_per_end: int = DEFAULTS.seed_hits_per_end
 
     @staticmethod
@@ -163,8 +170,18 @@ class MapperConfig:
                          if os.environ.get("SALMON_TPU_SPARSE_SEED")
                          else opts.sparse_seed),
             seed_hits_per_end=opts.seed_hits_per_end,
+            occ_aligned=bool(idx.info.get("occ_oct_aligned", False)),
         )
         cfg.update(overrides)
+        kept = int(idx.info.get("max_occs_kept", 0) or 0)
+        if kept and cfg["occ_cap"] > kept:
+            # pruned CSR (--maxOccsKept): gathering past a key's kept
+            # records would read the NEXT key's records — clamp
+            logger.warning(
+                "occ_cap %d exceeds the index's maxOccsKept %d; "
+                "clamping (rebuild the index with a larger "
+                "--maxOccsKept to raise it)", cfg["occ_cap"], kept)
+            cfg["occ_cap"] = kept
         return MapperConfig(**cfg)
 
 
@@ -188,8 +205,7 @@ def device_index_arrays(idx: TranscriptomeIndex) -> dict:
     n_quad += n_quad & 1
     occ_quad = np.zeros((n_quad * 4, 2), dtype=np.int32)
     occ_quad[:n_occ, 0] = idx.occ_txp
-    occ_quad[:n_occ, 1] = (idx.occ_pos.astype(np.int64) << 1
-                           | idx.occ_fwd).astype(np.int32)
+    occ_quad[:n_occ, 1] = idx.occ_pf
     occ_quad = occ_quad.reshape(n_quad, 8)
     total = int(idx.seq_offsets[-1])
     off_dtype = np.int64 if total + _SEQ4_SHIFT + 256 >= 2**31 \
@@ -264,7 +280,8 @@ def _dense_candidates(km, lk, dev, cfg: MapperConfig):
     start_c, count_c, found = lk
     key, rpos, diag, ovalid, n_tail_over = expand_occurrences(
         km, start_c, count_c, found, dev["occ_quad"],
-        cfg.occ_cap, cfg.max_occs_per_hit, stride=cfg.kmer_stride)
+        cfg.occ_cap, cfg.max_occs_per_hit, stride=cfg.kmer_stride,
+        tail_frac=64 if (cfg.occ_aligned and cfg.occ_cap <= 8) else 8)
     R = key.shape[0]
     n = key.shape[1] * key.shape[2]
     # window field must hold every window index (long reads overflow the

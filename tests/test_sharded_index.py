@@ -49,7 +49,8 @@ def test_shard_partition_is_exact(small_index):
         tab = KmerHashTable(rows=sh.tab_rows[s], n_slots=sh.n_slots)
         start, count = lookup_host(tab, idx.kmers[pick])
         for j, ki in enumerate(pick):
-            g0, g1 = idx.occ_offsets[ki], idx.occ_offsets[ki + 1]
+            g0 = idx.occ_offsets[ki]
+            g1 = g0 + idx.occ_counts[ki]   # offsets carry align pads
             if owner[ki] == s:
                 # fingerprint-shadow-merged slots return a block that
                 # CONTAINS the key's records as a contiguous run (see
