@@ -657,7 +657,7 @@ def quantify(
     if totals["seed_tail_over"]:
         logger.warning(
             "seed tail-gather budget saturated for %d k-mer windows "
-            "(their occurrences past the first quad row were dropped); "
+            "(their occurrences past the first oct row were dropped); "
             "this index is unusually repeat-heavy for the budget — see "
             "mapping.score.expand_occurrences tail_frac",
             totals["seed_tail_over"])

@@ -116,6 +116,48 @@ def test_tpm_spearman_and_mapping_rate_gate(mixed_sim):
 
 
 @pytest.mark.slow
+def test_paralog_gate(tmp_path):
+    """Repeat-heavy / paralog-rich gate (VERDICT r3 next #3): 6 families
+    of 10-50 near-identical members (k-mer multiplicities far past
+    occ_cap) + tandem-repeat transcripts. Gates the occ_cap /
+    weight_width / stride speed knobs the easy mixed sim cannot see.
+
+    Calibration sweep (scripts/sim_paralog_gate.py, seeded, aligned CSR,
+    2026-08-20):
+        occ_cap=8  W=16 (default): rho_all 0.709, fam0_rho 1.000
+        occ_cap=6  W=16:           rho_all 0.678, fam0_rho 0.806
+        occ_cap=4  W=16:           rho_all 0.655, fam0_rho 0.261
+    The pins pass at the defaults and FAIL at occ_cap<=6 — further
+    cap-tightening must buy its throughput elsewhere.
+    Reference bar: the GRCh37 sim yardstick (tests/test_quant.nf:38-67)
+    at reference-default maxReadOccs=200 (SalmonDefaults.hpp:64), which
+    never truncates at these multiplicities."""
+    import sys
+
+    from scipy.stats import spearmanr
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from scripts.sim_paralog_gate import build_sim, metrics
+
+    from salmon_tpu.index.builder import build_index
+    from salmon_tpu.quant import quantify
+
+    sim = build_sim(str(tmp_path))
+    idx = build_index(sim["fa"], k=31)
+    res = quantify(idx, "IU", [sim["r1"]], [sim["r2"]],
+                   opts=SalmonDefaults(), progress=False)
+    m = metrics(sim, res)
+    assert m["mapping_rate"] >= 0.995, m
+    assert m["spearman_all"] >= 0.69, m
+    # the 10-member family resolves perfectly at the default cap and
+    # collapses (rho 0.26) at occ_cap=4 — the sharpest truncation signal
+    assert m["fam_member_spearman"][0] >= 0.9, m
+    assert m["fam_total_relerr_max"] <= 0.01, m
+    assert m["rep_relerr_max"] <= 0.15, m
+
+
+@pytest.mark.slow
 def test_routed_em_matches_f64_at_scale():
     """Sort-routed engine vs float64 numpy at ~1M entries / 250k txps
     (the engine the bench and human-scale runs actually exercise)."""
