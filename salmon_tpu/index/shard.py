@@ -54,7 +54,7 @@ class ShardedIndexArrays:
     shard_bits: int
     n_slots: int                 # per-shard table slots (common)
     tab_rows: np.ndarray         # (S, n_buckets, 8) int32 (4-slot rows)
-    occ_quad: np.ndarray         # (S, n_quad, 8) int32
+    occ_oct: np.ndarray          # (S, n_oct, 16) int32
     n_evicted: int
 
 
@@ -106,15 +106,14 @@ def shard_index_arrays(idx: TranscriptomeIndex,
         tabs.append(tab)
         max_occ = max(max_occ, txp_s.shape[0])
 
-    n_quad = max(-(-max_occ // 4), 2)
-    n_quad += n_quad & 1   # even, like device_index_arrays (oct view)
-    occ_quad = np.zeros((n_shards, n_quad * 4, 2), np.int32)
+    n_oct = max(-(-max_occ // 8), 1)
+    occ_oct = np.zeros((n_shards, n_oct * 8, 2), np.int32)
     for s, (txp_s, pf_s) in enumerate(occ_parts):
-        occ_quad[s, :txp_s.shape[0], 0] = txp_s
-        occ_quad[s, :txp_s.shape[0], 1] = pf_s
-    occ_quad = occ_quad.reshape(n_shards, n_quad, 8)
+        occ_oct[s, :txp_s.shape[0], 0] = txp_s
+        occ_oct[s, :txp_s.shape[0], 1] = pf_s
+    occ_oct = occ_oct.reshape(n_shards, n_oct, 16)
     tab_rows = np.stack([t.rows for t in tabs])
     return ShardedIndexArrays(
         n_shards=n_shards, shard_bits=shard_bits, n_slots=n_slots,
-        tab_rows=tab_rows, occ_quad=occ_quad,
+        tab_rows=tab_rows, occ_oct=occ_oct,
         n_evicted=n_evicted)

@@ -195,18 +195,17 @@ def device_index_arrays(idx: TranscriptomeIndex) -> dict:
     are not shipped at that scale — the DP reads the 4-bit packed seq4
     planes (half the HBM)."""
     n_occ = idx.occ_txp.shape[0]
-    # quad rows: 4 records of [txp, pos<<1|fwd] per 8-wide row —
-    # row-gather cost is per ROW (~3 ns at 8 int32 wide vs ~7 ns at 2),
-    # so a C-occurrence fetch reads ceil((C+3)/4) rows instead of C
-    # (see mapping.score.gather_occ_quad)
-    # n_quad kept EVEN so the dense expand can view the same buffer as
-    # (n_quad // 2, 16) oct rows (mapping.score.expand_occurrences)
-    n_quad = max((n_occ + 3) // 4, 2)
-    n_quad += n_quad & 1
-    occ_quad = np.zeros((n_quad * 4, 2), dtype=np.int32)
-    occ_quad[:n_occ, 0] = idx.occ_txp
-    occ_quad[:n_occ, 1] = idx.occ_pf
-    occ_quad = occ_quad.reshape(n_quad, 8)
+    # oct rows: 8 records of [txp, pos<<1|fwd] per 16-wide row —
+    # row-gather cost is per ROW, so a C-occurrence fetch reads
+    # ceil((C+7)/8) rows instead of C (see mapping.score.gather_occ_oct).
+    # The width is fixed HOST-side: reshaping the multi-GB table on
+    # device makes XLA materialize a (8,128)-tiled relayout copy (16x
+    # HBM — OOMs at human scale)
+    n_oct = max((n_occ + 7) // 8, 1)
+    occ_oct = np.zeros((n_oct * 8, 2), dtype=np.int32)
+    occ_oct[:n_occ, 0] = idx.occ_txp
+    occ_oct[:n_occ, 1] = idx.occ_pf
+    occ_oct = occ_oct.reshape(n_oct, 16)
     total = int(idx.seq_offsets[-1])
     off_dtype = np.int64 if total + _SEQ4_SHIFT + 256 >= 2**31 \
         else np.int32
@@ -216,7 +215,7 @@ def device_index_arrays(idx: TranscriptomeIndex) -> dict:
     # and a query is two row gathers — see mapping.lookup.hash_lookup
     return {
         "tab_rows": jnp.asarray(idx.table.rows),
-        "occ_quad": jnp.asarray(occ_quad),
+        "occ_oct": jnp.asarray(occ_oct),
         "txp_lens": jnp.asarray(idx.lengths.astype(np.int32)),
         "seq_codes": jnp.asarray(idx.seq_codes if not big
                                  else np.zeros(1, np.uint8)),
@@ -263,7 +262,7 @@ def _seed_candidates(ends, lengths_per_end, dev, cfg: MapperConfig):
         P = seeded[0][1][0].shape[1]
         wb = max(8, int(np.ceil(np.log2(max(P, 2)))))
         cands = seed_candidates_sparse(
-            seeded, dev["occ_quad"], occ_cap=cfg.occ_cap,
+            seeded, dev["occ_oct"], occ_cap=cfg.occ_cap,
             max_occs_per_hit=cfg.max_occs_per_hit,
             hits_per_end=cfg.seed_hits_per_end,
             max_cands=cfg.max_cands, stride=cfg.kmer_stride,
@@ -279,7 +278,7 @@ def _dense_candidates(km, lk, dev, cfg: MapperConfig):
     """Dense (R, P, C) expansion + per-row sort scoring (legacy path)."""
     start_c, count_c, found = lk
     key, rpos, diag, ovalid, n_tail_over = expand_occurrences(
-        km, start_c, count_c, found, dev["occ_quad"],
+        km, start_c, count_c, found, dev["occ_oct"],
         cfg.occ_cap, cfg.max_occs_per_hit, stride=cfg.kmer_stride,
         tail_frac=64 if (cfg.occ_aligned and cfg.occ_cap <= 8) else 8)
     R = key.shape[0]

@@ -26,19 +26,24 @@ from salmon_tpu.mapping.lookup import fingerprint30
 INVALID_KEY = jnp.uint32(0xFFFFFFFF)
 
 
-def gather_occ_quad(occ_quad, start, C: int):
+def gather_occ_oct(occ_oct, start, C: int):
     """Fetch C consecutive occurrence records starting at flat index
-    `start` from the quad-packed occurrence matrix.
+    `start` from the oct-packed occurrence matrix.
 
-    `occ_quad` is (n_quad, 8) int32 — each row holds FOUR
+    `occ_oct` is (n_oct, 16) int32 — each row holds EIGHT
     (txp, pos<<1|fwd) records. Row-gather cost on this backend is per
-    ROW (~3 ns for 8-wide rows vs ~7 ns for 2-wide), so fetching
-    ceil((C+3)/4) quad rows instead of C 2-wide rows cuts the
-    occurrence fetch ~4-8x. The start offset within the first row is
-    realigned with a 4-way static-slice select (elementwise, ~free).
+    ROW (wider rows amortize), so fetching ceil((C+7)/8) oct rows
+    instead of C 2-wide rows cuts the occurrence fetch up to ~16x. The
+    start offset within the first row is realigned with an 8-way
+    static-slice select (elementwise, ~free).
+
+    The oct layout is fixed HOST-side (device_index_arrays): reshaping
+    a multi-GB device table between widths makes XLA materialize a
+    relayout copy in its default (8, 128) tiling — a 16x HBM blowup
+    that OOMs at human scale.
 
     Args:
-      occ_quad: (n_quad, 8) int32 quad-packed occurrence matrix.
+      occ_oct: (n_oct, 16) int32 oct-packed occurrence matrix.
       start: (...,) int32 flat occurrence index. May be negative for
         not-found queries: the row index clips in-bounds and the
         garbage records must be masked by the caller.
@@ -46,27 +51,27 @@ def gather_occ_quad(occ_quad, start, C: int):
 
     Returns (..., C, 2) int32 records.
     """
-    nrows = (C + 6) // 4                     # ceil((C + 3) / 4)
-    q0 = start >> 2
-    off = (start & 3).astype(jnp.int32)
+    nrows = (C + 14) // 8                    # ceil((C + 7) / 8)
+    q0 = start >> 3
+    off = (start & 7).astype(jnp.int32)
     ridx = q0[..., None] + jnp.arange(nrows, dtype=jnp.int32)
-    rows = jnp.take(occ_quad, jnp.clip(ridx, 0, None), axis=0,
-                    mode="clip")             # (..., nrows, 8)
-    occ_all = rows.reshape(rows.shape[:-2] + (nrows * 4, 2))
+    rows = jnp.take(occ_oct, jnp.clip(ridx, 0, None), axis=0,
+                    mode="clip")             # (..., nrows, 16)
+    occ_all = rows.reshape(rows.shape[:-2] + (nrows * 8, 2))
     offb = off[..., None, None]
     out = occ_all[..., 0:C, :]
-    for o in (1, 2, 3):
+    for o in range(1, 8):
         out = jnp.where(offb == o, occ_all[..., o:o + C, :], out)
     return out
 
 
-def expand_occurrences(km: dict, start, count, found, occ_quad,
+def expand_occurrences(km: dict, start, count, found, occ_oct,
                        occ_cap: int, max_occs_per_hit: int,
                        stride: int = 1, tail_frac: int = 8):
     """Gather up to C occurrences per found k-mer window.
 
-    `occ_quad` is the quad-packed (n_quad, 8) int32 occurrence matrix
-    (4 records of txp, pos<<1|fwd per row — see gather_occ_quad).
+    `occ_oct` is the oct-packed (n_oct, 16) int32 occurrence matrix
+    (8 records of txp, pos<<1|fwd per row — see gather_occ_oct).
     `stride` is the base-position step between successive windows (the
     seed-skip analog of the reference's altSkip/mismatchSeedSkip,
     SalmonDefaults.hpp:37): window p sits at read position p*stride.
@@ -76,9 +81,9 @@ def expand_occurrences(km: dict, start, count, found, occ_quad,
     query-weighted windows have a single occurrence (92% of stored
     k-mers) — so fetching every record's row for every window wastes
     most of the expand stage on rows whose records are masked anyway.
-    Instead: ONE oct row (8 records, 64 B — the quad buffer viewed
-    (n_quad // 2, 16); row-gather cost is per ROW on this backend, so
-    the wider row is ~free) is fetched per window, covering the first
+    Instead: ONE oct row (8 records, 64 B; row-gather cost is per ROW
+    on this backend, so the wider row is ~free) is fetched per window,
+    covering the first
     8 - (start & 7) records — enough for count <= 8 at most offsets —
     and the minority of windows whose records spill past it
     (count + offset > 8; ~2% query-weighted on the human index at
@@ -102,9 +107,6 @@ def expand_occurrences(km: dict, start, count, found, occ_quad,
     F = R * P
     usable = found & km["valid"] & (count <= max_occs_per_hit)
 
-    # oct view of the quad buffer (same flat record order; n_quad is
-    # kept even by device_index_arrays)
-    occ_oct = occ_quad.reshape(occ_quad.shape[0] // 2, 16)
     q0 = (start >> 3).reshape(F)
     off = (start.reshape(F) & 7).astype(jnp.int32)
     cnt_c = jnp.minimum(count.reshape(F), C)

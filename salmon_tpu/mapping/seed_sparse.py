@@ -43,7 +43,7 @@ import jax.numpy as jnp
 
 from salmon_tpu.mapping.lookup import fingerprint30
 from salmon_tpu.mapping.score import (DIAG_OFFSET, INVALID_KEY,
-                                      _segmented_min, gather_occ_quad,
+                                      _segmented_min, gather_occ_oct,
                                       segment_carry_first)
 
 
@@ -51,7 +51,7 @@ def _ceil_log2(n: int) -> int:
     return max(1, int(np.ceil(np.log2(max(n, 2)))))
 
 
-def seed_candidates_sparse(ends, occ_quad, *, occ_cap: int,
+def seed_candidates_sparse(ends, occ_oct, *, occ_cap: int,
                            max_occs_per_hit: int, hits_per_end: int,
                            max_cands: int, stride: int = 1,
                            diag_bucket_bits: int = 5):
@@ -61,8 +61,8 @@ def seed_candidates_sparse(ends, occ_quad, *, occ_cap: int,
       ends: list of (km, lookup) per read end, where km is the dict from
         extract_kmers (already strided) and lookup = (start, count,
         found) from hash_lookup; all (R, P).
-      occ_quad: (n_quad, 8) quad-packed occurrence matrix (4 records
-        of txp, pos<<1|fwd per row — see mapping.score.gather_occ_quad).
+      occ_oct: (n_oct, 16) oct-packed occurrence matrix (8 records
+        of txp, pos<<1|fwd per row — see mapping.score.gather_occ_oct).
       occ_cap: C — occurrences gathered per window.
       max_occs_per_hit: repetitive-seed skip threshold.
       hits_per_end: B — total hit budget per read end.
@@ -76,13 +76,13 @@ def seed_candidates_sparse(ends, occ_quad, *, occ_cap: int,
     E = len(ends)
     R, P = ends[0][1][0].shape
     hits = collect_hits_sparse(
-        ends, occ_quad, occ_cap=occ_cap,
+        ends, occ_oct, occ_cap=occ_cap,
         max_occs_per_hit=max_occs_per_hit, hits_per_end=hits_per_end,
         stride=stride, diag_bucket_bits=diag_bucket_bits)
     return rank_hits(hits, R=R, E=E, P=P, max_cands=max_cands)
 
 
-def collect_hits_sparse(ends, occ_quad, *, occ_cap: int,
+def collect_hits_sparse(ends, occ_oct, *, occ_cap: int,
                         max_occs_per_hit: int, hits_per_end: int,
                         stride: int = 1, diag_bucket_bits: int = 5):
     """Phase 1 of the sparse seed flow: expand each end's found k-mer
@@ -144,8 +144,8 @@ def collect_hits_sparse(ends, occ_quad, *, occ_cap: int,
 
     c = jnp.arange(H, dtype=jnp.int32) - hdrf[:, 3]
     hit_ok = c < hdrf[:, 2]                             # n=0 before 1st hdr
-    occ = gather_occ_quad(occ_quad, hdrf[:, 0] + c, 1)[:, 0, :]
-    # ^ (H, 2): one 8-wide quad-row gather per hit + lane select
+    occ = gather_occ_oct(occ_oct, hdrf[:, 0] + c, 1)[:, 0, :]
+    # ^ (H, 2): one 16-wide oct-row gather per hit + lane select
     txp = occ[:, 0]
     tpos = occ[:, 1] >> 1
     tfwd = (occ[:, 1] & 1).astype(bool)

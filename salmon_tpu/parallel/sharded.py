@@ -117,7 +117,7 @@ def device_sharded_index(idx: TranscriptomeIndex, mesh: Mesh,
     big = total >= 2**28
     dev = {
         "tab_rows": _put(sharded.tab_rows, shard_sh),
-        "occ_quad": _put(sharded.occ_quad, shard_sh),
+        "occ_oct": _put(sharded.occ_oct, shard_sh),
         "txp_lens": _put(idx.lengths.astype(np.int32), repl),
         "seq_codes": _put(
             idx.seq_codes if not big else np.zeros(1, np.uint8), repl),
@@ -169,7 +169,7 @@ def _sharded_cands(ends_cl, dev, cfg: MapperConfig, shard_bits: int,
     (R_local, ...) array to this device's sub-block.
     """
     tab_rows = dev["tab_rows"][0]
-    occ_quad = dev["occ_quad"][0]
+    occ_oct = dev["occ_oct"][0]
     seeded = [_local_seeds(c, l, tab_rows, cfg, shard_bits)
               for c, l in ends_cl]
     E = len(seeded)
@@ -177,7 +177,7 @@ def _sharded_cands(ends_cl, dev, cfg: MapperConfig, shard_bits: int,
     from salmon_tpu.mapping.score import diag_bucket_bits_for
     wb = max(8, int(np.ceil(np.log2(max(Pw, 2)))))
     hits = collect_hits_sparse(
-        seeded, occ_quad, occ_cap=cfg.occ_cap,
+        seeded, occ_oct, occ_cap=cfg.occ_cap,
         max_occs_per_hit=cfg.max_occs_per_hit,
         hits_per_end=cfg.seed_hits_per_end, stride=cfg.kmer_stride,
         diag_bucket_bits=diag_bucket_bits_for(cfg.max_tpos, wb))
@@ -216,14 +216,14 @@ def _paired_sharded(mesh, batch, dev, cfg, shard_bits, fld_logpmf, cp,
              (b["codes_r"], b["lengths_r"])], d, cfg, shard_bits, dk)
         bsub = {k: sub(v) for k, v in b.items()}
         dloc = dict(d)
-        for k in ("tab_rows", "occ_quad"):
+        for k in ("tab_rows", "occ_oct"):
             dloc[k] = dloc[k][0]
         out = map_paired_from_cands(cands, bsub, dloc, cfg, fld_logpmf,
                                     cp, co)
         return _merge_both(out)
 
     spec_b = {k: P(READS_AXIS) for k in batch}
-    spec_d = {k: (P(KMER_AXIS) if k in ("tab_rows", "occ_quad")
+    spec_d = {k: (P(KMER_AXIS) if k in ("tab_rows", "occ_oct")
                   else P()) for k in dev}
     out_shapes = jax.eval_shape(
         lambda b: map_paired_from_cands(
@@ -244,14 +244,14 @@ def _single_sharded(mesh, batch, dev, cfg, shard_bits, fld_logpmf, cs):
             [(b["codes"], b["lengths"])], d, cfg, shard_bits, dk)
         bsub = {k: sub(v) for k, v in b.items()}
         dloc = dict(d)
-        for k in ("tab_rows", "occ_quad"):
+        for k in ("tab_rows", "occ_oct"):
             dloc[k] = dloc[k][0]
         out = map_single_from_cands(cands, bsub, dloc, cfg, fld_logpmf,
                                     cs)
         return _merge_both(out)
 
     spec_b = {k: P(READS_AXIS) for k in batch}
-    spec_d = {k: (P(KMER_AXIS) if k in ("tab_rows", "occ_quad")
+    spec_d = {k: (P(KMER_AXIS) if k in ("tab_rows", "occ_oct")
                   else P()) for k in dev}
     out_shapes = jax.eval_shape(
         lambda b: map_single_from_cands(
@@ -265,7 +265,7 @@ def _single_sharded(mesh, batch, dev, cfg, shard_bits, fld_logpmf, cs):
 
 def _unstack_dev(dev):
     d = dict(dev)
-    for k in ("tab_rows", "occ_quad"):
+    for k in ("tab_rows", "occ_oct"):
         d[k] = d[k][0]
     return d
 

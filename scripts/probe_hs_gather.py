@@ -90,7 +90,7 @@ def main():
         del tab
 
     # expand gather vs scan split on synthetic hs-shaped inputs
-    from salmon_tpu.mapping.score import gather_occ_quad, score_candidates
+    from salmon_tpu.mapping.score import gather_occ_oct, score_candidates
 
     n_rows = 350_000_000 // 4
     occ = jnp.asarray(rng.integers(0, 2**31, (n_rows, 8), dtype=np.int64)
@@ -101,10 +101,10 @@ def main():
 
     @jax.jit
     def g_quad(occ, start):
-        return gather_occ_quad(occ, start, 8)
+        return gather_occ_oct(occ, start, 8)
 
     t_gq = bench_amp(g_quad, (occ, start))
-    log(f"gather_occ_quad C=8: {t_gq:6.2f} ms "
+    log(f"gather_occ_oct C=8: {t_gq:6.2f} ms "
         f"({t_gq/(3*NW)*1e6:5.1f} ns/row over 3 rows/window)")
     del occ
 

@@ -135,7 +135,7 @@ def main():
     start_c, count_c, found = f_lk(km["hi"], km["lo"])
 
     f_ex = jax.jit(lambda km_, s, c, fnd: expand_occurrences(
-        km_, s, c, fnd, dev["occ_quad"], cfg.occ_cap,
+        km_, s, c, fnd, dev["occ_oct"], cfg.occ_cap,
         cfg.max_occs_per_hit, stride=cfg.kmer_stride))
     log(f"expand_occ (C={cfg.occ_cap}): "
         f"{bench_amp(f_ex, (km, start_c, count_c, found)):.2f} ms")

@@ -311,7 +311,7 @@ def part_b_mapping():
     start_c, count_c, found = f_lk(km["hi"], km["lo"])
 
     f_ex = jax.jit(lambda km_, s, c, fnd: expand_occurrences(
-        km_, s, c, fnd, dev["occ_quad"], cfg.occ_cap,
+        km_, s, c, fnd, dev["occ_oct"], cfg.occ_cap,
         cfg.max_occs_per_hit, stride=cfg.kmer_stride))
     ms = bench(f_ex, km, start_c, count_c, found)
     log(f"expand_occurrences: {ms:.2f} ms")

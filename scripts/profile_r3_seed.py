@@ -116,13 +116,13 @@ def main():
 
     km = s_kmer(codes, lengths)
     lk = s_lookup(km, dev["tab_rows"])
-    exp = s_expand(km, lk, dev["occ_quad"])
+    exp = s_expand(km, lk, dev["occ_oct"])
     _ = s_score(exp)
     log(f"# shapes: kmer hi {km['hi'].shape}, occ key {exp[0].shape}")
 
     t_k = bench_amp(s_kmer, (codes, lengths))
     t_l = bench_amp(s_lookup, (km, dev["tab_rows"]))
-    t_e = bench_amp(s_expand, (km, lk, dev["occ_quad"]))
+    t_e = bench_amp(s_expand, (km, lk, dev["occ_oct"]))
     t_s = bench_amp(s_score, (exp,))
     tot = t_k + t_l + t_e + t_s
     log(f"R={R} over={over} (ONE end; pipeline runs this x2)")

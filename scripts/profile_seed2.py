@@ -75,7 +75,7 @@ def main():
     dev = device_index_arrays(idx)
     cfg = MapperConfig.from_index(idx)
     table_planes = dev["tab_rows"]
-    occ_quad = dev["occ_quad"]
+    occ_quad = dev["occ_oct"]
 
     reads1 = list(_iter_fastq_seqs(r1))
     reads2 = list(_iter_fastq_seqs(r2))

@@ -44,7 +44,7 @@ def test_shard_partition_is_exact(small_index):
     rng = np.random.default_rng(7)
     pick = rng.choice(idx.kmers.shape[0], size=min(500, idx.kmers.shape[0]),
                       replace=False)
-    occ_flat = sh.occ_quad.reshape(S, -1, 2)
+    occ_flat = sh.occ_oct.reshape(S, -1, 2)
     for s in range(S):
         tab = KmerHashTable(rows=sh.tab_rows[s], n_slots=sh.n_slots)
         start, count = lookup_host(tab, idx.kmers[pick])
