@@ -232,9 +232,12 @@ def build_index(
     offsets, (tx, po, fw) = oct_align_csr(
         offsets, (tx, po, fw), (np.int32(-1), np.int32(0), False))
     info["occ_oct_aligned"] = True
-    table = build_hash_table(uniq, occ_offsets=offsets,
-                             counts=counts_kept,
-                             filter_counts=true_counts)
+    table = build_hash_table(
+        uniq, occ_offsets=offsets, counts=counts_kept,
+        filter_counts=true_counts,
+        inline_records=(tx, ((po.astype(np.int64) << 1) | fw)
+                        .astype(np.int32)))
+    info["table_inline_singles"] = True
     if table.n_shadowed:
         # fingerprint-shadow merge blocks: append the merged slots'
         # occurrence records + separators past the CSR (hashtable doc)
@@ -334,9 +337,12 @@ def _build_partitioned(records, info, k, first_decoy_index, seq_codes,
     info["occ_oct_aligned"] = True
 
     if nu <= TABLE_DIRECT_MAX_KEYS:
-        table = build_hash_table(uniq, occ_offsets=offsets,
-                                 counts=counts_kept,
-                                 filter_counts=true_counts)
+        table = build_hash_table(
+            uniq, occ_offsets=offsets, counts=counts_kept,
+            filter_counts=true_counts,
+            inline_records=(tx, ((po.astype(np.int64) << 1) | fw)
+                            .astype(np.int32)))
+        info["table_inline_singles"] = True
         if table.n_shadowed:
             from salmon_tpu.index.hashtable import appendix_plan
             is_sep, gi, sep_fp = appendix_plan(table)

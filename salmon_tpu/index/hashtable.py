@@ -149,6 +149,10 @@ class KmerHashTable:
     appendix: np.ndarray = dataclasses.field(
         default_factory=lambda: np.zeros((0, 3), np.int64))
     n_shadowed: int = 0      # stored keys merged into a foreign slot
+    # single-occurrence records inlined into their slot (start-lane
+    # bit 31 set; payload47 = txp << 29 | pf across the count16 field +
+    # the start lane's low 31 bits) — the query needs no CSR gather
+    n_inlined: int = 0
 
     @property
     def n_buckets(self) -> int:
@@ -194,7 +198,8 @@ def build_hash_table(keys_u64: np.ndarray,
                      max_load_factor: float = 0.62,
                      n_slots: int | None = None,
                      filter_counts: np.ndarray | None = None,
-                     counts: np.ndarray | None = None
+                     counts: np.ndarray | None = None,
+                     inline_records: tuple | None = None
                      ) -> KmerHashTable:
     """Build the two-choice bucket table for *unique* uint64 keys.
 
@@ -205,6 +210,17 @@ def build_hash_table(keys_u64: np.ndarray,
     counts: explicit stored record counts per key — REQUIRED when the
     CSR is oct-aligned (pad records between keys make diff(occ_offsets)
     overcount); defaults to diff(occ_offsets).
+
+    inline_records: (occ_txp, occ_pf) CSR planes. When given, slots of
+    single-occurrence keys (the vast majority of a transcriptome) store
+    the record ITSELF instead of a CSR pointer: start-lane bit 31 set,
+    payload47 = txp << 29 | pf split across the count16 field (high 16)
+    and the start lane's low 31 bits. Queries for such keys need no
+    occurrence gather at all. Keys with txp >= 2^18, pf >= 2^29 - 1, a
+    pruned true count > 1, or an all-zero encoded fpcnt lane (would
+    read as an empty slot) stay pointer slots; shadow-merge owners
+    always keep their block pointer (a count-1 key can never own a
+    block, so this is automatic).
 
     filter_counts: per-key TRUE occurrence counts when the CSR was
     pruned at build time (--maxOccsKept): these feed the count16 slot
@@ -397,8 +413,35 @@ def build_hash_table(keys_u64: np.ndarray,
                                  | mcnt).view(np.int32)
             rows[ob, 2 * os_ + 1] = blk_start.astype(np.int32)
 
+    n_inlined = 0
+    if inline_records is not None and pk.size:
+        otx, opf = inline_records
+        # current count16 per placed slot: shadow-merge owners were
+        # rewritten to block totals (>= 3), so requiring exactly 1
+        # excludes them automatically
+        cur_cnt = (rows[pbucket, 2 * pslot].view(np.uint32)
+                   & np.uint32(0xFFFF))
+        cand = ((cur_cnt == 1) & (counts[pk] == 1)
+                & (pay_counts[pk] == 1))
+        st = starts[pk].astype(np.int64)
+        txr = np.asarray(otx)[st].astype(np.int64)
+        pfr = np.asarray(opf)[st].astype(np.int64)
+        cand &= (txr >= 0) & (txr < (1 << 18))
+        cand &= (pfr >= 0) & (pfr < (1 << 29) - 1)
+        payload_hi = (txr >> 2).astype(np.uint32)       # txp bits 2..17
+        low31 = (((txr & 3).astype(np.uint32) << np.uint32(29))
+                 | pfr.astype(np.uint32))
+        fpcnt_new = (fp[pk] << np.uint32(16)) | payload_hi
+        cand &= fpcnt_new != 0          # would read as an empty slot
+        w = np.nonzero(cand)[0]
+        rows[pbucket[w], 2 * pslot[w]] = fpcnt_new[w].view(np.int32)
+        rows[pbucket[w], 2 * pslot[w] + 1] = (
+            np.uint32(0x80000000) | low31[w]).view(np.int32)
+        n_inlined = int(w.shape[0])
+
     return KmerHashTable(rows, h, 2 * SLOTS_PER_BUCKET, n_evicted,
-                         appendix=appendix, n_shadowed=n_shadowed)
+                         appendix=appendix, n_shadowed=n_shadowed,
+                         n_inlined=n_inlined)
 
 
 def appendix_plan(tab: KmerHashTable):
@@ -424,8 +467,14 @@ def appendix_plan(tab: KmerHashTable):
     return is_sep, src_idx, fp30[seg_of]
 
 
-def lookup_host(tab: KmerHashTable, keys_u64: np.ndarray):
-    """Host-side reference lookup (for tests): (start, count) or (-1, 0)."""
+def lookup_host(tab: KmerHashTable, keys_u64: np.ndarray,
+                decode_inline: bool = False):
+    """Host-side reference lookup (for tests): (start, count) or (-1, 0).
+
+    With decode_inline, returns (start, count, itxp, ipf) where inlined
+    single-occurrence slots yield start = -2 and their record in
+    itxp/ipf; without it, inline slots are decoded the same way but
+    only (start=-2, count=1) is visible."""
     hi, lo = split_u64(keys_u64)
     mask = np.uint32(tab.n_buckets - 1)
     b1 = (mix32(hi, lo) & mask).astype(np.int64)
@@ -435,12 +484,25 @@ def lookup_host(tab: KmerHashTable, keys_u64: np.ndarray):
                           axis=-1)               # (..., 16)
     start = np.full(keys_u64.shape, -1, dtype=np.int32)
     count = np.zeros(keys_u64.shape, dtype=np.int32)
+    itxp = np.full(keys_u64.shape, -1, dtype=np.int32)
+    ipf = np.zeros(keys_u64.shape, dtype=np.int32)
     pending = np.ones(keys_u64.shape, dtype=bool)
     for p in range(2 * SLOTS_PER_BUCKET):
         fpcnt = rows[..., 2 * p].view(np.uint32)
+        st = rows[..., 2 * p + 1].view(np.uint32)
         match = pending & ((fpcnt >> np.uint32(16)) == fp) & (fpcnt != 0)
-        start[match] = rows[..., 2 * p + 1][match]
-        count[match] = (fpcnt & np.uint32(0xFFFF)).astype(
-            np.int32)[match]
+        inline = match & (st >> np.uint32(31) == 1)
+        plain = match & ~inline
+        start[plain] = st.view(np.int32)[plain]
+        count[plain] = (fpcnt & np.uint32(0xFFFF)).astype(
+            np.int32)[plain]
+        start[inline] = -2
+        count[inline] = 1
+        low31 = (st & np.uint32(0x7FFFFFFF)).astype(np.int64)
+        hi16 = (fpcnt & np.uint32(0xFFFF)).astype(np.int64)
+        itxp[inline] = ((hi16 << 2) | (low31 >> 29))[inline]
+        ipf[inline] = (low31 & ((1 << 29) - 1))[inline]
         pending &= ~match
+    if decode_inline:
+        return start, count, itxp, ipf
     return start, count

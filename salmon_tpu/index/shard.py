@@ -92,7 +92,8 @@ def shard_index_arrays(idx: TranscriptomeIndex,
         tab = build_hash_table(
             keys_s, occ_offsets=off_s, n_slots=n_slots,
             filter_counts=(idx.occ_true_counts[m]
-                           if idx.occ_true_counts is not None else None))
+                           if idx.occ_true_counts is not None else None),
+            inline_records=(txp_s, pf_s))
         if tab.n_shadowed:
             # per-shard fingerprint-shadow merge blocks (hashtable doc)
             is_sep, gi, sep_fp = appendix_plan(tab)

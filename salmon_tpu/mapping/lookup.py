@@ -95,8 +95,13 @@ def hash_lookup(hi, lo, tab_rows, n_slots: int,
       n_slots: total slot count = n_buckets * 4 (static).
       max_probes: slots examined per query (static; = 8, both buckets).
 
-    Returns (start, count, found): occurrence CSR range (start=-1/count=0
-    when not found).
+    Returns (start, count, found, inl, itxp, ipf):
+      start/count: occurrence CSR range (start=-1/count=0 when not
+        found; start=-2 for inlined slots);
+      inl: slot stores its single record inline (start-lane bit 31;
+        payload47 = txp << 29 | pf across count16 + the start lane's
+        low 31 bits — see index.hashtable build_hash_table);
+      itxp/ipf: the decoded inline record (undefined when ~inl).
     """
     n_buckets = n_slots // SLOTS_PER_BUCKET
     mask = jnp.uint32(n_buckets - 1)
@@ -122,13 +127,26 @@ def hash_lookup(hi, lo, tab_rows, n_slots: int,
     # ~1/65k, but a masked sum would corrupt on one)
     start = jnp.full(b1.shape, -1, jnp.int32)
     count = jnp.zeros(b1.shape, jnp.int32)
+    inl = jnp.zeros(b1.shape, bool)
+    itxp = jnp.zeros(b1.shape, jnp.int32)
+    ipf = jnp.zeros(b1.shape, jnp.int32)
     P = min(max_probes, 2 * SLOTS_PER_BUCKET)
     for p in range(min(P, SLOTS_PER_BUCKET) - 1, -1, -1):
         m = match[..., p]
+        stp = st[..., p]
+        fcp = fpcnt[..., p]
+        is_inl = (stp >> jnp.uint32(31)) == 1
+        low31 = (stp & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+        hi16 = (fcp & jnp.uint32(0xFFFF)).astype(jnp.int32)
         # CSR starts are int32 >= 0 by builder contract, so the uint32
         # lanes reinterpret losslessly via astype
-        start = jnp.where(m, st[..., p].astype(jnp.int32), start)
+        start = jnp.where(
+            m, jnp.where(is_inl, jnp.int32(-2), stp.astype(jnp.int32)),
+            start)
         count = jnp.where(
-            m, (fpcnt[..., p] & jnp.uint32(0xFFFF)).astype(jnp.int32),
-            count)
-    return start, count, found
+            m, jnp.where(is_inl, jnp.int32(1), hi16), count)
+        inl = jnp.where(m, is_inl, inl)
+        itxp = jnp.where(m & is_inl, (hi16 << 2) | (low31 >> 29), itxp)
+        ipf = jnp.where(m & is_inl, low31 & jnp.int32((1 << 29) - 1),
+                        ipf)
+    return start, count, found, inl, itxp, ipf

@@ -113,6 +113,10 @@ class MapperConfig:
     # never spill past row0, so the expand tail pool only serves
     # shadow-merged blocks and can shrink ~8x with zero saturation risk
     occ_aligned: bool = False
+    # table slots carry inlined single-occurrence records
+    # (index.hashtable build_hash_table inline_records): the dense
+    # expand pools the row0 gather over non-inline windows only
+    inline_singles: bool = False
     seed_hits_per_end: int = DEFAULTS.seed_hits_per_end
 
     @staticmethod
@@ -171,6 +175,8 @@ class MapperConfig:
                          else opts.sparse_seed),
             seed_hits_per_end=opts.seed_hits_per_end,
             occ_aligned=bool(idx.info.get("occ_oct_aligned", False)),
+            inline_singles=bool(idx.info.get("table_inline_singles",
+                                             False)),
         )
         cfg.update(overrides)
         kept = int(idx.info.get("max_occs_kept", 0) or 0)
@@ -276,11 +282,11 @@ def _seed_candidates(ends, lengths_per_end, dev, cfg: MapperConfig):
 
 def _dense_candidates(km, lk, dev, cfg: MapperConfig):
     """Dense (R, P, C) expansion + per-row sort scoring (legacy path)."""
-    start_c, count_c, found = lk
     key, rpos, diag, ovalid, n_tail_over = expand_occurrences(
-        km, start_c, count_c, found, dev["occ_oct"],
+        km, lk, dev["occ_oct"],
         cfg.occ_cap, cfg.max_occs_per_hit, stride=cfg.kmer_stride,
-        tail_frac=64 if (cfg.occ_aligned and cfg.occ_cap <= 8) else 8)
+        tail_frac=64 if (cfg.occ_aligned and cfg.occ_cap <= 8) else 8,
+        inline_pool=cfg.inline_singles)
     R = key.shape[0]
     n = key.shape[1] * key.shape[2]
     # window field must hold every window index (long reads overflow the

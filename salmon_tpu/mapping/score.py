@@ -65,11 +65,13 @@ def gather_occ_oct(occ_oct, start, C: int):
     return out
 
 
-def expand_occurrences(km: dict, start, count, found, occ_oct,
+def expand_occurrences(km: dict, lk, occ_oct,
                        occ_cap: int, max_occs_per_hit: int,
-                       stride: int = 1, tail_frac: int = 8):
+                       stride: int = 1, tail_frac: int = 8,
+                       inline_pool: bool = False):
     """Gather up to C occurrences per found k-mer window.
 
+    `lk` is hash_lookup's (start, count, found, inl, itxp, ipf);
     `occ_oct` is the oct-packed (n_oct, 16) int32 occurrence matrix
     (8 records of txp, pos<<1|fwd per row — see gather_occ_oct).
     `stride` is the base-position step between successive windows (the
@@ -77,23 +79,28 @@ def expand_occurrences(km: dict, start, count, found, occ_oct,
     SalmonDefaults.hpp:37): window p sits at read position p*stride.
 
     BUDGETED TAIL GATHER: random row fetches into a human-scale occ
-    matrix cost ~15-17 ns each (pure HBM latency), and 82% of
+    matrix cost ~14-23 ns per ISSUED INDEX (pure HBM latency; locality
+    and duplicate indices do not help — measured), and 82% of
     query-weighted windows have a single occurrence (92% of stored
     k-mers) — so fetching every record's row for every window wastes
     most of the expand stage on rows whose records are masked anyway.
-    Instead: ONE oct row (8 records, 64 B; row-gather cost is per ROW
-    on this backend, so the wider row is ~free) is fetched per window,
-    covering the first
-    8 - (start & 7) records — enough for count <= 8 at most offsets —
-    and the minority of windows whose records spill past it
-    (count + offset > 8; ~2% query-weighted on the human index at
-    C = 8, vs ~7.6% past a quad row) are batch-globally compacted into
+    ONE oct row is fetched per window, covering the first 8 - (start&7)
+    records, and the minority of windows whose records spill past it
+    (count + offset > 8) are batch-globally compacted into
     K = max(1024, F // tail_frac) slots that fetch the remaining
     ceil((C - 1) / 8) consecutive oct rows. Windows past the K budget
-    (never observed at the default headroom) degrade gracefully: they
-    keep their first-row records only — the returned `n_tail_over`
-    scalar counts them so saturation on unusual indexes is observable
-    instead of silent.
+    degrade gracefully (first-row records only) and are counted in the
+    returned `n_tail_over`.
+
+    INLINE POOL (inline_pool=True, for tables built with inlined
+    single-occurrence slots — index.hashtable): ~80% of found windows
+    carry their record in the lookup itself, so the row0 gather issues
+    only K0 = max(4096, F // 3) indices for the windows that actually
+    need the CSR. The pool avoids scatters (measured 10+ ms at these
+    shapes) by sorting needy-first, gathering the prefix, and
+    UN-sorting with one more multi-operand lax.sort (~1 ns/elem).
+    Pool overflow degrades to no-records for the excess windows and is
+    counted in n_tail_over.
 
     Returns (key, rpos, diag, valid, n_tail_over); the first four are
     (R, P, C):
@@ -102,6 +109,7 @@ def expand_occurrences(km: dict, start, count, found, occ_oct,
       diag = tpos - rpos (fw) or tpos + rpos (rc) — strand-specific
              diagonal whose run-minimum recovers the mapped read start.
     """
+    start, count, found, inl, itxp, ipf = lk
     R, P = start.shape
     C = occ_cap
     F = R * P
@@ -111,16 +119,44 @@ def expand_occurrences(km: dict, start, count, found, occ_oct,
     off = (start.reshape(F) & 7).astype(jnp.int32)
     cnt_c = jnp.minimum(count.reshape(F), C)
     use_f = usable.reshape(F)
+    inl_f = (inl.reshape(F)) & use_f
+    idx_bits = max(1, (F - 1).bit_length())
+    n_pool_over = jnp.int32(0)
 
-    # row 0: always fetched (one row-gather per window)
-    row0 = jnp.take(occ_oct, jnp.clip(q0, 0, None), axis=0,
-                    mode="clip")                          # (F, 16)
+    if not inline_pool:
+        # row 0: one row-gather per window
+        row0 = jnp.take(occ_oct, jnp.clip(q0, 0, None), axis=0,
+                        mode="clip")                      # (F, 16)
+        got_row0 = use_f
+    else:
+        need_row = use_f & ~inl_f
+        K0 = min(F, max(4096, F // 3))
+        packed0 = ((jnp.where(need_row, jnp.uint32(0), jnp.uint32(1))
+                    << jnp.uint32(idx_bits))
+                   | jnp.arange(F, dtype=jnp.uint32))
+        perm = (jax.lax.sort(packed0, dimension=0, is_stable=False)
+                & jnp.uint32((1 << idx_bits) - 1)).astype(jnp.int32)
+        q0p = jnp.take(q0, perm[:K0])
+        rows_k = jnp.take(occ_oct, jnp.clip(q0p, 0, None), axis=0,
+                          mode="clip")                    # (K0, 16)
+        rows_cat = jnp.concatenate(
+            [rows_k, jnp.zeros((F - K0, 16), jnp.int32)], axis=0)
+        # unsort by destination key: one 17-operand sort, no scatter
+        ops = (jax.lax.bitcast_convert_type(perm, jnp.uint32),) + tuple(
+            rows_cat[:, i] for i in range(16))
+        sorted_back = jax.lax.sort(ops, dimension=0, num_keys=1,
+                                   is_stable=False)
+        row0 = jnp.stack(sorted_back[1:], axis=1)         # (F, 16)
+        got_row0 = need_row & (jnp.cumsum(need_row.astype(jnp.int32))
+                               <= K0)
+        n_pool_over = jnp.maximum(
+            jnp.sum(need_row.astype(jnp.int32)) - jnp.int32(K0), 0)
 
-    # tail pool: the few windows spilling past row 0
+    # tail pool: the few windows spilling past row 0 (inline windows
+    # have count 1 + offset 6 — never needy)
     tail_n = max(1, -(-(C - 1) // 8))        # ceil((C-1)/8) extra rows
     need = use_f & (cnt_c + off > 8)
     K = min(F, max(1024, F // tail_frac))
-    idx_bits = max(1, (F - 1).bit_length())
     packed = ((jnp.where(need, jnp.uint32(0), jnp.uint32(1))
                << jnp.uint32(idx_bits))
               | jnp.arange(F, dtype=jnp.uint32))
@@ -152,10 +188,17 @@ def expand_occurrences(km: dict, start, count, found, occ_oct,
         txp_f = jnp.where(m, txp_all[:, o:o + C], txp_f)
         pf_f = jnp.where(m, pf_all[:, o:o + C], pf_f)
 
+    # inlined single-occurrence slots: the record rode in the lookup
+    # row itself — inject it (only lane 0 is valid via cnt_c == 1)
+    txp_f = jnp.where(inl_f[:, None], itxp.reshape(F)[:, None], txp_f)
+    pf_f = jnp.where(inl_f[:, None], ipf.reshape(F)[:, None], pf_f)
+
     c_idx = jnp.arange(C, dtype=jnp.int32)
+    lane_src = (((c_idx[None, :] < 8 - off[:, None])
+                 & got_row0[:, None])
+                | got_tail[:, None] | inl_f[:, None])
     ovalid = (use_f[:, None] & (c_idx[None, :] < cnt_c[:, None])
-              & ((c_idx[None, :] < 8 - off[:, None])
-                 | got_tail[:, None])).reshape(R, P, C)
+              & lane_src).reshape(R, P, C)
 
     txp = txp_f.reshape(R, P, C)
     tpos = (pf_f >> 1).reshape(R, P, C)
@@ -186,7 +229,7 @@ def expand_occurrences(km: dict, start, count, found, occ_oct,
         (R, P, C))
     diag = jnp.where(orient_fw, tpos - rpos, tpos + rpos)
     n_tail_over = jnp.maximum(
-        jnp.sum(need.astype(jnp.int32)) - jnp.int32(K), 0)
+        jnp.sum(need.astype(jnp.int32)) - jnp.int32(K), 0) + n_pool_over
     return key, rpos, diag, ovalid, n_tail_over
 
 

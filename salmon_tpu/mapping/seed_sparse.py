@@ -110,6 +110,11 @@ def collect_hits_sparse(ends, occ_oct, *, occ_cap: int,
     start = flat(lambda km, lk: lk[0])
     count = flat(lambda km, lk: lk[1])
     found = flat(lambda km, lk: lk[2])
+    # inlined single-occurrence slots (hash_lookup inl/itxp/ipf):
+    # start = -2 marks them, the record rides the header instead of
+    # being gathered from the CSR
+    itxp = flat(lambda km, lk: lk[4])
+    ipf = flat(lambda km, lk: lk[5])
     qfw = flat(lambda km, lk: km["is_fw"])
     kval = flat(lambda km, lk: km["valid"])
     qfp30 = flat(lambda km, lk: fingerprint30(
@@ -133,22 +138,26 @@ def collect_hits_sparse(ends, occ_oct, *, occ_cap: int,
          (w_idx << jnp.int32(1)) | qfw.astype(jnp.int32),
          n_used,
          dest,
-         qfp30], axis=1)                                # (W, 5)
+         qfp30,
+         itxp,
+         ipf], axis=1)                                  # (W, 7)
     keep = n_used > 0
     dest_w = jnp.where(keep, dest, H)
-    slots = jnp.zeros((H + 1, 5), jnp.int32).at[dest_w].set(
+    slots = jnp.zeros((H + 1, 7), jnp.int32).at[dest_w].set(
         hdr, mode="drop")[:H]
     flags = jnp.zeros(H + 1, bool).at[dest_w].set(keep, mode="drop")[:H]
     hdrf = segment_carry_first(
-        slots, jnp.broadcast_to(flags[:, None], (H, 5)), axis=0)
+        slots, jnp.broadcast_to(flags[:, None], (H, 7)), axis=0)
 
     c = jnp.arange(H, dtype=jnp.int32) - hdrf[:, 3]
     hit_ok = c < hdrf[:, 2]                             # n=0 before 1st hdr
     occ = gather_occ_oct(occ_oct, hdrf[:, 0] + c, 1)[:, 0, :]
     # ^ (H, 2): one 16-wide oct-row gather per hit + lane select
-    txp = occ[:, 0]
-    tpos = occ[:, 1] >> 1
-    tfwd = (occ[:, 1] & 1).astype(bool)
+    is_inl = hdrf[:, 0] == jnp.int32(-2)
+    txp = jnp.where(is_inl, hdrf[:, 5], occ[:, 0])
+    pf = jnp.where(is_inl, hdrf[:, 6], occ[:, 1])
+    tpos = pf >> 1
+    tfwd = (pf & 1).astype(bool)
 
     # ---- shadow-merged blocks: separator records (txp = -1) open a
     # sub-segment tagged with its key's fingerprint30; rows past a

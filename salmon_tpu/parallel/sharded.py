@@ -143,14 +143,14 @@ def _local_seeds(codes, lengths, tab_rows, cfg: MapperConfig,
     km = extract_kmers(codes, lengths, cfg.k)
     if cfg.kmer_stride > 1:
         km = {k: v[:, ::cfg.kmer_stride] for k, v in km.items()}
-    start, count, found = hash_lookup(
+    start, count, found, inl, itxp, ipf = hash_lookup(
         km["hi"], km["lo"], tab_rows, cfg.n_slots, cfg.max_probes)
     if shard_bits:
         owner = (mix32b(km["hi"], km["lo"])
                  >> jnp.uint32(32 - shard_bits)).astype(jnp.int32)
         mine = owner == jax.lax.axis_index(KMER_AXIS).astype(jnp.int32)
         found = found & mine
-    return km, (start, count, found)
+    return km, (start, count, found, inl, itxp, ipf)
 
 
 def _sub_block(a, s, n_blocks):

@@ -132,14 +132,16 @@ def main():
         hi, lo, dev["tab_rows"], cfg.n_slots, cfg.max_probes))
     log(f"hash_lookup (P={km['hi'].shape[1]}, probes={cfg.max_probes}): "
         f"{bench_amp(f_lk, (km['hi'], km['lo'])):.2f} ms")
-    start_c, count_c, found = f_lk(km["hi"], km["lo"])
+    lk = f_lk(km["hi"], km["lo"])
+    start_c, count_c, found = lk[:3]
 
-    f_ex = jax.jit(lambda km_, s, c, fnd: expand_occurrences(
-        km_, s, c, fnd, dev["occ_oct"], cfg.occ_cap,
-        cfg.max_occs_per_hit, stride=cfg.kmer_stride))
+    f_ex = jax.jit(lambda km_, lk_: expand_occurrences(
+        km_, lk_, dev["occ_oct"], cfg.occ_cap,
+        cfg.max_occs_per_hit, stride=cfg.kmer_stride,
+        inline_pool=cfg.inline_singles))
     log(f"expand_occ (C={cfg.occ_cap}): "
         f"{bench_amp(f_ex, (km, start_c, count_c, found)):.2f} ms")
-    key, rpos, diag, ovalid = f_ex(km, start_c, count_c, found)
+    key, rpos, diag, ovalid = f_ex(km, lk)[:4]
     nn = key.shape[1] * key.shape[2]
 
     f_sc = jax.jit(lambda k_, r_, d_: score_candidates(

@@ -308,14 +308,16 @@ def part_b_mapping():
         hi, lo, dev["tab_rows"], cfg.n_slots, cfg.max_probes))
     ms = bench(f_lk, km["hi"], km["lo"])
     log(f"hash_lookup: {ms:.2f} ms")
-    start_c, count_c, found = f_lk(km["hi"], km["lo"])
+    lk = f_lk(km["hi"], km["lo"])
+    start_c, count_c, found = lk[:3]
 
-    f_ex = jax.jit(lambda km_, s, c, fnd: expand_occurrences(
-        km_, s, c, fnd, dev["occ_oct"], cfg.occ_cap,
-        cfg.max_occs_per_hit, stride=cfg.kmer_stride))
+    f_ex = jax.jit(lambda km_, lk_: expand_occurrences(
+        km_, lk_, dev["occ_oct"], cfg.occ_cap,
+        cfg.max_occs_per_hit, stride=cfg.kmer_stride,
+        inline_pool=cfg.inline_singles))
     ms = bench(f_ex, km, start_c, count_c, found)
     log(f"expand_occurrences: {ms:.2f} ms")
-    key, rpos, diag, ovalid = f_ex(km, start_c, count_c, found)
+    key, rpos, diag, ovalid = f_ex(km, lk)[:4]
     Rr = codes_l.shape[0]
     nn = key.shape[1] * key.shape[2]
 

@@ -95,10 +95,10 @@ def main():
 
     @jax.jit
     def s_expand(km, lk, occ_quad):
-        start_c, count_c, found = lk
         return expand_occurrences(
-            km, start_c, count_c, found, occ_quad,
-            cfg.occ_cap, cfg.max_occs_per_hit, stride=cfg.kmer_stride)
+            km, lk, occ_quad,
+            cfg.occ_cap, cfg.max_occs_per_hit, stride=cfg.kmer_stride,
+            inline_pool=cfg.inline_singles)
 
     @jax.jit
     def s_score(exp):

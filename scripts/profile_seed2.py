@@ -121,9 +121,10 @@ def main():
 
     # ---------------- dense flow ----------------
     def f_expand(km, lk, orows):
-        return expand_occurrences(km, lk[0], lk[1], lk[2], orows,
+        return expand_occurrences(km, lk, orows,
                                   cfg.occ_cap, cfg.max_occs_per_hit,
-                                  stride=stride)
+                                  stride=stride,
+                                  inline_pool=cfg.inline_singles)
     f_expand_j = jax.jit(f_expand)
     ex = f_expand_j(km_l, lk_l, occ_quad)
     log(f"expand/end (C={cfg.occ_cap}): "
@@ -133,8 +134,9 @@ def main():
     def mk_score(C):
         def f(km, lk, orows):
             key, rpos, diag, _ = expand_occurrences(
-                km, lk[0], lk[1], lk[2], orows, C,
-                cfg.max_occs_per_hit, stride=stride)[:4]
+                km, lk, orows, C,
+                cfg.max_occs_per_hit, stride=stride,
+                inline_pool=cfg.inline_singles)[:4]
             Rr = key.shape[0]
             n = key.shape[1] * key.shape[2]
             nw = key.shape[1]

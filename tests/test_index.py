@@ -68,9 +68,17 @@ def test_index_every_kmer_resolves(small_index):
         codes = idx.transcript_codes(tid)
         km, valid = kmers_of(codes, k)
         canon, fwd = canonical_kmers(km, k)
-        starts, counts = lookup_host(idx.table, canon)
-        assert (starts[valid] >= 0).all()
+        starts, counts, itxp, ipf = lookup_host(idx.table, canon,
+                                                decode_inline=True)
+        # -2 marks inlined single-occurrence slots (their record rides
+        # in itxp/ipf); everything else must resolve to a CSR range
+        assert ((starts[valid] >= 0) | (starts[valid] == -2)).all()
         for p in np.nonzero(valid)[0][::17]:  # sample positions
+            if starts[p] == -2:
+                assert counts[p] == 1
+                assert itxp[p] == tid and (ipf[p] >> 1) == p, (tid, p)
+                assert bool(ipf[p] & 1) == fwd[p]
+                continue
             lo, hi_ = starts[p], starts[p] + counts[p]
             occ_t = idx.occ_txp[lo:hi_]
             occ_p = idx.occ_pos[lo:hi_]
@@ -304,3 +312,37 @@ def test_native_kmer_enumeration_matches_numpy(rng):
     np.testing.assert_array_equal(tx_n, tx[order])
     np.testing.assert_array_equal(po_n, po[order])
     np.testing.assert_array_equal(fw_n, fw[order])
+
+
+def test_inline_singles_device_lookup(small_index):
+    """Inlined single-occurrence slots decode identically on host and
+    device, and the table actually inlines the singleton majority."""
+    import jax.numpy as jnp
+
+    from salmon_tpu.mapping.lookup import hash_lookup
+
+    idx = small_index
+    assert idx.table.n_inlined > 0
+    singles = np.nonzero(idx.occ_counts == 1)[0]
+    pick = singles[::max(1, singles.shape[0] // 200)]
+    keys = idx.kmers[pick]
+    hs, hc, ht, hp = lookup_host(idx.table, keys, decode_inline=True)
+    from salmon_tpu.index.hashtable import split_u64
+    hi, lo = split_u64(keys)
+    ds, dc, df, dinl, dt, dp_ = hash_lookup(
+        jnp.asarray(hi.view(np.uint32)), jnp.asarray(lo.view(np.uint32)),
+        jnp.asarray(idx.table.rows),
+        idx.table.n_slots, idx.table.max_probes)
+    np.testing.assert_array_equal(np.asarray(ds), hs)
+    np.testing.assert_array_equal(np.asarray(dc), hc)
+    assert np.asarray(df).all()
+    inl = hs == -2
+    # the sample's singleton keys overwhelmingly inline (only shadowed
+    # keys and fpcnt-zero guards stay pointer slots)
+    assert inl.mean() > 0.9
+    np.testing.assert_array_equal(np.asarray(dt)[inl], ht[inl])
+    np.testing.assert_array_equal(np.asarray(dp_)[inl], hp[inl])
+    # records match the CSR truth
+    g0 = idx.occ_offsets[:-1][pick[inl]]
+    np.testing.assert_array_equal(ht[inl], idx.occ_txp[g0])
+    np.testing.assert_array_equal(hp[inl], np.asarray(idx.occ_pf)[g0])

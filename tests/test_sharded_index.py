@@ -47,20 +47,26 @@ def test_shard_partition_is_exact(small_index):
     occ_flat = sh.occ_oct.reshape(S, -1, 2)
     for s in range(S):
         tab = KmerHashTable(rows=sh.tab_rows[s], n_slots=sh.n_slots)
-        start, count = lookup_host(tab, idx.kmers[pick])
+        start, count, itxp, ipf = lookup_host(tab, idx.kmers[pick],
+                                              decode_inline=True)
         for j, ki in enumerate(pick):
             g0 = idx.occ_offsets[ki]
             g1 = g0 + idx.occ_counts[ki]   # offsets carry align pads
             if owner[ki] == s:
+                want = np.stack(
+                    [idx.occ_txp[g0:g1],
+                     (idx.occ_pos[g0:g1].astype(np.int64) << 1
+                      | idx.occ_fwd[g0:g1]).astype(np.int32)], axis=1)
+                if start[j] == -2:      # inlined single-occurrence slot
+                    assert want.shape[0] == 1 and count[j] == 1
+                    assert itxp[j] == want[0, 0], ki
+                    assert ipf[j] == want[0, 1], ki
+                    continue
                 # fingerprint-shadow-merged slots return a block that
                 # CONTAINS the key's records as a contiguous run (see
                 # hashtable docstring); unmerged slots return exactly
                 assert count[j] >= g1 - g0
                 got = occ_flat[s, start[j]:start[j] + count[j]]
-                want = np.stack(
-                    [idx.occ_txp[g0:g1],
-                     (idx.occ_pos[g0:g1].astype(np.int64) << 1
-                      | idx.occ_fwd[g0:g1]).astype(np.int32)], axis=1)
                 runs = [o for o in range(got.shape[0] - want.shape[0] + 1)
                         if np.array_equal(got[o:o + want.shape[0]], want)]
                 assert runs, (ki, got, want)
