@@ -282,11 +282,17 @@ def _seed_candidates(ends, lengths_per_end, dev, cfg: MapperConfig):
 
 def _dense_candidates(km, lk, dev, cfg: MapperConfig):
     """Dense (R, P, C) expansion + per-row sort scoring (legacy path)."""
+    # inline_pool stays OFF: pooling the row0 gather over non-inline
+    # windows (sort + K0 gather + un-sort) measured a wash at human
+    # scale and a big loss at sample scale — the un-sort's 17-operand
+    # lax.sort costs what the skipped gathers save. Inline decode still
+    # applies (records come from the lookup), which is what lets a
+    # compacted CSR drop single-occurrence records entirely.
     key, rpos, diag, ovalid, n_tail_over = expand_occurrences(
         km, lk, dev["occ_oct"],
         cfg.occ_cap, cfg.max_occs_per_hit, stride=cfg.kmer_stride,
         tail_frac=64 if (cfg.occ_aligned and cfg.occ_cap <= 8) else 8,
-        inline_pool=cfg.inline_singles)
+        inline_pool=False)
     R = key.shape[0]
     n = key.shape[1] * key.shape[2]
     # window field must hold every window index (long reads overflow the
