@@ -141,12 +141,14 @@ class SalmonDefaults:
     hash_max_probes: int = 8             # slots probed per query (4-slot
                                          # buckets -> two row gathers)
     hash_load_factor: float = 0.5
-    kmer_stride: int = 4                 # seed-skip between query windows
-                                         # (reference altSkip=3; 4 is
-                                         # gate-neutral — paralog sim
-                                         # rho_all 0.7097 vs 0.7089 at 3
-                                         # — and cuts seed-stage gather
-                                         # issues 25%)
+    kmer_stride: int = 6                 # seed-skip between query windows
+                                         # (reference altSkip=3; the
+                                         # paralog gate is stride-neutral
+                                         # to 8 — DP validation carries
+                                         # ranking — and every skipped
+                                         # window cuts issue-bound seed
+                                         # gathers; 6 keeps >= 4 windows
+                                         # on 50 bp reads)
     # batch-global compacted hit list (mapping.seed_sparse) vs the dense
     # (R,P,C) expansion. Default dense: measured 295k vs 109k frags/s at
     # R=4096 on TPU v5e (the sparse flow's global sorts dominate; it

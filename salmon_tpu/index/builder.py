@@ -330,11 +330,16 @@ def _build_partitioned(records, info, k, first_decoy_index, seq_codes,
                     "%d -> %d records", max_occs_kept, total,
                     int(offsets[-1]))
 
-    from salmon_tpu.index.diskfmt import oct_align_csr
     counts_kept = np.diff(offsets)
-    offsets, (tx, po, fw) = oct_align_csr(
-        offsets, (tx, po, fw), (np.int32(-1), np.int32(0), False))
-    info["occ_oct_aligned"] = True
+    if nu <= TABLE_DIRECT_MAX_KEYS:
+        # oct-align only when a monolithic table exists: the dense
+        # expand is the only consumer of alignment, and table-less
+        # (genome-decoy, --indexShards-only) indexes would pay the pad
+        # plane on disk for nothing
+        from salmon_tpu.index.diskfmt import oct_align_csr
+        offsets, (tx, po, fw) = oct_align_csr(
+            offsets, (tx, po, fw), (np.int32(-1), np.int32(0), False))
+        info["occ_oct_aligned"] = True
 
     if nu <= TABLE_DIRECT_MAX_KEYS:
         table = build_hash_table(
@@ -389,10 +394,16 @@ def save_index(idx: TranscriptomeIndex, out_dir: str) -> None:
     from salmon_tpu.index import diskfmt
     arrays = {
         "lengths": idx.lengths, "complete_lengths": idx.complete_lengths,
-        "occ_txp": idx.occ_txp, "occ_pf": idx.occ_pf,
         "table_rows": (idx.table.rows if idx.table is not None
                        else np.zeros((0, 8), np.int32)),
         "seq_offsets": idx.seq_offsets}
+    if diskfmt.occ48_applicable(idx.occ_txp, idx.occ_pf):
+        occ_mode = "occ48"     # 6 B/record instead of 8
+        arrays["occ48"] = diskfmt.pack_occ48(idx.occ_txp, idx.occ_pf)
+    else:
+        occ_mode = "raw"
+        arrays["occ_txp"] = idx.occ_txp
+        arrays["occ_pf"] = idx.occ_pf
     kz = diskfmt.pack_keys(np.asarray(idx.kmers))
     kmer_mode = kz.pop("mode")
     arrays.update(kz)
@@ -403,9 +414,10 @@ def save_index(idx: TranscriptomeIndex, out_dir: str) -> None:
     off = np.asarray(idx.occ_offsets, np.int64)
     if off.shape[0] > 1:
         prev_end = np.concatenate([[0], off[:-2] + counts[:-1]])
-        arrays["occ_pad8"] = (off[:-1] - prev_end).astype(np.uint8)
-    else:
-        arrays["occ_pad8"] = np.zeros(0, np.uint8)
+        pads = (off[:-1] - prev_end).astype(np.uint8)
+        # unaligned (table-less) CSRs have no pads — skip the plane
+        if pads.any():
+            arrays["occ_pad8"] = pads
     arrays.update(diskfmt.pack_seq2(idx.seq_codes))
     if idx.occ_true_counts is not None:
         # sparse exceptions: keys whose TRUE count differs from stored
@@ -421,6 +433,7 @@ def save_index(idx: TranscriptomeIndex, out_dir: str) -> None:
         "k": idx.k,
         "first_decoy_index": idx.first_decoy_index,
         "kmer_mode": kmer_mode,
+        "occ_mode": occ_mode,
         "has_true_counts": idx.occ_true_counts is not None,
         "table_n_slots": (idx.table.n_slots if idx.table is not None
                           else 0),
@@ -491,8 +504,10 @@ def load_index(index_dir: str) -> TranscriptomeIndex:
         {"occ_cnt8": z("occ_cnt8"),
          "occ_cnt_esc_idx": z("occ_cnt_esc_idx"),
          "occ_cnt_esc_val": z("occ_cnt_esc_val")})
-    pads = np.asarray(z("occ_pad8"), np.int64)
     n = counts.shape[0]
+    pad_path = os.path.join(index_dir, "occ_pad8.npy")
+    pads = (np.asarray(z("occ_pad8"), np.int64)
+            if os.path.exists(pad_path) else np.zeros(n, np.int64))
     cs = np.cumsum(counts + pads)
     occ_offsets = np.empty(n + 1, np.int64)
     occ_offsets[:-1] = cs - counts            # padded starts
@@ -504,12 +519,16 @@ def load_index(index_dir: str) -> TranscriptomeIndex:
     if meta.get("has_true_counts"):
         true_counts = counts.copy()
         true_counts[z("occ_true_esc_idx")] = z("occ_true_esc_val")
+    if meta.get("occ_mode", "raw") == "occ48":
+        occ_txp, occ_pf = diskfmt.unpack_occ48(z("occ48"))
+    else:
+        occ_txp, occ_pf = z("occ_txp"), z("occ_pf")
     return TranscriptomeIndex(
         k=int(meta["k"]), names=names, lengths=z("lengths"),
         complete_lengths=z("complete_lengths"),
         first_decoy_index=int(meta["first_decoy_index"]),
         kmers=kmers, occ_offsets=occ_offsets,
-        occ_txp=z("occ_txp"), occ_pf=z("occ_pf"),
+        occ_txp=occ_txp, occ_pf=occ_pf,
         table=_load_table(index_dir, meta, z("table_rows")),
         seq_codes=seq_codes, seq_offsets=z("seq_offsets"),
         info=meta, occ_true_counts=true_counts, occ_counts=counts)

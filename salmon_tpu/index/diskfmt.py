@@ -219,3 +219,43 @@ def prune_occurrences(occ_offsets, arrays, max_kept: int):
             + np.arange(total, dtype=np.int64)
             - np.repeat(new_off[:-1], kept))
     return new_off, [np.asarray(a)[gidx] for a in arrays], counts
+
+
+# ---------------------------------------------------------------------------
+# 48-bit occurrence packing: (txp, pf) in 6 bytes
+# ---------------------------------------------------------------------------
+
+OCC48_SEP = (1 << 18) - 1     # packed stand-in for separator txp = -1
+
+
+def occ48_applicable(occ_txp, occ_pf) -> bool:
+    """(txp, pf) fit 18 + 30 bits (txp -1 separators use a reserved
+    code). Covers human gencode + decoys (~230k targets, chromosome
+    positions < 2^29)."""
+    tx = np.asarray(occ_txp)
+    pf = np.asarray(occ_pf)
+    if tx.shape[0] == 0:
+        return True
+    return (int(tx.max()) < OCC48_SEP and int(tx.min()) >= -1
+            and int(pf.min()) >= 0 and int(pf.max()) < (1 << 30))
+
+
+def pack_occ48(occ_txp, occ_pf) -> np.ndarray:
+    """(n,) txp i32 + (n,) pf i32 -> (n, 3) u16 (6 B/record)."""
+    tx = np.asarray(occ_txp, np.int64)
+    tx = np.where(tx < 0, OCC48_SEP, tx)
+    pf = np.asarray(occ_pf, np.int64)
+    out = np.empty((tx.shape[0], 3), np.uint16)
+    out[:, 0] = pf & 0xFFFF
+    out[:, 1] = ((pf >> 16) & 0x3FFF) | ((tx & 3) << 14)
+    out[:, 2] = tx >> 2
+    return out
+
+
+def unpack_occ48(packed: np.ndarray):
+    """(n, 3) u16 -> (txp i32, pf i32); separators decode to txp -1."""
+    p = np.asarray(packed, np.uint16).astype(np.int64)
+    pf = (p[:, 0] | ((p[:, 1] & 0x3FFF) << 16)).astype(np.int32)
+    tx = ((p[:, 2] << 2) | (p[:, 1] >> 14)).astype(np.int32)
+    tx = np.where(tx == OCC48_SEP, -1, tx).astype(np.int32)
+    return tx, pf
