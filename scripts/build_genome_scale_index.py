@@ -62,7 +62,13 @@ def main():
     from salmon_tpu.index.builder import build_index, save_index
 
     t0 = time.time()
-    idx = build_index(txome, k=31, decoys_path=decoys)
+    # --maxOccsKept analog: repeat k-mers keep their first N records
+    # (query-identical for occ_cap <= N; true counts stay in the shard
+    # tables for the repetitive filter). Random decoys are nearly all
+    # unique so this matters little HERE; real genomes are ~50% repeats.
+    kept = int(os.environ.get("GENOME_MAX_OCCS", 64))
+    idx = build_index(txome, k=31, decoys_path=decoys,
+                      max_occs_kept=kept)
     build_s = time.time() - t0
     rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     total_gb = int(idx.seq_offsets[-1]) / 1e9
