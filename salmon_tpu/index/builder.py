@@ -108,6 +108,32 @@ class TranscriptomeIndex:
         return self.seq_codes[self.seq_offsets[i]:self.seq_offsets[i + 1]]
 
 
+
+def _pf_chunked(po: np.ndarray, fw: np.ndarray,
+                chunk: int = 1 << 27) -> np.ndarray:
+    """pos << 1 | fwd as int32, computed in bounded chunks (a whole-array
+    int64 intermediate is a ~28 GB transient at genome scale)."""
+    n = po.shape[0]
+    pf = np.empty(n, np.int32)
+    for i in range(0, n, chunk):
+        j = min(i + chunk, n)
+        pf[i:j] = ((po[i:j].astype(np.int64) << 1)
+                   | fw[i:j]).astype(np.int32)
+    return pf
+
+
+def _counts_chunked(offsets: np.ndarray,
+                    chunk: int = 1 << 27) -> np.ndarray:
+    """diff(offsets) as int32 (per-key counts are far below 2^31); a
+    plain np.diff allocates int64 — 26 GB at genome scale."""
+    n = offsets.shape[0] - 1
+    out = np.empty(n, np.int32)
+    for i in range(0, n, chunk):
+        j = min(i + chunk, n)
+        out[i:j] = (offsets[i + 1:j + 1] - offsets[i:j]).astype(np.int32)
+    return out
+
+
 PARTITIONED_BUILD_BASES = 1_500_000_000   # switch to the partitioned build
 TABLE_DIRECT_MAX_KEYS = 800_000_000       # past this, tables are per-shard
 
@@ -228,7 +254,7 @@ def build_index(
     # the dense expand serves every ordinary window from ONE row gather
     # (pads: txp = -1, masked like separator records)
     from salmon_tpu.index.diskfmt import oct_align_csr
-    counts_kept = np.diff(offsets)
+    counts_kept = _counts_chunked(offsets)
     offsets, (tx, po, fw) = oct_align_csr(
         offsets, (tx, po, fw), (np.int32(-1), np.int32(0), False))
     info["occ_oct_aligned"] = True
@@ -259,7 +285,8 @@ def build_index(
         "keep_duplicates": keep_duplicates,
         "max_occs_kept": int(max_occs_kept),
     })
-    pf = ((po.astype(np.int64) << 1) | fw).astype(np.int32)
+    pf = _pf_chunked(po, fw)
+    del po, fw
     return TranscriptomeIndex(
         k=k, names=names, lengths=lengths,
         complete_lengths=complete_lengths,
@@ -330,7 +357,7 @@ def _build_partitioned(records, info, k, first_decoy_index, seq_codes,
                     "%d -> %d records", max_occs_kept, total,
                     int(offsets[-1]))
 
-    counts_kept = np.diff(offsets)
+    counts_kept = _counts_chunked(offsets)
     if nu <= TABLE_DIRECT_MAX_KEYS:
         # oct-align only when a monolithic table exists: the dense
         # expand is the only consumer of alignment, and table-less
@@ -373,7 +400,8 @@ def _build_partitioned(records, info, k, first_decoy_index, seq_codes,
         "keep_duplicates": keep_duplicates,
         "max_occs_kept": int(max_occs_kept),
     })
-    pf = ((po.astype(np.int64) << 1) | fw).astype(np.int32)
+    pf = _pf_chunked(po, fw)
+    del po, fw
     return TranscriptomeIndex(
         k=k, names=names, lengths=lengths,
         complete_lengths=complete_lengths,
@@ -392,41 +420,49 @@ def save_index(idx: TranscriptomeIndex, out_dir: str) -> None:
     single-threaded on the occurrence arrays."""
     os.makedirs(out_dir, exist_ok=True)
     from salmon_tpu.index import diskfmt
-    arrays = {
-        "lengths": idx.lengths, "complete_lengths": idx.complete_lengths,
-        "table_rows": (idx.table.rows if idx.table is not None
-                       else np.zeros((0, 8), np.int32)),
-        "seq_offsets": idx.seq_offsets}
+
+    # write-as-you-pack: each encoded plane is saved and freed before
+    # the next is built, and the multi-GB planes stream through chunked
+    # memmapped writers — genome-scale saves stay within ~10 GB of the
+    # index's own footprint (a collect-then-write dict OOMed at 130 GB)
+    def w(name, arr):
+        np.save(os.path.join(out_dir, f"{name}.npy"), arr)
+
+    w("lengths", idx.lengths)
+    w("complete_lengths", idx.complete_lengths)
+    w("table_rows", (idx.table.rows if idx.table is not None
+                     else np.zeros((0, 8), np.int32)))
+    w("seq_offsets", idx.seq_offsets)
     if diskfmt.occ48_applicable(idx.occ_txp, idx.occ_pf):
         occ_mode = "occ48"     # 6 B/record instead of 8
-        arrays["occ48"] = diskfmt.pack_occ48(idx.occ_txp, idx.occ_pf)
+        diskfmt.write_occ48_npy(out_dir, idx.occ_txp, idx.occ_pf)
     else:
         occ_mode = "raw"
-        arrays["occ_txp"] = idx.occ_txp
-        arrays["occ_pf"] = idx.occ_pf
-    kz = diskfmt.pack_keys(np.asarray(idx.kmers))
-    kmer_mode = kz.pop("mode")
-    arrays.update(kz)
-    counts = np.asarray(idx.occ_counts, np.int64)
-    arrays.update(diskfmt.pack_counts(counts))
+        w("occ_txp", idx.occ_txp)
+        w("occ_pf", idx.occ_pf)
+    kmer_mode = diskfmt.write_keys_npy(out_dir, np.asarray(idx.kmers))
+    counts = np.asarray(idx.occ_counts)
+    for name, arr in diskfmt.pack_counts(counts).items():
+        w(name, arr)
     # alignment pads (0..7) reconstruct the padded starts at load:
-    # pads[i] = start[i] - (start[i-1] + counts[i-1])
+    # pads[i] = start[i] - (start[i-1] + counts[i-1]); table-less CSRs
+    # are never aligned — skip even the transient
     off = np.asarray(idx.occ_offsets, np.int64)
-    if off.shape[0] > 1:
+    if idx.info.get("occ_oct_aligned") and off.shape[0] > 1:
         prev_end = np.concatenate([[0], off[:-2] + counts[:-1]])
         pads = (off[:-1] - prev_end).astype(np.uint8)
         # unaligned (table-less) CSRs have no pads — skip the plane
         if pads.any():
-            arrays["occ_pad8"] = pads
-    arrays.update(diskfmt.pack_seq2(idx.seq_codes))
+            w("occ_pad8", pads)
+        del prev_end, pads
+    for name, arr in diskfmt.pack_seq2(idx.seq_codes).items():
+        w(name, arr)
     if idx.occ_true_counts is not None:
         # sparse exceptions: keys whose TRUE count differs from stored
         exc = np.nonzero(np.asarray(idx.occ_true_counts) != counts)[0]
-        arrays["occ_true_esc_idx"] = exc.astype(np.int64)
-        arrays["occ_true_esc_val"] = np.asarray(
-            idx.occ_true_counts)[exc].astype(np.int64)
-    for name, arr in arrays.items():
-        np.save(os.path.join(out_dir, f"{name}.npy"), arr)
+        w("occ_true_esc_idx", exc.astype(np.int64))
+        w("occ_true_esc_val",
+          np.asarray(idx.occ_true_counts)[exc].astype(np.int64))
     meta = dict(idx.info)
     meta.update({
         "index_format_version": INDEX_FORMAT_VERSION,

@@ -81,7 +81,7 @@ def unpack_keys(z: dict) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def pack_counts(counts: np.ndarray) -> dict:
-    counts = np.asarray(counts, np.int64)
+    counts = np.asarray(counts)          # int32 or int64; no upcast copy
     esc = np.nonzero(counts > 0xFF)[0]
     c8 = np.minimum(counts, 0xFF).astype(np.uint8)
     return {"occ_cnt8": c8, "occ_cnt_esc_idx": esc.astype(np.int64),
@@ -201,10 +201,16 @@ def _oct_align_pads(counts: np.ndarray, cap: int) -> np.ndarray:
 # occurrence pruning (--maxOccsKept)
 # ---------------------------------------------------------------------------
 
-def prune_occurrences(occ_offsets, arrays, max_kept: int):
+def prune_occurrences(occ_offsets, arrays, max_kept: int,
+                      chunk_keys: int = 1 << 26):
     """Keep only each key's first `max_kept` CSR records.
 
-    arrays: sequence of (n_occs,) planes sliced identically.
+    arrays: sequence of (n_occs,) planes sliced identically. Compacts
+    IN PLACE (kept positions are always <= their source positions) in
+    bounded key chunks, so genome-scale pruning needs no full-size
+    gather-index transient; the INPUT arrays are mutated and the
+    returned planes are trimmed views of them.
+
     Returns (new_offsets int64, [pruned arrays], true_counts int64).
     Query-identical for occ_cap <= max_kept (see module docstring).
     """
@@ -214,11 +220,19 @@ def prune_occurrences(occ_offsets, arrays, max_kept: int):
     new_off = np.zeros(off.shape[0], np.int64)
     np.cumsum(kept, out=new_off[1:])
     total = int(new_off[-1])
-    # global indices of kept records: run starts repeated + local offset
-    gidx = (np.repeat(off[:-1], kept)
-            + np.arange(total, dtype=np.int64)
-            - np.repeat(new_off[:-1], kept))
-    return new_off, [np.asarray(a)[gidx] for a in arrays], counts
+    n = counts.shape[0]
+    arrays = [np.asarray(a) for a in arrays]
+    for i in range(0, n, chunk_keys):
+        j = min(i + chunk_keys, n)
+        kc = kept[i:j]
+        tot_c = int(new_off[j] - new_off[i])
+        gsrc = (np.repeat(off[i:j], kc)
+                + np.arange(tot_c, dtype=np.int64)
+                - np.repeat(new_off[i:j], kc))
+        dst = slice(int(new_off[i]), int(new_off[j]))
+        for a in arrays:
+            a[dst] = a[gsrc]             # RHS gathers to a temp first
+    return new_off, [a[:total] for a in arrays], counts
 
 
 # ---------------------------------------------------------------------------
@@ -259,3 +273,67 @@ def unpack_occ48(packed: np.ndarray):
     tx = ((p[:, 2] << 2) | (p[:, 1] >> 14)).astype(np.int32)
     tx = np.where(tx == OCC48_SEP, -1, tx).astype(np.int32)
     return tx, pf
+
+
+# ---------------------------------------------------------------------------
+# memory-bounded writers for genome-scale planes (chunked, memmapped)
+# ---------------------------------------------------------------------------
+
+_CHUNK = 1 << 27            # 128M elements per chunk
+
+
+def write_keys_npy(out_dir: str, kmers: np.ndarray) -> str:
+    """pack_keys equivalent that streams d32 into a memmapped .npy
+    (no full-size u64 delta transient). Returns the kmer mode."""
+    import os
+    n = kmers.shape[0]
+    if n == 0:
+        np.save(os.path.join(out_dir, "kmers.npy"),
+                np.zeros(0, np.uint64))
+        return "raw"
+    # pass 1: escape fraction
+    n_esc = 0
+    for i in range(0, n, _CHUNK):
+        j = min(i + _CHUNK, n)
+        prev = kmers[i - 1] if i else np.uint64(0)
+        d = kmers[i:j] - np.concatenate(
+            [[prev], kmers[i:j - 1]]).astype(np.uint64)
+        n_esc += int((d >> np.uint64(32) != 0).sum())
+    if n_esc > KMER_DELTA_ESCAPE_FRAC * n:
+        np.save(os.path.join(out_dir, "kmers.npy"),
+                np.asarray(kmers, np.uint64))
+        return "raw"
+    from numpy.lib.format import open_memmap
+    d32 = open_memmap(os.path.join(out_dir, "kmer_d32.npy"), mode="w+",
+                      dtype=np.uint32, shape=(n,))
+    esc_idx, esc_val = [], []
+    for i in range(0, n, _CHUNK):
+        j = min(i + _CHUNK, n)
+        prev = kmers[i - 1] if i else np.uint64(0)
+        d = kmers[i:j] - np.concatenate(
+            [[prev], kmers[i:j - 1]]).astype(np.uint64)
+        e = np.nonzero(d >> np.uint64(32))[0]
+        esc_idx.append(e + i)
+        esc_val.append(d[e])
+        d32[i:j] = d.astype(np.uint32)
+    del d32
+    np.save(os.path.join(out_dir, "kmer_esc_idx.npy"),
+            (np.concatenate(esc_idx) if esc_idx
+             else np.zeros(0)).astype(np.int64))
+    np.save(os.path.join(out_dir, "kmer_esc_val.npy"),
+            (np.concatenate(esc_val) if esc_val
+             else np.zeros(0)).astype(np.uint64))
+    return "delta32"
+
+
+def write_occ48_npy(out_dir: str, occ_txp, occ_pf) -> None:
+    """pack_occ48 streamed into a memmapped .npy (chunked)."""
+    import os
+    from numpy.lib.format import open_memmap
+    n = np.asarray(occ_txp).shape[0]
+    out = open_memmap(os.path.join(out_dir, "occ48.npy"), mode="w+",
+                      dtype=np.uint16, shape=(n, 3))
+    for i in range(0, n, _CHUNK):
+        j = min(i + _CHUNK, n)
+        out[i:j] = pack_occ48(occ_txp[i:j], occ_pf[i:j])
+    del out

@@ -132,14 +132,23 @@ def join_pairs(cand_l: dict, cand_r: dict, start_l, start_r,
          fw1.astype(jnp.int32)), dimension=1, num_keys=1, is_stable=False)
     valid_out = t_score[:, :T2] > 0
     has_pair = valid_out.any(axis=1)
+    def fit(a, fill=0):
+        # the joined width is min(2T, T2): at small occ_cap x stride the
+        # candidate width T can drop below T2/2, so pad like orphan_hits
+        # does — merge_paired_with_orphans requires (R, T2) from both
+        if a.shape[1] >= T2:
+            return a[:, :T2]
+        pad = jnp.full((a.shape[0], T2 - a.shape[1]), fill, a.dtype)
+        return jnp.concatenate([a, pad], axis=1)
+
     return {
-        "txp": (t_key[:, :T2] >> jnp.uint32(2)).astype(jnp.int32),
-        "score": t_score[:, :T2],
-        "frag_len": t_flen[:, :T2],
-        "pos": t_pos[:, :T2],
-        "obs_code": t_obs[:, :T2],
-        "fw": t_fw[:, :T2].astype(bool),
-        "valid": valid_out,
+        "txp": fit((t_key >> jnp.uint32(2)).astype(jnp.int32)),
+        "score": fit(t_score),
+        "frag_len": fit(t_flen),
+        "pos": fit(t_pos),
+        "obs_code": fit(t_obs),
+        "fw": fit(t_fw).astype(bool),
+        "valid": fit(valid_out),
         "has_pair": has_pair,
         "has_dovetail_only": has_dovetail_only,
     }

@@ -160,16 +160,26 @@ def expand_occurrences(km: dict, lk, occ_oct,
     packed = ((jnp.where(need, jnp.uint32(0), jnp.uint32(1))
                << jnp.uint32(idx_bits))
               | jnp.arange(F, dtype=jnp.uint32))
-    sel = (jax.lax.sort(packed, dimension=0, is_stable=False)[:K]
-           & jnp.uint32((1 << idx_bits) - 1)).astype(jnp.int32)
+    perm_t = (jax.lax.sort(packed, dimension=0, is_stable=False)
+              & jnp.uint32((1 << idx_bits) - 1)).astype(jnp.int32)
+    sel = perm_t[:K]
     sel_need = jnp.take(need, sel)
     ridx = (jnp.clip(jnp.take(q0, sel), 0, None)[:, None]
             + jnp.arange(1, tail_n + 1, dtype=jnp.int32))
     tail = jnp.take(occ_oct, jnp.clip(ridx, 0, None), axis=0,
                     mode="clip")                          # (K, tail_n, 16)
     tail = jnp.where(sel_need[:, None, None], tail, 0)
-    tail_buf = jnp.zeros((F, tail_n * 16), jnp.int32).at[sel].set(
-        tail.reshape(K, tail_n * 16), mode="drop")
+    # distribute tail rows back to window order by UN-sorting with one
+    # multi-operand lax.sort keyed on the destination permutation —
+    # a (F, 16)-row scatter measured ~10 ms at these shapes while the
+    # sort is ~1 ns/elem (scripts/probe_pool_parts.py)
+    cat = jnp.concatenate(
+        [tail.reshape(K, tail_n * 16),
+         jnp.zeros((F - K, tail_n * 16), jnp.int32)], axis=0)
+    ops = (perm_t,) + tuple(cat[:, i] for i in range(tail_n * 16))
+    tail_buf = jnp.stack(
+        jax.lax.sort(ops, dimension=0, num_keys=1,
+                     is_stable=False)[1:], axis=1)
     # the sort keeps the K smallest-index needy windows, so membership
     # is equivalently the first K needy by flat index — a cumsum beats
     # scattering a flag
