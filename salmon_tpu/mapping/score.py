@@ -169,17 +169,23 @@ def expand_occurrences(km: dict, lk, occ_oct,
     tail = jnp.take(occ_oct, jnp.clip(ridx, 0, None), axis=0,
                     mode="clip")                          # (K, tail_n, 16)
     tail = jnp.where(sel_need[:, None, None], tail, 0)
-    # distribute tail rows back to window order by UN-sorting with one
-    # multi-operand lax.sort keyed on the destination permutation —
-    # a (F, 16)-row scatter measured ~10 ms at these shapes while the
-    # sort is ~1 ns/elem (scripts/probe_pool_parts.py)
-    cat = jnp.concatenate(
-        [tail.reshape(K, tail_n * 16),
-         jnp.zeros((F - K, tail_n * 16), jnp.int32)], axis=0)
-    ops = (perm_t,) + tuple(cat[:, i] for i in range(tail_n * 16))
-    tail_buf = jnp.stack(
-        jax.lax.sort(ops, dimension=0, num_keys=1,
-                     is_stable=False)[1:], axis=1)
+    # distribute tail rows back to window order. Scatter cost on this
+    # backend is ~100 ns per updated ROW (probe_pool_parts.py: 98k
+    # updates -> 10 ms), while an un-sorting multi-operand lax.sort
+    # costs ~1 ns/elem over the FULL F — so small pools (the aligned
+    # default: K = F/64 serves only shadow-merged blocks) scatter, and
+    # large pools (unaligned indexes) un-sort.
+    if K * (tail_n * 16) * 100 <= F * (tail_n * 16 + 1):
+        tail_buf = jnp.zeros((F, tail_n * 16), jnp.int32).at[sel].set(
+            tail.reshape(K, tail_n * 16), mode="drop")
+    else:
+        cat = jnp.concatenate(
+            [tail.reshape(K, tail_n * 16),
+             jnp.zeros((F - K, tail_n * 16), jnp.int32)], axis=0)
+        ops = (perm_t,) + tuple(cat[:, i] for i in range(tail_n * 16))
+        tail_buf = jnp.stack(
+            jax.lax.sort(ops, dimension=0, num_keys=1,
+                         is_stable=False)[1:], axis=1)
     # the sort keeps the K smallest-index needy windows, so membership
     # is equivalently the first K needy by flat index — a cumsum beats
     # scattering a flag
