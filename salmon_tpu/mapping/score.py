@@ -175,7 +175,7 @@ def expand_occurrences(km: dict, lk, occ_oct,
     # costs ~1 ns/elem over the FULL F — so small pools (the aligned
     # default: K = F/64 serves only shadow-merged blocks) scatter, and
     # large pools (unaligned indexes) un-sort.
-    if K * (tail_n * 16) * 100 <= F * (tail_n * 16 + 1):
+    if K * 100 <= F * (tail_n * 16 + 1):
         tail_buf = jnp.zeros((F, tail_n * 16), jnp.int32).at[sel].set(
             tail.reshape(K, tail_n * 16), mode="drop")
     else:
