@@ -181,6 +181,7 @@ def build_index(
         decoy.extend(drecs)
         info["DecoySeqHash"] = dinfo["SeqHash"]
         info["DecoyNameHash"] = dinfo["NameHash"]
+        del drecs
     records = valid + decoy
     first_decoy_index = len(valid)
 
@@ -205,7 +206,14 @@ def build_index(
         partition_bits = 6 if total_bases >= PARTITIONED_BUILD_BASES \
             else 0
     if partition_bits and native_kmers.available():
-        return _build_partitioned(records, info, k, first_decoy_index,
+        complete_lengths_l = [r.complete_length for r in records]
+        # free the per-record sequence copies (~3.5 GB at genome scale)
+        # before the memory-heavy partitioned phase — seq_codes already
+        # holds the concatenation
+        n_names = names
+        del records, valid, decoy
+        return _build_partitioned(n_names, complete_lengths_l, info, k,
+                                  first_decoy_index,
                                   seq_codes, seq_offsets, partition_bits,
                                   keep_duplicates, max_occs_kept)
     native = native_kmers.enumerate_sorted(seq_codes, seq_offsets, k)
@@ -297,7 +305,8 @@ def build_index(
         occ_counts=counts_kept)
 
 
-def _build_partitioned(records, info, k, first_decoy_index, seq_codes,
+def _build_partitioned(names, complete_lengths_l, info, k,
+                       first_decoy_index, seq_codes,
                        seq_offsets, partition_bits,
                        keep_duplicates,
                        max_occs_kept: int = 0) -> TranscriptomeIndex:
@@ -308,10 +317,8 @@ def _build_partitioned(records, info, k, first_decoy_index, seq_codes,
     scratch instead of whole-input buffers)."""
     from salmon_tpu.index import native_kmers
 
-    names = [r.name for r in records]
-    lengths = np.array([r.seq_codes.shape[0] for r in records], np.int32)
-    complete_lengths = np.array([r.complete_length for r in records],
-                                np.int32)
+    lengths = np.diff(seq_offsets).astype(np.int32)
+    complete_lengths = np.array(complete_lengths_l, np.int32)
     total = native_kmers.count_total(seq_codes, seq_offsets, k)
     logger.info("partitioned index build: %d records over %d partitions",
                 total, 1 << partition_bits)
@@ -393,8 +400,8 @@ def _build_partitioned(records, info, k, first_decoy_index, seq_codes,
     info.update({
         "index_format_version": INDEX_FORMAT_VERSION,
         "k": k,
-        "num_targets": len(records),
-        "num_decoys": len(records) - first_decoy_index,
+        "num_targets": len(names),
+        "num_decoys": len(names) - first_decoy_index,
         "num_kmers": int(nu),
         "num_occurrences": int(tx.shape[0]),  # incl. shadow-merge appendix
         "keep_duplicates": keep_duplicates,

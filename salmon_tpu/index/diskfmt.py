@@ -215,12 +215,19 @@ def prune_occurrences(occ_offsets, arrays, max_kept: int,
     Query-identical for occ_cap <= max_kept (see module docstring).
     """
     off = np.asarray(occ_offsets, np.int64)
-    counts = np.diff(off)
-    kept = np.minimum(counts, max_kept)
-    new_off = np.zeros(off.shape[0], np.int64)
+    n = off.shape[0] - 1
+    # per-key counts as int32 (a plain int64 diff is a 28 GB transient
+    # at genome scale — the second OOM)
+    counts = np.empty(n, np.int32)
+    kept = np.empty(n, np.int32)
+    for i in range(0, n, chunk_keys):
+        j = min(i + chunk_keys, n)
+        c = (off[i + 1:j + 1] - off[i:j]).astype(np.int32)
+        counts[i:j] = c
+        kept[i:j] = np.minimum(c, max_kept)
+    new_off = np.zeros(n + 1, np.int64)
     np.cumsum(kept, out=new_off[1:])
     total = int(new_off[-1])
-    n = counts.shape[0]
     arrays = [np.asarray(a) for a in arrays]
     for i in range(0, n, chunk_keys):
         j = min(i + chunk_keys, n)
