@@ -5,12 +5,13 @@ Prints ONE JSON line:
    "vs_baseline": N, "human_frags_per_s": N|null,
    "em_iters_per_s": N, "mapped_fraction": N, ...}
 
-The headline value is DP-validated selective-alignment throughput on the
-bundled sample (15 txps, 50bp pairs) — comparable across rounds. The
-extra keys carry the human-scale numbers (200k-transcript synthetic
-index, 100bp pairs; built once into BENCH_CACHE) and the sort-routed
-VBEM iteration rate at the 250k-txp/~1M-entry metric-of-record fixture
-(reference harness analog: tests/benchmarks/quant_window.py).
+The headline value is DP-validated selective-alignment throughput on
+the HUMAN-SCALE index (200k-transcript synthetic, 100bp pairs; built
+once into BENCH_CACHE) — the realistic chip number (VERDICT r3 #2).
+sample_frags_per_s carries the bundled-sample (15 txps, 50bp) rate for
+cross-round comparability, em_iters_per_s the sort-routed VBEM rate at
+the 250k-txp/~1M-entry metric-of-record fixture (reference harness
+analog: tests/benchmarks/quant_window.py).
 
 vs_baseline divides by an assumed reference-salmon throughput of 5e5
 fragments/s on a 32-core CPU node (the reference publishes no absolute
@@ -272,12 +273,19 @@ def main():
         except Exception as e:
             _log(f"# EM bench failed: {e}")
 
+    # headline = the REALISTIC number: human-scale (200k-txp) mapping
+    # throughput (VERDICT r3 next #2 — the toy 15-transcript sample
+    # rate stays as sample_frags_per_s). Falls back to the sample rate
+    # when the human cache is unavailable (BENCH_FAST / first run).
+    headline = human_fps if human_fps else frags_per_s
     print(json.dumps({
-        "metric": "reads/s/chip",
-        "value": round(frags_per_s, 1),
+        "metric": ("reads/s/chip (human-scale)" if human_fps
+                   else "reads/s/chip (sample)"),
+        "value": round(headline, 1),
         "unit": "fragments/s",
-        "vs_baseline": round(frags_per_s / BASELINE_FRAGS_PER_S, 3),
+        "vs_baseline": round(headline / BASELINE_FRAGS_PER_S, 3),
         "mapped_fraction": round(mapped_frac, 4),
+        "sample_frags_per_s": round(frags_per_s, 1),
         "human_frags_per_s": (round(human_fps, 1)
                               if human_fps else None),
         "em_iters_per_s": round(em_ips, 1) if em_ips else None,
