@@ -293,11 +293,11 @@ def _dense_candidates(km, lk, dev, cfg: MapperConfig):
         cfg.occ_cap, cfg.max_occs_per_hit, stride=cfg.kmer_stride,
         tail_frac=64 if (cfg.occ_aligned and cfg.occ_cap <= 8) else 8,
         inline_pool=False)
-    R = key.shape[0]
-    n = key.shape[1] * key.shape[2]
+    # expand emits (R, N = P*C) directly — (R, P, C) minor-dim-8
+    # tensors pay a 16x lane-padding tax under the default TPU tiling
+    n_windows = lk[0].shape[1]
     # window field must hold every window index (long reads overflow the
     # 8-bit default: P windows -> ceil(log2(P)) bits)
-    n_windows = key.shape[1]
     window_bits = max(8, int(np.ceil(np.log2(max(n_windows, 2)))))
     # key2 = diag_bucket << window_bits | window must fit 32 bits:
     # diagonals (~transcript length) up to 2^(32-window_bits+5) - pad
@@ -307,7 +307,7 @@ def _dense_candidates(km, lk, dev, cfg: MapperConfig):
             f"> 12, which would overflow the diagonal-bucket sort key; "
             f"raise kmer_stride or reduce max_read_len")
     cand = score_candidates(
-        key.reshape(R, n), rpos.reshape(R, n), diag.reshape(R, n),
+        key, rpos, diag,
         cfg.max_cands, stride=cfg.kmer_stride, window_bits=window_bits,
         diag_bucket_bits=diag_bucket_bits_for(cfg.max_tpos, window_bits))
     # tail-budget saturation counter (see expand_occurrences docstring);

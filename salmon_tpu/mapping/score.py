@@ -103,7 +103,7 @@ def expand_occurrences(km: dict, lk, occ_oct,
     counted in n_tail_over.
 
     Returns (key, rpos, diag, valid, n_tail_over); the first four are
-    (R, P, C):
+    (R, N = P*C) — lane n = window (n // C), record (n % C):
       key  = txp*2 + orient (uint32; orient=1 read maps forward),
       rpos = read window position (in bases),
       diag = tpos - rpos (fw) or tpos + rpos (rc) — strand-specific
@@ -113,6 +113,7 @@ def expand_occurrences(km: dict, lk, occ_oct,
     R, P = start.shape
     C = occ_cap
     F = R * P
+    N = P * C
     usable = found & km["valid"] & (count <= max_occs_per_hit)
 
     q0 = (start >> 3).reshape(F)
@@ -214,35 +215,48 @@ def expand_occurrences(km: dict, lk, occ_oct,
                  & got_row0[:, None])
                 | got_tail[:, None] | inl_f[:, None])
     ovalid = (use_f[:, None] & (c_idx[None, :] < cnt_c[:, None])
-              & lane_src).reshape(R, P, C)
+              & lane_src).reshape(R, N)
 
-    txp = txp_f.reshape(R, P, C)
-    tpos = (pf_f >> 1).reshape(R, P, C)
-    tfwd = (pf_f & 1).astype(bool).reshape(R, P, C)
+    # everything below runs on (R, N = P*C) 2-D tensors — a minor
+    # dimension of 8 gets lane-padded 16x by the default TPU tiling,
+    # which made the epilogue cost ~3 ms/end at human shapes
+    txp = txp_f.reshape(R, N)
+    tpos = (pf_f >> 1).reshape(R, N)
+    tfwd = (pf_f & 1).astype(bool).reshape(R, N)
 
     # shadow-merged blocks: separator records (txp = -1) open a
     # sub-segment tagged with its key's fingerprint30; rows past a
-    # separator count only for the matching query (hashtable docstring)
+    # separator count only for the matching query (hashtable
+    # docstring). Window boundaries every C lanes reset the carry.
     is_sep = txp == jnp.int32(-1)
+    lane0 = jnp.broadcast_to(
+        (jnp.arange(N, dtype=jnp.int32) % C == 0)[None, :], (R, N))
 
     def _combine(a, b):
         fa, va = a
         fb, vb = b
         return fa | fb, jnp.where(fb, vb, va)
 
+    # carried = (last reset lane was a separator?, its tpos) — resets
+    # at window starts clear `seen` because lane0 forces fb=True with
+    # vb = (False-sep marker, 0)
     seen, carried = jax.lax.associative_scan(
-        _combine, (is_sep, tpos), axis=2)
+        _combine,
+        (is_sep | lane0,
+         jnp.where(is_sep, tpos + 1, 0)),   # +1: 0 = "window start"
+        axis=1)
     qfp30 = fingerprint30(km["hi"], km["lo"]).astype(jnp.int32)
-    seg_ok = ~seen | (carried == qfp30[:, :, None])
+    qfp30_l = jnp.repeat(qfp30.reshape(R, P), C, axis=1)
+    seg_ok = (carried == 0) | (carried == qfp30_l + 1)
     ovalid = ovalid & ~is_sep & seg_ok
 
-    orient_fw = km["is_fw"][:, :, None] == tfwd
+    orient_fw = jnp.repeat(km["is_fw"].reshape(R, P), C, axis=1) == tfwd
     key = (txp.astype(jnp.uint32) << jnp.uint32(1)) | \
         orient_fw.astype(jnp.uint32)
     key = jnp.where(ovalid, key, INVALID_KEY)
     rpos = jnp.broadcast_to(
-        (jnp.arange(P, dtype=jnp.int32) * stride)[None, :, None],
-        (R, P, C))
+        jnp.repeat(jnp.arange(P, dtype=jnp.int32) * stride, C)[None, :],
+        (R, N))
     diag = jnp.where(orient_fw, tpos - rpos, tpos + rpos)
     n_tail_over = jnp.maximum(
         jnp.sum(need.astype(jnp.int32)) - jnp.int32(K), 0) + n_pool_over

@@ -135,7 +135,8 @@ def main():
     log(f"inline75 compacted row fetch (sort+take+scatter): {ti:6.2f} ms")
 
 
-if __name__ == "__main__" and not os.environ.get("PROBE_MASK0"):
+if __name__ == "__main__" and not (os.environ.get("PROBE_MASK0")
+                                   or os.environ.get("PROBE_CUMUL")):
     main()
 
 
@@ -169,4 +170,110 @@ def probe_mask0():
 
 if os.environ.get("PROBE_MASK0"):
     probe_mask0()
+    sys.exit(0)
+
+
+def probe_cumulative():
+    """Stepwise cumulative expand build-up at hs shapes: find the
+    non-gather fat (expand measures ~9 ms vs ~4.5 ms of row0 gather at
+    stride 6)."""
+    import jax
+    import jax.numpy as jnp
+    from salmon_tpu.mapping.lookup import fingerprint30
+    from salmon_tpu.mapping.score import (INVALID_KEY, expand_occurrences,
+                                          segment_carry_first)
+
+    rng = np.random.default_rng(0)
+    R, P, C = 16384, 12, 8
+    F = R * P
+    n_oct = 350_000_000 // 8
+    occ = jnp.asarray(rng.integers(0, 2**31, (n_oct, 16),
+                                   dtype=np.int64).astype(np.int32))
+    start = jnp.asarray((rng.integers(0, n_oct - 2, (R, P),
+                                      dtype=np.int64) * 8)
+                        .astype(np.int32))
+    count = jnp.asarray(np.minimum(
+        1 + rng.geometric(0.6, (R, P)), 20).astype(np.int32))
+    found = jnp.asarray(rng.random((R, P)) < 0.95)
+    inl = jnp.asarray(rng.random((R, P)) < 0.75)
+    itxp = jnp.asarray(rng.integers(0, 200000, (R, P),
+                                    dtype=np.int64).astype(np.int32))
+    ipf = jnp.asarray(rng.integers(0, 1 << 20, (R, P),
+                                   dtype=np.int64).astype(np.int32))
+    km = {
+        "hi": jnp.asarray(rng.integers(0, 2**32, (R, P), dtype=np.int64)
+                          .astype(np.uint32)),
+        "lo": jnp.asarray(rng.integers(0, 2**32, (R, P), dtype=np.int64)
+                          .astype(np.uint32)),
+        "valid": jnp.asarray(np.ones((R, P), bool)),
+        "is_fw": jnp.asarray(rng.random((R, P)) < 0.5),
+    }
+    lk = (start, count, found, inl, itxp, ipf)
+
+    @jax.jit
+    def v_full(km, lk, occ):
+        return expand_occurrences(km, lk, occ, C, 1000, stride=6,
+                                  tail_frac=64)
+
+    @jax.jit
+    def v_row0_realign(km, lk, occ):
+        start, count, found, inl, itxp, ipf = lk
+        q0 = (start >> 3).reshape(F)
+        off = (start.reshape(F) & 7).astype(jnp.int32)
+        cnt_c = jnp.minimum(count.reshape(F), C)
+        row0 = jnp.take(occ, jnp.clip(q0, 0, None), axis=0, mode="clip")
+        row0 = jnp.concatenate(
+            [row0, jnp.zeros((F, 16), jnp.int32)], axis=1)
+        txp_all = row0[:, 0::2]
+        pf_all = row0[:, 1::2]
+        txp_f = txp_all[:, 0:C]
+        pf_f = pf_all[:, 0:C]
+        for o in range(1, 8):
+            m = (off == o)[:, None]
+            txp_f = jnp.where(m, txp_all[:, o:o + C], txp_f)
+            pf_f = jnp.where(m, pf_all[:, o:o + C], pf_f)
+        c_idx = jnp.arange(C, dtype=jnp.int32)
+        ovalid = (found.reshape(F)[:, None]
+                  & (c_idx[None, :] < cnt_c[:, None]))
+        return txp_f, pf_f, ovalid
+
+    @jax.jit
+    def v_plus_outputs(km, lk, occ):
+        txp_f, pf_f, ovalid = v_row0_realign.__wrapped__(km, lk, occ)
+        R_, P_ = km["hi"].shape
+        txp = txp_f.reshape(R_, P_, C)
+        tpos = (pf_f >> 1).reshape(R_, P_, C)
+        tfwd = (pf_f & 1).astype(bool).reshape(R_, P_, C)
+        is_sep = txp == jnp.int32(-1)
+
+        def _comb(a, b):
+            fa, va = a
+            fb, vb = b
+            return fa | fb, jnp.where(fb, vb, va)
+
+        seen, carried = jax.lax.associative_scan(
+            _comb, (is_sep, tpos), axis=2)
+        qfp30 = fingerprint30(km["hi"], km["lo"]).astype(jnp.int32)
+        seg_ok = ~seen | (carried == qfp30[:, :, None])
+        ovalid3 = ovalid.reshape(R_, P_, C) & ~is_sep & seg_ok
+        orient_fw = km["is_fw"][:, :, None] == tfwd
+        key = (txp.astype(jnp.uint32) << jnp.uint32(1)) | \
+            orient_fw.astype(jnp.uint32)
+        key = jnp.where(ovalid3, key, INVALID_KEY)
+        rpos = jnp.broadcast_to(
+            (jnp.arange(P_, dtype=jnp.int32) * 6)[None, :, None],
+            (R_, P_, C))
+        diag = jnp.where(orient_fw, tpos - rpos, tpos + rpos)
+        return key, rpos, diag, ovalid3
+
+    t_ra = bench_amp(v_row0_realign, (km, lk, occ))
+    t_out = bench_amp(v_plus_outputs, (km, lk, occ))
+    t_full = bench_amp(v_full, (km, lk, occ))
+    log(f"row0+realign          : {t_ra:6.2f} ms")
+    log(f"+sep-scan+outputs     : {t_out:6.2f} ms")
+    log(f"full expand (w/ tail) : {t_full:6.2f} ms")
+
+
+if os.environ.get("PROBE_CUMUL"):
+    probe_cumulative()
     sys.exit(0)

@@ -103,13 +103,10 @@ def main():
     @jax.jit
     def s_score(exp):
         key, rpos, diag, ovalid = exp[:4]
-        Rr = key.shape[0]
-        n = key.shape[1] * key.shape[2]
-        n_windows = key.shape[1]
+        n_windows = key.shape[1] // cfg.occ_cap
         window_bits = max(8, int(np.ceil(np.log2(max(n_windows, 2)))))
         return score_candidates(
-            key.reshape(Rr, n), rpos.reshape(Rr, n),
-            diag.reshape(Rr, n), cfg.max_cands, stride=cfg.kmer_stride,
+            key, rpos, diag, cfg.max_cands, stride=cfg.kmer_stride,
             window_bits=window_bits,
             diag_bucket_bits=pl.diag_bucket_bits_for(cfg.max_tpos,
                                                      window_bits))

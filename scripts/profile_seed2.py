@@ -138,8 +138,8 @@ def main():
                 cfg.max_occs_per_hit, stride=stride,
                 inline_pool=cfg.inline_singles)[:4]
             Rr = key.shape[0]
-            n = key.shape[1] * key.shape[2]
-            nw = key.shape[1]
+            n = key.shape[1]
+            nw = key.shape[1] // C
             wb = max(8, int(np.ceil(np.log2(max(nw, 2)))))
             return score_candidates(
                 key.reshape(Rr, n), rpos.reshape(Rr, n),
