@@ -172,6 +172,19 @@ void kmer_enumerate_part(const uint8_t* seq, const int64_t* offsets,
 // Unpack sorted payload words into (txp, pos, fwd) columns in one
 // parallel pass (numpy's u64 shift+cast chain costs several seconds at
 // hundreds of millions of occurrences).
+// decode straight to the packed pf = pos << 1 | fwd plane (the payload
+// low word IS pf) — skips the separate pos/fwd planes and the later
+// packing transient at genome scale
+void kmer_decode_payload_pf(const uint64_t* payload, int64_t n,
+                            int32_t* txp, int32_t* pf) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    const uint64_t p = payload[i];
+    txp[i] = (int32_t)(p >> 32);
+    pf[i] = (int32_t)(p & 0xFFFFFFFFu);
+  }
+}
+
 void kmer_decode_payload(const uint64_t* payload, int64_t n,
                          int32_t* txp, int32_t* pos, uint8_t* fwd) {
 #pragma omp parallel for schedule(static)

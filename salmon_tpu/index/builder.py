@@ -323,8 +323,9 @@ def _build_partitioned(names, complete_lengths_l, info, k,
     logger.info("partitioned index build: %d records over %d partitions",
                 total, 1 << partition_bits)
     tx = np.empty(total, np.int32)
-    po = np.empty(total, np.int32)
-    fw = np.empty(total, bool)
+    # the native decode emits the packed pf = pos << 1 | fwd plane
+    # directly (no separate pos/fwd planes — genome-scale memory)
+    pf = np.empty(total, np.int32)
     # unique-key buffers at the record-count upper bound (~6% slack at
     # transcriptome scale); trimmed by view at the end
     uniq_buf = np.empty(total, np.uint64)
@@ -336,13 +337,12 @@ def _build_partitioned(names, complete_lengths_l, info, k,
         if out is None:
             raise RuntimeError("native library required for the "
                                "partitioned build")
-        kmp, txp_, pop_, fwp_ = out
+        kmp, txp_, pfp_ = out
         n = kmp.shape[0]
         if not n:
             continue
         tx[base:base + n] = txp_
-        po[base:base + n] = pop_
-        fw[base:base + n] = fwp_
+        pf[base:base + n] = pfp_
         up, sp = np.unique(kmp, return_index=True)
         m = up.shape[0]
         uniq_buf[nu:nu + m] = up
@@ -356,8 +356,8 @@ def _build_partitioned(names, complete_lengths_l, info, k,
     true_counts = None
     if max_occs_kept:
         from salmon_tpu.index.diskfmt import prune_occurrences
-        offsets, (tx, po, fw), tc = prune_occurrences(
-            offsets, (tx, po, fw), max_occs_kept)
+        offsets, (tx, pf), tc = prune_occurrences(
+            offsets, (tx, pf), max_occs_kept)
         if int(tc.max(initial=0)) > max_occs_kept:
             true_counts = tc
         logger.info("pruned occurrence CSR to <= %d records/key: "
@@ -371,25 +371,23 @@ def _build_partitioned(names, complete_lengths_l, info, k,
         # (genome-decoy, --indexShards-only) indexes would pay the pad
         # plane on disk for nothing
         from salmon_tpu.index.diskfmt import oct_align_csr
-        offsets, (tx, po, fw) = oct_align_csr(
-            offsets, (tx, po, fw), (np.int32(-1), np.int32(0), False))
+        offsets, (tx, pf) = oct_align_csr(
+            offsets, (tx, pf), (np.int32(-1), np.int32(0)))
         info["occ_oct_aligned"] = True
 
     if nu <= TABLE_DIRECT_MAX_KEYS:
         table = build_hash_table(
             uniq, occ_offsets=offsets, counts=counts_kept,
             filter_counts=true_counts,
-            inline_records=(tx, ((po.astype(np.int64) << 1) | fw)
-                            .astype(np.int32)))
+            inline_records=(tx, pf))
         info["table_inline_singles"] = True
         if table.n_shadowed:
             from salmon_tpu.index.hashtable import appendix_plan
             is_sep, gi, sep_fp = appendix_plan(table)
             tx = np.concatenate([tx, np.where(is_sep, -1, tx[gi])
                                  .astype(np.int32)])
-            po = np.concatenate([po, np.where(is_sep, sep_fp, po[gi])
-                                 .astype(np.int32)])
-            fw = np.concatenate([fw, np.where(is_sep, False, fw[gi])])
+            pf = np.concatenate([pf, np.where(is_sep, sep_fp << 1,
+                                              pf[gi]).astype(np.int32)])
     else:
         table = None
         info["requires_shards"] = True
@@ -407,8 +405,6 @@ def _build_partitioned(names, complete_lengths_l, info, k,
         "keep_duplicates": keep_duplicates,
         "max_occs_kept": int(max_occs_kept),
     })
-    pf = _pf_chunked(po, fw)
-    del po, fw
     return TranscriptomeIndex(
         k=k, names=names, lengths=lengths,
         complete_lengths=complete_lengths,

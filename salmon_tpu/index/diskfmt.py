@@ -225,21 +225,31 @@ def prune_occurrences(occ_offsets, arrays, max_kept: int,
         c = (off[i + 1:j + 1] - off[i:j]).astype(np.int32)
         counts[i:j] = c
         kept[i:j] = np.minimum(c, max_kept)
-    new_off = np.zeros(n + 1, np.int64)
-    np.cumsum(kept, out=new_off[1:])
-    total = int(new_off[-1])
+    # the OFFSETS array is also rewritten in place (holding old + new
+    # int64 offset arrays side by side was the third genome-scale OOM):
+    # each chunk moves its records using the OLD offsets, then
+    # overwrites that slice with the new cumulative starts — writes
+    # stay strictly behind reads because kept <= counts
     arrays = [np.asarray(a) for a in arrays]
+    new_base = 0
     for i in range(0, n, chunk_keys):
         j = min(i + chunk_keys, n)
         kc = kept[i:j]
-        tot_c = int(new_off[j] - new_off[i])
+        new_off_c = np.empty(j - i + 1, np.int64)
+        new_off_c[0] = new_base
+        np.cumsum(kc, out=new_off_c[1:])
+        new_off_c[1:] += new_base
+        tot_c = int(new_off_c[-1] - new_base)
         gsrc = (np.repeat(off[i:j], kc)
                 + np.arange(tot_c, dtype=np.int64)
-                - np.repeat(new_off[i:j], kc))
-        dst = slice(int(new_off[i]), int(new_off[j]))
+                - np.repeat(new_off_c[:-1], kc))
+        dst = slice(new_base, int(new_off_c[-1]))
         for a in arrays:
             a[dst] = a[gsrc]             # RHS gathers to a temp first
-    return new_off, [a[:total] for a in arrays], counts
+        off[i:j] = new_off_c[:-1]
+        new_base = int(new_off_c[-1])
+    off[n] = new_base
+    return off, [a[:new_base] for a in arrays], counts
 
 
 # ---------------------------------------------------------------------------

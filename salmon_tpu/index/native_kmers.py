@@ -55,6 +55,9 @@ def _native_lib():
                                             ctypes.c_int32, i64p, u64p,
                                             u64p, ctypes.c_int32,
                                             ctypes.c_uint64]
+        lib.kmer_decode_payload_pf.restype = None
+        lib.kmer_decode_payload_pf.argtypes = [u64p, ctypes.c_int64,
+                                               i32p, i32p]
         lib.oct_align_pads.restype = None
         lib.oct_align_pads.argtypes = [i64p, ctypes.c_int64,
                                        ctypes.c_int64, i64p]
@@ -150,11 +153,10 @@ def enumerate_sorted_partitioned(seq_codes: np.ndarray,
             lib.radix_sort_u64(keys, payload, total, low_bits, tk, tp)
             del tk, tp
         tx = np.empty(total, np.int32)
-        po = np.empty(total, np.int32)
-        fw8 = np.empty(total, np.uint8)
+        pf = np.empty(total, np.int32)
         if total:
-            lib.kmer_decode_payload(payload, total, tx, po, fw8)
-        yield keys, tx, po, fw8.view(bool)
+            lib.kmer_decode_payload_pf(payload, total, tx, pf)
+        yield keys, tx, pf
 
 
 def oct_align_pads_native(counts: np.ndarray, cap: int,
