@@ -283,10 +283,15 @@ class DeviceAlignmentErrorModel:
         n = sel.size
         rl_all = b.read_len[sel].astype(np.int32)
         rl_max = min(int(rl_all.max()) if n else 1, self.read_len_cap)
-        # grow-only grid width, padded to 32 (avoids jit churn)
-        self._rl_grid = max(self._rl_grid, -(-rl_max // 32) * 32)
+        # grow-only grid width, padded to 64 (avoids jit churn)
+        self._rl_grid = max(self._rl_grid, -(-rl_max // 64) * 64)
         RL = self._rl_grid
-        npad = max(4096, 1 << int(np.ceil(np.log2(max(n, 1)))))
+        # power-of-FOUR row buckets: every distinct shape costs an XLA
+        # compile (~1.7 s each on the axon backend — 19 compiles once
+        # dominated the whole alignment-mode bench run)
+        npad = 4096
+        while npad < n:
+            npad <<= 2
 
         ops = np.zeros((npad, MAXOPS), np.int32)
         oplens = np.zeros((npad, MAXOPS), np.int32)

@@ -264,6 +264,57 @@ def _posterior_sample_bam(args, opts, out_dir, counts, eff, name_to_id,
 
 
 def quantify_alignments(args, opts, cmd_args) -> int:
+    """Alignment-based quantification driver (reference
+    salmonAlignmentQuantify, SalmonQuantifyAlignments.cpp:1524).
+
+    The jax work in this mode (error-model CIGAR expansion + transition
+    counting, EM) is KB-to-MB-scale per batch — on the axon TPU backend
+    the per-shape compiles (~1.7 s each) and the ~26 ms dispatch floor
+    dominate end to end (measured 25-41k frags/s on TPU vs 137k on the
+    in-process CPU backend at 800k fragments). The whole mode therefore
+    defaults to the CPU backend inside a TPU process; set
+    SALMON_TPU_ALIGN_DEVICE=tpu to keep it on the accelerator (e.g. for
+    very large BAM batches where the tensor work amortizes).
+
+    Note for library callers: when jax has not been initialized yet,
+    this claims the CPU platform for the WHOLE process (jax backends
+    initialize once) — run mapping-mode quantification first, or in a
+    separate process, if you need the TPU afterwards. The CLI runs one
+    mode per process, so this only affects embedders."""
+    if os.environ.get("SALMON_TPU_ALIGN_DEVICE", "cpu") == "cpu":
+        try:
+            from jax._src import xla_bridge as _xb
+            initialized = _xb.backends_are_initialized()
+        except Exception:
+            initialized = True
+        if not initialized:
+            # jax not yet started in this process (the CLI -a path):
+            # claim the CPU platform before first use (the axon plugin
+            # overrides the env var, so set the config knob too)
+            os.environ.setdefault("JAX_PLATFORMS", "cpu")
+            import jax as _jax
+            try:
+                _jax.config.update("jax_platforms", "cpu")
+            except Exception:
+                pass
+        else:
+            import jax as _jax
+            if _jax.default_backend() != "cpu":
+                try:
+                    cpu = _jax.devices("cpu")[0]
+                except RuntimeError:
+                    cpu = None      # plugin registered no CPU backend
+                if cpu is not None:
+                    with _jax.default_device(cpu):
+                        return _quantify_alignments_impl(args, opts,
+                                                         cmd_args)
+                logger.info(
+                    "alignment mode: no CPU backend in this process; "
+                    "staying on %s", _jax.default_backend())
+    return _quantify_alignments_impl(args, opts, cmd_args)
+
+
+def _quantify_alignments_impl(args, opts, cmd_args) -> int:
     from salmon_tpu.inference import em as em_mod
     from salmon_tpu.io import writers
     from salmon_tpu.models.efflen import effective_lengths
