@@ -447,14 +447,22 @@ def _dp_scores(joined: dict, batch: dict, dev: dict, cfg: MapperConfig,
     rows_f = flat(rows)
     sel_read = jnp.take(rows_f, sel)
 
-    def run(params):
+    def run(params, params2=None):
+        # both mates ride ONE kernel call (concatenated problems): the
+        # fixed costs — window fetch chain, i8 transposes, skew build,
+        # dispatch — amortize across 2K problems instead of paying twice
         pr = jnp.take(params, sel, axis=0)      # (K, 5) row gather
+        reps = 1
+        if params2 is not None:
+            pr = jnp.concatenate(
+                [pr, jnp.take(params2, sel, axis=0)], axis=0)
+            reps = 2
         var, p, ln, lo, t_sel = (pr[:, 0], pr[:, 1], pr[:, 2],
                                  pr[:, 3], pr[:, 4])
         toff = jnp.take(dev["seq_off"], jnp.clip(t_sel, 0, None),
                         mode="clip")
         tlen = jnp.take(dev["txp_lens"], t_sel, mode="clip")
-        ids = sel_read + var * R
+        ids = jnp.tile(sel_read, reps) + var * R
         scores = banded_scores_indexed(
             reads_all, ids, ln, p, tlen, dev["seq_codes"], toff,
             cfg.dp_bandwidth, float(cfg.match_score),
@@ -464,7 +472,8 @@ def _dp_scores(joined: dict, batch: dict, dev: dict, cfg: MapperConfig,
             softclip=cfg.softclip,
             softclip_overhangs=cfg.softclip_overhangs,
             read_starts=lo)
-        return jnp.where(sel_valid, scores, jnp.float32(-1e9))
+        return jnp.where(jnp.tile(sel_valid, reps), scores,
+                         jnp.float32(-1e9))
 
     if single_end:
         perfect = (cfg.match_score * m1_len).astype(jnp.float32)
@@ -477,13 +486,16 @@ def _dp_scores(joined: dict, batch: dict, dev: dict, cfg: MapperConfig,
     # DP'd slots get their computed scores scattered in; full-coverage
     # slots are overridden with the perfect score at the end
     NEGS = jnp.full(R * T2, -1e9, jnp.float32)
-    s1 = NEGS.at[sel].set(
-        run(mate_rows(m1_var, m1_pos, m1_len))).reshape(R, T2)
     if single_end:
+        s1 = NEGS.at[sel].set(
+            run(mate_rows(m1_var, m1_pos, m1_len))).reshape(R, T2)
         score = jnp.where(full_cov, perfect, s1)
         return score, perfect
-    s2 = NEGS.at[sel].set(
-        run(mate_rows(m2_var, m2_pos, m2_len))).reshape(R, T2)
+    K_sel = sel.shape[0]
+    both = run(mate_rows(m1_var, m1_pos, m1_len),
+               mate_rows(m2_var, m2_pos, m2_len))
+    s1 = NEGS.at[sel].set(both[:K_sel]).reshape(R, T2)
+    s2 = NEGS.at[sel].set(both[K_sel:]).reshape(R, T2)
     score = jnp.where(is_paired, s1 + s2, s1)
     score = jnp.where(full_cov, perfect, score)
     return score, perfect
