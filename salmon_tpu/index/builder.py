@@ -438,6 +438,7 @@ def save_index(idx: TranscriptomeIndex, out_dir: str) -> None:
     w("seq_offsets", idx.seq_offsets)
     if diskfmt.occ48_applicable(idx.occ_txp, idx.occ_pf):
         occ_mode = "occ48"     # 6 B/record instead of 8
+        idx.info["occ48_sep_halved"] = True   # r5 separator encoding
         diskfmt.write_occ48_npy(out_dir, idx.occ_txp, idx.occ_pf)
     else:
         occ_mode = "raw"
@@ -559,7 +560,8 @@ def load_index(index_dir: str) -> TranscriptomeIndex:
         true_counts = counts.copy()
         true_counts[z("occ_true_esc_idx")] = z("occ_true_esc_val")
     if meta.get("occ_mode", "raw") == "occ48":
-        occ_txp, occ_pf = diskfmt.unpack_occ48(z("occ48"))
+        occ_txp, occ_pf = diskfmt.unpack_occ48(
+            z("occ48"), sep_halved=meta.get("occ48_sep_halved", False))
     else:
         occ_txp, occ_pf = z("occ_txp"), z("occ_pf")
     return TranscriptomeIndex(

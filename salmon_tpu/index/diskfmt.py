@@ -240,9 +240,11 @@ def prune_occurrences(occ_offsets, arrays, max_kept: int,
         np.cumsum(kc, out=new_off_c[1:])
         new_off_c[1:] += new_base
         tot_c = int(new_off_c[-1] - new_base)
+        # within-key position = arange - (this key's CHUNK-LOCAL start):
+        # new_off_c is absolute (includes new_base), the arange is not
         gsrc = (np.repeat(off[i:j], kc)
                 + np.arange(tot_c, dtype=np.int64)
-                - np.repeat(new_off_c[:-1], kc))
+                - np.repeat(new_off_c[:-1] - new_base, kc))
         dst = slice(new_base, int(new_off_c[-1]))
         for a in arrays:
             a[dst] = a[gsrc]             # RHS gathers to a temp first
@@ -260,22 +262,31 @@ OCC48_SEP = (1 << 18) - 1     # packed stand-in for separator txp = -1
 
 
 def occ48_applicable(occ_txp, occ_pf) -> bool:
-    """(txp, pf) fit 18 + 30 bits (txp -1 separators use a reserved
-    code). Covers human gencode + decoys (~230k targets, chromosome
-    positions < 2^29)."""
+    """(txp, pf) fit 18 + 30 bits. txp -1 rows (oct-align pads and
+    shadow-merge separators) use a reserved txp code and store
+    pf >> 1 — separator pf is sep_fp30 << 1 (builder.py:389), always
+    even, so the halved value fits the 30-bit field and the plane's
+    separators never force raw mode (r4 advisor). Covers human
+    gencode + decoys (~230k targets, chromosome positions < 2^29)."""
     tx = np.asarray(occ_txp)
     pf = np.asarray(occ_pf)
     if tx.shape[0] == 0:
         return True
-    return (int(tx.max()) < OCC48_SEP and int(tx.min()) >= -1
-            and int(pf.min()) >= 0 and int(pf.max()) < (1 << 30))
+    if not (int(tx.max()) < OCC48_SEP and int(tx.min()) >= -1
+            and int(pf.min()) >= 0):
+        return False
+    ord_pf = pf[tx >= 0]
+    return (ord_pf.shape[0] == 0
+            or int(ord_pf.max()) < (1 << 30))
 
 
 def pack_occ48(occ_txp, occ_pf) -> np.ndarray:
-    """(n,) txp i32 + (n,) pf i32 -> (n, 3) u16 (6 B/record)."""
+    """(n,) txp i32 + (n,) pf i32 -> (n, 3) u16 (6 B/record).
+    txp -1 rows store pf >> 1 (see occ48_applicable)."""
     tx = np.asarray(occ_txp, np.int64)
-    tx = np.where(tx < 0, OCC48_SEP, tx)
     pf = np.asarray(occ_pf, np.int64)
+    pf = np.where(tx < 0, pf >> 1, pf)
+    tx = np.where(tx < 0, OCC48_SEP, tx)
     out = np.empty((tx.shape[0], 3), np.uint16)
     out[:, 0] = pf & 0xFFFF
     out[:, 1] = ((pf >> 16) & 0x3FFF) | ((tx & 3) << 14)
@@ -283,12 +294,19 @@ def pack_occ48(occ_txp, occ_pf) -> np.ndarray:
     return out
 
 
-def unpack_occ48(packed: np.ndarray):
-    """(n, 3) u16 -> (txp i32, pf i32); separators decode to txp -1."""
+def unpack_occ48(packed: np.ndarray, sep_halved: bool = True):
+    """(n, 3) u16 -> (txp i32, pf i32); separators decode to txp -1
+    with pf re-doubled back to sep_fp30 << 1. sep_halved=False reads
+    the pre-r5 encoding (separator pf stored verbatim) — loaders pass
+    info.json's occ48_sep_halved flag."""
     p = np.asarray(packed, np.uint16).astype(np.int64)
-    pf = (p[:, 0] | ((p[:, 1] & 0x3FFF) << 16)).astype(np.int32)
+    pf = p[:, 0] | ((p[:, 1] & 0x3FFF) << 16)
     tx = ((p[:, 2] << 2) | (p[:, 1] >> 14)).astype(np.int32)
-    tx = np.where(tx == OCC48_SEP, -1, tx).astype(np.int32)
+    sep = tx == OCC48_SEP
+    if sep_halved:
+        pf = np.where(sep, pf << 1, pf)
+    pf = pf.astype(np.int32)
+    tx = np.where(sep, -1, tx).astype(np.int32)
     return tx, pf
 
 

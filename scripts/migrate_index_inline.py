@@ -38,16 +38,31 @@ def migrate(index_dir: str) -> None:
         return
 
     rows = np.load(os.path.join(index_dir, "table_rows.npy"))
-    tx = np.load(os.path.join(index_dir, "occ_txp.npy"), mmap_mode="r")
-    pf = np.load(os.path.join(index_dir, "occ_pf.npy"), mmap_mode="r")
     fpcnt = rows[:, 0::2].view(np.uint32)
     starts = rows[:, 1::2]
     cand = ((fpcnt & np.uint32(0xFFFF)) == 1) & (fpcnt != 0) \
         & (starts >= 0)
     cb, cs = np.nonzero(cand)
     st = starts[cb, cs].astype(np.int64)
-    txr = np.asarray(tx[st], np.int64)
-    pfr = np.asarray(pf[st], np.int64)
+    if meta.get("occ_mode", "raw") == "occ48":
+        # occ48 indexes store (n, 3) u16 records — decode the candidate
+        # rows via the memmap slice (r4 advisor: hard-loading
+        # occ_txp/occ_pf crashed here)
+        from salmon_tpu.index import diskfmt
+        packed = np.load(os.path.join(index_dir, "occ48.npy"),
+                         mmap_mode="r")
+        txr, pfr = diskfmt.unpack_occ48(
+            np.asarray(packed[st]),
+            sep_halved=meta.get("occ48_sep_halved", False))
+        txr = txr.astype(np.int64)
+        pfr = pfr.astype(np.int64)
+    else:
+        tx = np.load(os.path.join(index_dir, "occ_txp.npy"),
+                     mmap_mode="r")
+        pf = np.load(os.path.join(index_dir, "occ_pf.npy"),
+                     mmap_mode="r")
+        txr = np.asarray(tx[st], np.int64)
+        pfr = np.asarray(pf[st], np.int64)
     ok = ((txr >= 0) & (txr < (1 << 18))
           & (pfr >= 0) & (pfr < (1 << 29) - 1))
     fp = fpcnt[cb, cs] >> np.uint32(16)

@@ -69,6 +69,27 @@ def test_prune_occurrences():
     np.testing.assert_array_equal(tc, [3, 0, 7, 2])
 
 
+def test_prune_occurrences_multichunk():
+    # regression (r4 advisor): chunks after the first read sources off
+    # by -new_base. Tiny chunk_keys forces many chunks; compare against
+    # the single-chunk (trivially correct) result.
+    rng = np.random.default_rng(7)
+    counts = rng.integers(0, 9, 257).astype(np.int64)
+    off = np.zeros(counts.shape[0] + 1, np.int64)
+    np.cumsum(counts, out=off[1:])
+    a = np.arange(off[-1], dtype=np.int32)
+    b = (a * 3 + 1).astype(np.int32)
+    ref_off, (ra, rb), ref_tc = diskfmt.prune_occurrences(
+        off.copy(), (a.copy(), b.copy()), 4, chunk_keys=1 << 30)
+    for ck in (1, 2, 5, 64):
+        got_off, (ga, gb), got_tc = diskfmt.prune_occurrences(
+            off.copy(), (a.copy(), b.copy()), 4, chunk_keys=ck)
+        np.testing.assert_array_equal(got_off, ref_off)
+        np.testing.assert_array_equal(ga, ra)
+        np.testing.assert_array_equal(gb, rb)
+        np.testing.assert_array_equal(got_tc, ref_tc)
+
+
 @pytest.fixture(scope="module")
 def sample_fa(sample_data_dir):
     return os.path.join(sample_data_dir, "transcripts.fasta")
