@@ -196,6 +196,159 @@ void kmer_decode_payload(const uint64_t* payload, int64_t n,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Two-choice bucket-table placement (salmon_tpu.index.hashtable
+// build_hash_table rounds 1-3). The Python path's np.lexsort ranking is
+// single-threaded and dominates sharded-index loads (~47 min at 312M
+// keys); this reproduces the exact placement (bit-identical slot_key)
+// with the parallel radix sort above. Reference role: pufferfish MPHF
+// construction (SalmonIndex load path, SURVEY.md §2.3).
+//
+// Hash mixes are bit-for-bit twins of hashtable.py mix32 / mix32b.
+
+static inline uint32_t mix32_c(uint32_t hi, uint32_t lo) {
+  uint32_t x = lo ^ (hi * 0x9E3779B9u) ^ 0x85EBCA6Bu;
+  x ^= x >> 16; x *= 0x85EBCA6Bu;
+  x ^= x >> 13; x *= 0xC2B2AE35u;
+  x ^= x >> 16;
+  return x;
+}
+
+static inline uint32_t mix32b_c(uint32_t hi, uint32_t lo) {
+  uint32_t x = hi ^ (lo * 0x85EBCA77u) ^ 0xC2B2AE3Du;
+  x ^= x >> 17; x *= 0xED5AD4BBu;
+  x ^= x >> 11; x *= 0xAC4C1B51u;
+  x ^= x >> 15;
+  return x;
+}
+
+void radix_sort_u64(uint64_t* keys, uint64_t* payload, int64_t n,
+                    int32_t bits, uint64_t* tk, uint64_t* tp);
+
+// Places n unique keys into n_buckets 4-slot buckets. counts[i] is the
+// key's ranking weight (stored occurrence count; < 2^32). slot_key
+// (n_buckets * 4 int32, caller-allocated) receives the key index per
+// slot or -1. Returns the number of evicted keys (walk exhaustion).
+// Placement equals the numpy path element-for-element: same balanced
+// first choice (<= tie), same lowest-count-first in-bucket ranking with
+// input-order ties (stable sorts), same deterministic kick walk.
+int64_t table_place(const uint64_t* keys, const uint32_t* counts,
+                    int64_t n, int64_t n_buckets, int32_t* slot_key) {
+  const uint32_t mask = (uint32_t)(n_buckets - 1);
+  std::vector<uint32_t> b1(n), b2(n);
+  std::vector<uint32_t> cand1(n_buckets, 0), cand2(n_buckets, 0);
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    const uint32_t hi = (uint32_t)(keys[i] >> 32);
+    const uint32_t lo = (uint32_t)keys[i];
+    const uint32_t v1 = mix32_c(hi, lo) & mask;
+    const uint32_t v2 = mix32b_c(hi, lo) & mask;
+    b1[i] = v1;
+    b2[i] = v2;
+    __atomic_fetch_add(&cand1[v1], 1u, __ATOMIC_RELAXED);
+    __atomic_fetch_add(&cand2[v2], 1u, __ATOMIC_RELAXED);
+  }
+
+  // round 1: sort (preferred bucket, count) composites; stable radix
+  // keeps input order on ties, matching np.lexsort((counts, bucket))
+  std::vector<uint64_t> comp(n), pidx(n), tk(n), tp(n);
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    const uint32_t f =
+        cand1[b1[i]] <= cand2[b2[i]] ? b1[i] : b2[i];
+    comp[i] = ((uint64_t)f << 32) | counts[i];
+    pidx[i] = (uint64_t)i;
+  }
+  int bucket_bits = 0;
+  while ((1ll << bucket_bits) < n_buckets) ++bucket_bits;
+  radix_sort_u64(comp.data(), pidx.data(), n, 32 + bucket_bits,
+                 tk.data(), tp.data());
+
+#pragma omp parallel for schedule(static)
+  for (int64_t s = 0; s < n_buckets * 4; ++s) slot_key[s] = -1;
+  std::vector<uint8_t> used(n_buckets, 0);
+  std::vector<uint8_t> placed((size_t)n, 0);
+  {
+    int64_t run_start = 0;
+    for (int64_t i = 0; i < n; ++i) {
+      if (i && (comp[i] >> 32) != (comp[i - 1] >> 32)) run_start = i;
+      const int64_t rank = i - run_start;
+      if (rank < 4) {
+        const int64_t b = (int64_t)(comp[i] >> 32);
+        slot_key[b * 4 + rank] = (int32_t)pidx[i];
+        placed[pidx[i]] = 1;
+        used[b] = (uint8_t)(rank + 1);
+      }
+    }
+  }
+
+  // round 2: overflow keys fall back to the alternate bucket's
+  // remaining capacity (subset in input order, same stable ranking)
+  int64_t n2 = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    if (placed[i]) continue;
+    const uint32_t f = cand1[b1[i]] <= cand2[b2[i]] ? b1[i] : b2[i];
+    const uint32_t sec = (f == b1[i]) ? b2[i] : b1[i];
+    comp[n2] = ((uint64_t)sec << 32) | counts[i];
+    pidx[n2] = (uint64_t)i;
+    ++n2;
+  }
+  radix_sort_u64(comp.data(), pidx.data(), n2, 32 + bucket_bits,
+                 tk.data(), tp.data());
+  {
+    int64_t run_start = 0;
+    for (int64_t i = 0; i < n2; ++i) {
+      if (i && (comp[i] >> 32) != (comp[i - 1] >> 32)) run_start = i;
+      const int64_t rank = i - run_start;
+      const int64_t b = (int64_t)(comp[i] >> 32);
+      if (rank < 4 - used[b]) {
+        slot_key[b * 4 + used[b] + rank] = (int32_t)pidx[i];
+        placed[pidx[i]] = 1;
+      }
+    }
+  }
+
+  // round 3: deterministic cuckoo kicks for the residue (input order)
+  int64_t n_evicted = 0;
+  for (int64_t u = 0; u < n; ++u) {
+    if (placed[u]) continue;
+    int64_t key = u;
+    bool done = false;
+    for (int t = 0; t < 64 && !done; ++t) {
+      const int64_t cand[2] = {(int64_t)b1[key], (int64_t)b2[key]};
+      for (int c = 0; c < 2 && !done; ++c) {
+        for (int s = 0; s < 4; ++s) {
+          if (slot_key[cand[c] * 4 + s] < 0) {
+            slot_key[cand[c] * 4 + s] = (int32_t)key;
+            done = true;
+            break;
+          }
+        }
+      }
+      if (done) break;
+      const int64_t b = (t % 2 == 0) ? (int64_t)b1[key]
+                                     : (int64_t)b2[key];
+      const int64_t v = (key * 7 + (int64_t)t * 5 + 3) % 4;
+      const int64_t victim = slot_key[b * 4 + v];
+      slot_key[b * 4 + v] = (int32_t)key;
+      key = victim;
+    }
+    if (!done) ++n_evicted;
+  }
+  return n_evicted;
+}
+
+// Parallel fixed-width row gather: dst[i] = src[idx[i]] for row_bytes-
+// sized rows (numpy fancy indexing is single-threaded; sharded-index
+// loads gather hundreds of millions of 6/8-byte occurrence records).
+void gather_rows(const uint8_t* src, const int64_t* idx, int64_t n,
+                 int64_t row_bytes, uint8_t* dst) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i)
+    std::memcpy(dst + i * row_bytes, src + idx[i] * row_bytes,
+                (size_t)row_bytes);
+}
+
 // Stable parallel LSD radix sort of (keys, payload) by the low `bits`
 // key bits. tk/tp are caller-allocated scratch of the same size.
 // Stability: per-pass static chunking is identical between the

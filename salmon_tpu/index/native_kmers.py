@@ -61,6 +61,13 @@ def _native_lib():
         lib.oct_align_pads.restype = None
         lib.oct_align_pads.argtypes = [i64p, ctypes.c_int64,
                                        ctypes.c_int64, i64p]
+        u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+        lib.table_place.restype = ctypes.c_int64
+        lib.table_place.argtypes = [u64p, u32p, ctypes.c_int64,
+                                    ctypes.c_int64, i32p]
+        lib.gather_rows.restype = None
+        lib.gather_rows.argtypes = [u8p, i64p, ctypes.c_int64,
+                                    ctypes.c_int64, u8p]
     except (OSError, AttributeError, Exception):
         return None
     _LIB = lib
@@ -157,6 +164,41 @@ def enumerate_sorted_partitioned(seq_codes: np.ndarray,
         if total:
             lib.kmer_decode_payload_pf(payload, total, tx, pf)
         yield keys, tx, pf
+
+
+def table_place_native(keys_u64: np.ndarray, counts: np.ndarray,
+                       n_buckets: int):
+    """Two-choice placement (hashtable.build_hash_table rounds 1-3) via
+    the parallel native path. Returns (slot_key (n_buckets, 4) int32
+    with -1 empties, n_evicted) or None when the library is
+    unavailable. Bit-identical to the numpy placement."""
+    lib = _native_lib()
+    if lib is None or not hasattr(lib, "table_place"):
+        return None
+    keys = np.ascontiguousarray(keys_u64, np.uint64)
+    cnt = np.ascontiguousarray(counts, np.uint32)
+    slot_key = np.empty(n_buckets * 4, np.int32)
+    n_evicted = int(lib.table_place(keys, cnt,
+                                    np.int64(keys.shape[0]),
+                                    np.int64(n_buckets), slot_key))
+    return slot_key.reshape(n_buckets, 4), n_evicted
+
+
+def gather_rows_native(src: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """Parallel dst[i] = src[idx[i]] row gather (2-D src, any dtype);
+    falls back to numpy fancy indexing without the library."""
+    lib = _native_lib()
+    src = np.ascontiguousarray(src)
+    if lib is None or not hasattr(lib, "gather_rows"):
+        return src[idx]
+    idx = np.ascontiguousarray(idx, np.int64)
+    row_bytes = src.dtype.itemsize * (
+        int(np.prod(src.shape[1:])) if src.ndim > 1 else 1)
+    dst = np.empty((idx.shape[0],) + src.shape[1:], src.dtype)
+    lib.gather_rows(src.view(np.uint8).reshape(-1), idx,
+                    np.int64(idx.shape[0]), np.int64(row_bytes),
+                    dst.view(np.uint8).reshape(-1))
+    return dst
 
 
 def oct_align_pads_native(counts: np.ndarray, cap: int,
