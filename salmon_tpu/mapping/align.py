@@ -103,20 +103,34 @@ def banded_scores_indexed(reads, read_ids, read_lens, ref_base, txp_lens,
 
 
 def pack_seq4(seq_codes: np.ndarray, lead_pad: int = 256):
-    """Pack base codes into 4-bit nibbles, 8 per uint32 word, rows of 8
-    words (64 bases), with `lead_pad` zero bases prepended (so window
-    fetch arithmetic never goes negative). Returns ((n_rows, 8) uint32
-    word matrix, offset_shift=lead_pad)."""
+    """Pack base codes 2-bit, 16 per uint32 word, rows of 8 words (128
+    bases, 32 bytes — this backend's efficient gather granule), with
+    `lead_pad` zero bases prepended (so window fetch arithmetic never
+    goes negative). Returns ((n_rows, 8) uint32 word matrix,
+    offset_shift=lead_pad).
+
+    2-bit halves the DP window fetch vs the previous 4-bit nibbles
+    (2 row gathers instead of 4 for a W=130 band window — the fetch is
+    issue+byte bound, probe_r5_dp2.py). N bases (code 4) have no 2-bit
+    encoding; they pack as the position-derived base (i & 3). Ns can
+    never be SEEDED (k-mer windows containing them are never indexed),
+    so a DP band can only brush one through a nearby candidate; the
+    pseudo-random fill mismatches ~3/4 of read bases, approximating the
+    reference's all-mismatch N scoring with a bounded +2/base
+    overestimate on band edges."""
+    codes = np.asarray(seq_codes, np.uint8)
+    fill = (np.arange(codes.shape[0], dtype=np.int64) & 3).astype(
+        np.uint8)
+    codes = np.where(codes < 4, codes, fill)
     padded = np.concatenate([
-        np.zeros(lead_pad, np.uint8), np.asarray(seq_codes, np.uint8),
-        np.zeros(128, np.uint8)])
+        np.zeros(lead_pad, np.uint8), codes, np.zeros(256, np.uint8)])
     n = padded.shape[0]
-    n64 = -(-n // 64) * 64
-    padded = np.pad(padded, (0, n64 - n))
-    nib = padded.reshape(-1, 8).astype(np.uint32)
-    words = np.zeros(nib.shape[0], dtype=np.uint32)
-    for j in range(8):
-        words |= nib[:, j] << np.uint32(4 * j)
+    n128 = -(-n // 128) * 128
+    padded = np.pad(padded, (0, n128 - n))
+    duo = padded.reshape(-1, 16).astype(np.uint32)
+    words = np.zeros(duo.shape[0], dtype=np.uint32)
+    for j in range(16):
+        words |= duo[:, j] << np.uint32(2 * j)
     return words.reshape(-1, 8), lead_pad
 
 
@@ -124,16 +138,16 @@ def _fetch_windows_packed(seq_word_rows, a0, W: int):
     """(P,) absolute window starts -> (P, W) base codes.
 
     Fetch path: ROW gathers from the (n_rows, 8) word matrix (each row =
-    64 bases) — per-element 1-D gathers on this backend run ~8ns/elem,
-    row gathers ~4x faster — then two 8-way alignment selects (word
-    within row, base within word) and an in-register nibble unpack.
+    128 bases) — per-element 1-D gathers on this backend run ~8ns/elem,
+    row gathers ~4x faster — then an 8-way word-alignment select, an
+    in-register 2-bit unpack, and a 16-way base-alignment select.
     """
-    n_words = (W + 7) // 8 + 1
+    n_words = (W + 15) // 16 + 1
     n_rows = (n_words + 7) // 8 + 1
     P = a0.shape[0]
     # a0 may be int64 (concatenated references beyond 2^31 bases); the
-    # word-row index fits int32 up to 2^31 rows = 137 Gb of sequence
-    w0 = a0 >> 3
+    # word-row index fits int32 up to 2^31 rows = 274 Gb of sequence
+    w0 = a0 >> 4
     r0 = (w0 >> 3).astype(jnp.int32)
     ridx = r0[:, None] + jnp.arange(n_rows, dtype=jnp.int32)[None, :]
     rows = jnp.take(seq_word_rows, ridx, axis=0,
@@ -145,15 +159,15 @@ def _fetch_windows_packed(seq_word_rows, a0, W: int):
     for s in range(1, 8):
         w_al = jnp.where((wsel == s)[:, None],
                          flat_w[:, s:s + n_words], w_al)
-    # unpack nibbles -> (P, n_words * 8) bases
-    nib = jnp.stack([(w_al >> jnp.uint32(4 * j)) & jnp.uint32(0xF)
-                     for j in range(8)], axis=-1).reshape(
-        P, n_words * 8).astype(jnp.int8)
+    # unpack 2-bit codes -> (P, n_words * 16) bases
+    bas = jnp.stack([(w_al >> jnp.uint32(2 * j)) & jnp.uint32(0x3)
+                     for j in range(16)], axis=-1).reshape(
+        P, n_words * 16).astype(jnp.int8)
     # base alignment within the first word
-    shift = (a0 & 7).astype(jnp.int32)
-    out = nib[:, 0:W]
-    for s in range(1, 8):
-        out = jnp.where((shift == s)[:, None], nib[:, s:s + W], out)
+    shift = (a0 & 15).astype(jnp.int32)
+    out = bas[:, 0:W]
+    for s in range(1, 16):
+        out = jnp.where((shift == s)[:, None], bas[:, s:s + W], out)
     return out
 
 
@@ -283,12 +297,14 @@ def _banded_scores_pallas(reads_t, ref_win_t, read_lens, bandwidth: int,
     """Pallas TPU kernel for the banded DP.
 
     The H/F wavefront lives in VMEM scratch across the whole read scan in
-    BAND coordinates (B rows, padded to B8). Mosaic forbids unaligned
-    dynamic sublane slices, so instead of slicing a shifting band window
-    out of the reference each row, the reference is PRE-SKEWED on the XLA
-    side into per-row band slabs: skew[(i*B8 + d), p] = ref_win[i + d, p].
-    Each grid step then consumes one aligned (8*B8, PT) slab covering 8
-    read rows — every kernel memory access is static.
+    BAND coordinates (B rows, padded to B8). Each problem tile's FULL
+    reference window stays resident in VMEM (~76 KB at PT=512); a grid
+    step covering read rows [lb*8, lb*8+8) loads the aligned
+    (B8 + 8)-row block starting at lb*8 (dynamic sublane starts must be
+    8-aligned under Mosaic) and slices row j's band [j, j+B8) statically
+    from the loaded value — register-level rotates, no pre-skewed slab.
+    (The previous XLA-side skew materialized an L8*B8-row gather,
+    ~3.4 ms at bench shapes — over half the DP stage; probe_r5_dp.py.)
 
     Grid: (problem_tiles, L/8); scratch persists across the sequential
     TPU grid, re-initialized when a new tile starts.
@@ -299,6 +315,7 @@ def _banded_scores_pallas(reads_t, ref_win_t, read_lens, bandwidth: int,
     L, P = reads_t.shape
     B = 2 * bandwidth + 1
     B8 = -(-B // 8) * 8
+    BLK = B8 + 8
     W = ref_win_t.shape[0]
     PT = PALLAS_TILE
     n_tiles = -(-P // PT)
@@ -308,7 +325,7 @@ def _banded_scores_pallas(reads_t, ref_win_t, read_lens, bandwidth: int,
     reads_t = jnp.pad(reads_t, ((0, L8 - L), (0, Pp - P)),
                       constant_values=4)
     ref_win_t = jnp.pad(ref_win_t,
-                        ((0, L8 + B8 - W), (0, Pp - P)),
+                        ((0, L8 + BLK - W), (0, Pp - P)),
                         constant_values=5)
     if read_starts is None:
         read_starts = jnp.zeros(read_lens.shape, jnp.int32)
@@ -318,16 +335,9 @@ def _banded_scores_pallas(reads_t, ref_win_t, read_lens, bandwidth: int,
          jnp.pad(read_starts + read_lens, (0, Pp - P))],
         axis=0)
 
-    # pre-skew: row (i*B8 + d) = ref_win row (i + d); band rows beyond
-    # B-1 get OOB code 5 so they can never contribute
-    i_idx = jnp.repeat(jnp.arange(L8, dtype=jnp.int32), B8)
-    d_idx = jnp.tile(jnp.arange(B8, dtype=jnp.int32), L8)
-    skew = jnp.take(ref_win_t, i_idx + d_idx, axis=0, mode="clip")
-    skew = jnp.where((d_idx >= B)[:, None], jnp.int8(5), skew)
-
     n_shift = int(np.ceil(np.log2(max(B, 2))))
 
-    def kernel(lens_ref, reads_ref, skew_ref, out_ref, H_s, F_s, M_s):
+    def kernel(lens_ref, reads_ref, ref_ref, out_ref, H_s, F_s, M_s):
         lb = pl.program_id(1)
 
         @pl.when(lb == 0)
@@ -342,14 +352,21 @@ def _banded_scores_pallas(reads_t, ref_win_t, read_lens, bandwidth: int,
         F = F_s[:, :]
         Hm = M_s[:, :]
         neg_row = jnp.full((1, PT), NEG, jnp.float32)
+        # this step's ref rows [lb*8, lb*8 + BLK): aligned dynamic load
+        blk = ref_ref[pl.ds(lb * 8, BLK), :]
+        # band rows beyond B-1 are inert (2-D iota: Mosaic rejects 1-D
+        # iota reshapes)
+        dpad = jax.lax.broadcasted_iota(jnp.int32, (B8, PT), 0) >= B
 
         for j in range(8):
             i = lb * 8 + j
             rc = reads_ref[j:j + 1, :].astype(jnp.int32)       # (1, PT)
-            refs = skew_ref[j * B8:(j + 1) * B8, :].astype(jnp.int32)
+            refs = jax.lax.slice_in_dim(blk, j, j + B8,
+                                        axis=0).astype(jnp.int32)
             match = (rc == refs) & (rc < 4) & (refs < 4)
             sub = jnp.where(match, ma, mp)
             sub = jnp.where(refs >= 5, oob_score, sub)
+            sub = jnp.where(dpad, oob_score, sub)
 
             # gap-in-read: previous row at band offset d+1
             F_n = jnp.maximum(
@@ -394,7 +411,9 @@ def _banded_scores_pallas(reads_t, ref_win_t, read_lens, bandwidth: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, PT), lambda t, l: (l, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8 * B8, PT), lambda t, l: (l, t),
+            # whole per-tile ref window resident in VMEM (constant in
+            # l, so Pallas skips re-copies)
+            pl.BlockSpec((L8 + BLK, PT), lambda t, l: (0, t),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, PT), lambda t, l: (0, t),
@@ -403,7 +422,7 @@ def _banded_scores_pallas(reads_t, ref_win_t, read_lens, bandwidth: int,
         scratch_shapes=[pltpu.VMEM((B8, PT), jnp.float32),
                         pltpu.VMEM((B8, PT), jnp.float32),
                         pltpu.VMEM((B8, PT), jnp.float32)],
-    )(lens_row, reads_t, skew)
+    )(lens_row, reads_t, ref_win_t)
     return out.reshape(-1)[:P]
 
 

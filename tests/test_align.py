@@ -99,19 +99,23 @@ def test_batch_of_problems():
 
 def test_packed_window_fetch_matches_bytes():
     """pack_seq4 + _fetch_windows_packed reproduce the byte-gather
-    windows exactly (incl. unaligned starts)."""
+    windows exactly (incl. unaligned starts). N bases (code 4) have no
+    2-bit encoding and decode as the deterministic position fill
+    (i & 3) — the comparison applies the same mapping."""
     import numpy as np
     from salmon_tpu.mapping.align import (_fetch_windows_packed,
                                           pack_seq4)
     rng = np.random.default_rng(7)
     seq = rng.integers(0, 5, 1000).astype(np.uint8)  # incl. N codes
+    fill = (np.arange(seq.shape[0]) & 3).astype(np.uint8)
+    expect = np.where(seq < 4, seq, fill)
     words, shift = pack_seq4(seq, lead_pad=256)
     W = 83
     starts = rng.integers(0, 900, 64).astype(np.int32)
     out = np.asarray(_fetch_windows_packed(
         jnp.asarray(words), jnp.asarray(starts + shift), W))
     for i, s in enumerate(starts):
-        want = seq[s:s + W]
+        want = expect[s:s + W]
         np.testing.assert_array_equal(out[i, :want.shape[0]], want)
 
 
