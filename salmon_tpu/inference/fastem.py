@@ -18,6 +18,13 @@ with ZERO gathers/scatters:
     alpha -> entry multicast is a static repeat, and the new-alpha
     reduction is a static reshape-sum. alpha lives in "region order"
     for the whole loop (converted once at entry/exit).
+  * regions are SLOT-MAJOR: a (width w, n items) region stores slot j
+    of every item contiguously (flat = pos + j*n + i), so reductions
+    are (w, n) sums over axis 0 and broadcasts are (1, n) -> (w, n) —
+    the minor dimension is always the large n. (The item-major layout's
+    (n, w) reshapes put the tiny width on the minor dim, paying the
+    16x lane-padding tax: region ops measured ~1.6 ms/iter of the
+    4.0 ms round-4 iteration, probe_em_parts r5.)
   * The two E-sized data movements per iteration (L->C multicast
     delivery and C->L contribution return) are lax.sort by PRECOMPUTED
     permutation keys — the only data-dependent-looking ops, and both
@@ -111,19 +118,23 @@ def pack_routed(eq, num_txps: int, eff_lens: np.ndarray) -> RoutedEq:
     uniq_w, w_start = np.unique(widths_sorted, return_index=True)
     c_regions = []
     pos = 0
-    class_slot0 = np.zeros(ncls, np.int64)         # first slot per class
+    # slot-major: class at rank i of an (wv, n) region puts its j-th
+    # entry at flat slot pos + j*n + i
+    class_base = np.zeros(ncls, np.int64)     # region pos + rank
+    class_nreg = np.zeros(ncls, np.int64)     # region n (slot stride)
     for i, wv in enumerate(uniq_w):
         lo = w_start[i]
         hi = w_start[i + 1] if i + 1 < len(uniq_w) else ncls
         n = hi - lo
-        class_slot0[c_order[lo:hi]] = pos + np.arange(n) * wv
+        class_base[c_order[lo:hi]] = pos + np.arange(n)
+        class_nreg[c_order[lo:hi]] = n
         c_regions.append((int(wv), int(n)))
         pos += n * wv
     s_c = int(pos)
     # entry -> C slot
     in_class_pos = np.arange(E) - np.repeat(
         np.concatenate([[0], np.cumsum(sizes)[:-1]]), sizes)
-    c_slot = class_slot0[seg] + in_class_pos
+    c_slot = class_base[seg] + in_class_pos * class_nreg[seg]
 
     cw_c = np.zeros(s_c, np.float32)
     cw_c[c_slot] = cw.astype(np.float32)
@@ -148,14 +159,16 @@ def pack_routed(eq, num_txps: int, eff_lens: np.ndarray) -> RoutedEq:
     uniq_lw, lw_start = np.unique(lw_sorted, return_index=True)
     l_regions = []
     pos = 0
-    txp_slot0 = np.zeros(num_txps, np.int64)
+    txp_base = np.zeros(num_txps, np.int64)
+    txp_nreg = np.zeros(num_txps, np.int64)
     txp_region_pos = np.zeros(num_txps, np.int64)
     for i, wv in enumerate(uniq_lw):
         lo = lw_start[i]
         hi = lw_start[i + 1] if i + 1 < len(uniq_lw) else len(present)
         n = hi - lo
         tids = present[l_order_p[lo:hi]]
-        txp_slot0[tids] = pos + np.arange(n) * wv
+        txp_base[tids] = pos + np.arange(n)
+        txp_nreg[tids] = n
         txp_region_pos[tids] = (np.sum([r[1] for r in l_regions])
                                 + np.arange(n))
         l_regions.append((int(wv), int(n)))
@@ -173,7 +186,8 @@ def pack_routed(eq, num_txps: int, eff_lens: np.ndarray) -> RoutedEq:
     # position within txp group = rank - group start
     grp_start = np.zeros(num_txps, np.int64)
     grp_start[1:] = np.cumsum(k_t)[:-1]
-    l_slot = txp_slot0[labels] + (ranks - grp_start[labels])
+    l_slot = txp_base[labels] + (ranks
+                                 - grp_start[labels]) * txp_nreg[labels]
 
     # ---- routes: one uint32 permutation key per direction.
     # Sort semantics: element at input position i lands at output
@@ -236,23 +250,24 @@ def _region_slices(regions):
 
 def _expand_regions(vec_region, regions):
     """(n_items,) region-ordered -> (slots,) with each item repeated by
-    its region width (static)."""
+    its region width (static, slot-major: minor dim stays n)."""
     parts = []
     ipos = 0
     for wv, n in regions:
         seg = jax.lax.dynamic_slice_in_dim(vec_region, ipos, n)
-        parts.append(jnp.repeat(seg.reshape(n, 1), wv,
-                                axis=1).reshape(-1))
+        parts.append(jnp.broadcast_to(seg[None, :], (wv, n))
+                     .reshape(-1))
         ipos += n
     return jnp.concatenate(parts)
 
 
 def _reduce_regions(slots_vec, regions):
-    """(slots,) -> per-item sums (n_items,) region-ordered (static)."""
+    """(slots,) -> per-item sums (n_items,) region-ordered (static,
+    slot-major: the (wv, n) sum reduces over sublanes)."""
     parts = []
     for pos, wv, n in _region_slices(regions):
         seg = jax.lax.dynamic_slice_in_dim(slots_vec, pos, wv * n)
-        parts.append(seg.reshape(n, wv).sum(axis=1))
+        parts.append(seg.reshape(wv, n).sum(axis=0))
     return jnp.concatenate(parts)
 
 
@@ -261,9 +276,13 @@ def _reduce_regions(slots_vec, regions):
 # device-side while_loop pays heavy per-iteration overhead on this
 # backend, and giving fori the full max_iter trip count compiles a
 # separate (and, observed at trip counts >= 200, pathologically
-# scheduled) executable per requested count; 50-iteration chunks keep
-# one cached executable and ~0.5 ms/iter of amortized host overhead.
-EM_CHUNK = 50
+# scheduled) executable per requested count; 100-iteration chunks keep
+# one cached executable, amortize the per-chunk readback to ~0.25
+# ms/iter, and bound convergence overshoot at 99 extra iterations
+# (the reference checks every iteration,
+# CollapsedEMOptimizer.cpp:945-957; overshoot only tightens the
+# fixpoint).
+EM_CHUNK = 100
 
 
 @functools.partial(jax.jit, static_argnums=(0, 5, 6))

@@ -148,6 +148,38 @@ def multinomial_rows(key, n, probs, mask):
     return out
 
 
+def multinomial_cols(key, n, probs_t, mask_t):
+    """multinomial_rows with slots on axis 0: probs_t/mask_t are (S, C)
+    and the result is (S, C). Matches the slot-major routed-EM region
+    layout (fastem) — row ops keep the large C on the minor dim, where
+    the (C, small-S) form paid the lane-padding tax."""
+    S, C = probs_t.shape
+    p = jnp.where(mask_t, probs_t, 0.0)
+    tail = jnp.cumsum(p[::-1, :], axis=0)[::-1, :]   # sum of p[i:, :]
+
+    def body(i, carry):
+        remaining, out, key = carry
+        key, sub = jax.random.split(key)
+        pi = p[i]
+        ti = tail[i]
+        frac = jnp.where(ti > MIN_EQ_WEIGHT, pi / jnp.maximum(ti, 1e-30),
+                         1.0)
+        frac = jnp.clip(frac, 0.0, 1.0)
+        is_last = (i == S - 1) | (ti - pi <= MIN_EQ_WEIGHT)
+        draw = jax.random.binomial(sub, remaining.astype(jnp.float32),
+                                   frac).astype(jnp.float32)
+        draw = jnp.where(is_last, remaining, draw)
+        draw = jnp.where(mask_t[i], draw, 0.0)
+        out = out.at[i].set(draw)
+        remaining = remaining - draw
+        return remaining, out, key
+
+    remaining0 = n.astype(jnp.float32)
+    out0 = jnp.zeros((S, C), jnp.float32)
+    _, out, _ = jax.lax.fori_loop(0, S, body, (remaining0, out0, key))
+    return out
+
+
 def _gibbs_round(key, txp_count, dcls, prior, eff_lens, num_txps: int,
                  no_gamma_draw: bool):
     """One internal Gibbs round: mu draw + multinomial reassignment.
@@ -296,11 +328,12 @@ def gibbs_samples_routed(eq: PackedEqClasses, num_txps: int,
             if wv == 1:
                 parts.append(cnt)  # singleton classes: full count
                 continue
+            # slot-major region: (wv, n), slots on axis 0 (fastem)
             pr = jax.lax.dynamic_slice_in_dim(
-                probs, p0, wv * n).reshape(n, wv)
+                probs, p0, wv * n).reshape(wv, n)
             msk = jax.lax.dynamic_slice_in_dim(
-                r.real_c, p0, wv * n).reshape(n, wv)
-            parts.append(multinomial_rows(kk, cnt, pr, msk).reshape(-1))
+                r.real_c, p0, wv * n).reshape(wv, n)
+            parts.append(multinomial_cols(kk, cnt, pr, msk).reshape(-1))
         # draws are exact integers <= MULTINOMIAL_COUNT_CAP in f32;
         # route + reduce them in int32 so deep transcripts stay exact
         assign_c = jnp.concatenate(parts).astype(jnp.int32)
