@@ -137,3 +137,42 @@ def test_quantify_with_sharded_index(small_index, sample_data_dir):
     # quantification must agree to float tolerance
     np.testing.assert_allclose(shard.counts, base.counts,
                                rtol=1e-4, atol=0.02)
+
+
+def test_iter_shard_arrays_matches_inram(tmp_path, monkeypatch):
+    """Streamed v5 sharding (index.shard.iter_shard_arrays — the
+    genome-scale config-5 load path) produces per-shard tables and
+    occurrence planes bit-identical to the in-RAM shard_index_arrays of
+    the loaded index. Also CI-covers the partitioned table-less build
+    path at toy scale (VERDICT r4 next #2/#6)."""
+    import os
+    import numpy as np
+    from salmon_tpu.index import builder as bmod
+    from salmon_tpu.index.builder import build_index, save_index, \
+        load_index
+    from salmon_tpu.index.shard import (iter_shard_arrays,
+                                        shard_index_arrays)
+    fa = os.path.join(os.path.dirname(__file__), "data",
+                      "transcripts.fasta")
+    # force the partitioned TABLE-LESS path at toy scale
+    monkeypatch.setattr(bmod, "TABLE_DIRECT_MAX_KEYS", 1)
+    idx = build_index(fa, k=25, partition_bits=2, max_occs_kept=4)
+    assert idx.table is None and idx.info.get("requires_shards")
+    d = str(tmp_path / "tl_idx")
+    save_index(idx, d)
+    idx2 = load_index(d)
+    want = shard_index_arrays(idx2, 4)
+    got = list(iter_shard_arrays(d, 4, load_factor=0.5,
+                                 max_load_factor=0.62))
+    assert len(got) == 4
+    occ_cat = want.occ_oct.reshape(4, -1, 2)
+    for s, meta, sh in got:
+        assert sh["n_slots"] == want.n_slots
+        np.testing.assert_array_equal(sh["tab_rows"],
+                                      want.tab_rows[s])
+        n_s = sh["occ_txp"].shape[0]
+        np.testing.assert_array_equal(sh["occ_txp"],
+                                      occ_cat[s, :n_s, 0])
+        np.testing.assert_array_equal(sh["occ_pf"],
+                                      occ_cat[s, :n_s, 1])
+        assert not occ_cat[s, n_s:, 0].any()
