@@ -580,9 +580,41 @@ def cmd_swim() -> int:
     return 0
 
 
+def _version_message(timeout_s: float = 2.0) -> str:
+    """Best-effort version check (reference getVersionMessage,
+    src/cli/VersionChecker.cpp:5-31): GET
+    combine-lab.github.io/salmon/version_info/<version> with a 2 s
+    timeout; any failure (offline environments included) degrades to
+    the reference's exception line, never an error."""
+    try:
+        from urllib.request import urlopen
+        url = ("https://combine-lab.github.io/salmon/version_info/"
+               + __version__)
+        with urlopen(url, timeout=timeout_s) as res:
+            if res.status == 200:
+                return "Version Info: " + res.read().decode(
+                    "utf-8", "replace")
+            return f"Version Server Response: {res.reason}\n"
+    except Exception as e:  # timeout, DNS failure, zero-egress, ...
+        return f"Version Info Exception: {e}\n"
+
+
+def _skip_version_check(args) -> bool:
+    """no-version-check flag, SALMON_NO_VERSION_CHECK env (1/TRUE/T,
+    case-insensitive), and the alevin command skip the check
+    (reference Salmon.cpp:218-231)."""
+    env = os.environ.get("SALMON_NO_VERSION_CHECK", "").upper()
+    return (getattr(args, "no_version_check", False)
+            or env in ("1", "TRUE", "T")
+            or args.command == "alevin")
+
+
 def main(argv=None) -> int:
     ap = build_parser()
     args = ap.parse_args(argv)
+    if args.command in ("index", "quant", "quantmerge") \
+            and not _skip_version_check(args):
+        sys.stderr.write(_version_message())
     if args.command == "index":
         return cmd_index(args)
     if args.command == "quant":

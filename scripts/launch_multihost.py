@@ -43,13 +43,22 @@ def main():
         env["SALMON_TPU_COORDINATOR"] = f"127.0.0.1:{args.port}"
         env["SALMON_TPU_NUM_PROCS"] = str(args.nprocs)
         env["SALMON_TPU_PROC_ID"] = str(pid)
-        env["PYTHONPATH"] = here + os.pathsep + env.get("PYTHONPATH", "")
         if args.devices_per_proc:
+            # virtual-CPU hosts: drop any TPU-plugin site dirs from
+            # PYTHONPATH (a registered TPU plugin overrides
+            # JAX_PLATFORMS=cpu and N processes would fight over one
+            # chip)
+            keep = [p for p in env.get("PYTHONPATH", "").split(
+                os.pathsep) if p and "axon" not in p]
+            env["PYTHONPATH"] = os.pathsep.join([here] + keep)
             env["JAX_PLATFORMS"] = "cpu"
             env["XLA_FLAGS"] = (
                 env.get("XLA_FLAGS", "")
                 + f" --xla_force_host_platform_device_count="
                   f"{args.devices_per_proc}")
+        else:
+            env["PYTHONPATH"] = (here + os.pathsep
+                                 + env.get("PYTHONPATH", ""))
         procs.append(subprocess.Popen(
             [sys.executable, "-m", "salmon_tpu"] + cli, env=env))
     rc = 0

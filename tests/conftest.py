@@ -14,6 +14,10 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
 
+# CLI version check (cli._version_message) would pay its 2 s offline
+# timeout on every CLI-invoking test
+os.environ.setdefault("SALMON_NO_VERSION_CHECK", "1")
+
 import jax  # noqa: E402
 
 if not os.environ.get("SALMON_TPU_TEST_DEVICE"):

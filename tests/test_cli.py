@@ -110,3 +110,31 @@ def test_insufficient_frags(built_index, tmp_path):
     with open(os.path.join(out, "aux_info", "meta_info.json")) as fh:
         meta = json.load(fh)
     assert meta["quant_errors"] == ["insufficient_assigned_fragments"]
+
+
+def test_version_check_skip_env(monkeypatch, capsys):
+    """SALMON_NO_VERSION_CHECK and --no-version-check suppress the
+    check; without them the offline env degrades to the reference's
+    'Version Info Exception' line (VersionChecker.cpp:5-31), never an
+    error."""
+    import salmon_tpu.cli as cli
+    calls = []
+    monkeypatch.setattr(cli, "_version_message",
+                        lambda *a, **k: calls.append(1) or "VMSG\n")
+    monkeypatch.setenv("SALMON_NO_VERSION_CHECK", "true")
+    assert cli.main(["quantmerge", "--quants", "/nonexistent",
+                     "-o", "/tmp/x"]) != 0 or True
+    assert not calls
+    monkeypatch.setenv("SALMON_NO_VERSION_CHECK", "")
+    try:
+        cli.main(["quantmerge", "--quants", "/nonexistent",
+                  "-o", "/tmp/x"])
+    except Exception:
+        pass
+    assert calls
+
+
+def test_version_message_offline(monkeypatch):
+    import salmon_tpu.cli as cli
+    msg = cli._version_message(timeout_s=0.2)
+    assert msg.startswith("Version ")
