@@ -13,7 +13,8 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 OUT = os.path.join(HERE, "libsalmontpu.so")
 SRCS = [os.path.join(HERE, "bamreader.cpp"),
         os.path.join(HERE, "fastqreader.cpp"),
-        os.path.join(HERE, "kmersort.cpp")]
+        os.path.join(HERE, "kmersort.cpp"),
+        os.path.join(HERE, "alnweights.cpp")]
 
 
 def build(force: bool = False) -> str:

@@ -532,78 +532,94 @@ def _quantify_alignments_impl(args, opts, cmd_args) -> int:
                             logw + (np.log(opts.incompat_prior)
                                     if opts.incompat_prior > 0 else -1e30))
 
-            order = np.argsort(fid, kind="stable")
-            fid, txp_k, flen_k, obs_k, logw = (
-                fid[order], txp_k[order], flen_k[order], obs_k[order],
-                logw[order])
-            starts = np.concatenate(
-                [[0], np.nonzero(fid[1:] != fid[:-1])[0] + 1])
-            counts = np.diff(np.concatenate([starts, [fid.shape[0]]]))
-            max_w = np.maximum.reduceat(logw, starts)
-            w = np.exp(logw - np.repeat(max_w, counts))
-            valid_w = w > opts.min_aln_prob
+            # one native OpenMP pass over the fragment runs (fid is a
+            # cumsum over the BAM walk, so it is already nondecreasing
+            # and the runs are contiguous — the former stable argsort
+            # here was an O(n log n) identity permutation). numpy
+            # fallback below reproduces it without the library.
+            from salmon_tpu.alignment.alnweights import group_eq
+            native = group_eq(fid, txp_k, flen_k, obs_k, logw,
+                              opts.min_aln_prob, bool(paired_detect),
+                              opts.max_frag_length)
+            if native is not None:
+                eq_txp, eq_w, wn, best_f, fld_hist, nm = native
+                F = best_f.shape[0]
+                num_mapped += nm
+                acc.add_batch(eq_txp, eq_w, None)
+                if paired_detect:
+                    fld.add_observations(fld_hist)
+                bsel = best_f[best_f >= 0]
+            else:
+                starts = np.concatenate(
+                    [[0], np.nonzero(fid[1:] != fid[:-1])[0] + 1])
+                counts = np.diff(np.concatenate([starts,
+                                                 [fid.shape[0]]]))
+                max_w = np.maximum.reduceat(logw, starts)
+                w = np.exp(logw - np.repeat(max_w, counts))
+                valid_w = w > opts.min_aln_prob
 
-            # build fixed-width eq tensors (rows = fragments)
-            F = starts.shape[0]
-            T2 = int(counts.max())
-            eq_txp = np.full((F, T2), INVALID_TXP, dtype=np.int32)
-            eq_w = np.zeros((F, T2), dtype=np.float32)
-            row = np.repeat(np.arange(F), counts)
-            col = np.arange(fid.shape[0]) - np.repeat(starts, counts)
-            sel = valid_w
-            eq_txp[row[sel], col[sel]] = txp_k[sel]
-            eq_w[row[sel], col[sel]] = w[sel]
-            # collapse duplicate txps within a fragment + sort labels
-            # (vectorized run-merge: weights accumulate at run starts)
-            o2 = np.argsort(eq_txp, axis=1, kind="stable")
-            eq_txp = np.take_along_axis(eq_txp, o2, axis=1)
-            eq_w = np.take_along_axis(eq_w, o2, axis=1)
-            flat = eq_txp.ravel()
-            fw_ = eq_w.ravel().astype(np.float64)
-            new = np.ones(F * T2, dtype=bool)
-            new[1:] = flat[1:] != flat[:-1]
-            new[::T2] = True
-            gid = np.cumsum(new) - 1
-            sums = np.bincount(gid, weights=fw_)
-            fw_out = np.zeros_like(fw_)
-            fw_out[new] = sums
-            eq_w = fw_out.reshape(F, T2).astype(np.float32)
-            eq_txp = np.where(new, flat, INVALID_TXP).reshape(F, T2)
-            eq_w[eq_txp == INVALID_TXP] = 0.0
-            o3 = np.argsort(
-                np.where(eq_txp == INVALID_TXP, INVALID_TXP, eq_txp),
-                axis=1, kind="stable")
-            eq_txp = np.take_along_axis(eq_txp, o3, axis=1)
-            eq_w = np.take_along_axis(eq_w, o3, axis=1)
+                # build fixed-width eq tensors (rows = fragments)
+                F = starts.shape[0]
+                T2 = int(counts.max())
+                eq_txp = np.full((F, T2), INVALID_TXP, dtype=np.int32)
+                eq_w = np.zeros((F, T2), dtype=np.float32)
+                row = np.repeat(np.arange(F), counts)
+                col = np.arange(fid.shape[0]) - np.repeat(starts, counts)
+                sel = valid_w
+                eq_txp[row[sel], col[sel]] = txp_k[sel]
+                eq_w[row[sel], col[sel]] = w[sel]
+                # collapse duplicate txps within a fragment + sort
+                # labels (vectorized run-merge: weights accumulate at
+                # run starts)
+                o2 = np.argsort(eq_txp, axis=1, kind="stable")
+                eq_txp = np.take_along_axis(eq_txp, o2, axis=1)
+                eq_w = np.take_along_axis(eq_w, o2, axis=1)
+                flat = eq_txp.ravel()
+                fw_ = eq_w.ravel().astype(np.float64)
+                new = np.ones(F * T2, dtype=bool)
+                new[1:] = flat[1:] != flat[:-1]
+                new[::T2] = True
+                gid = np.cumsum(new) - 1
+                sums = np.bincount(gid, weights=fw_)
+                fw_out = np.zeros_like(fw_)
+                fw_out[new] = sums
+                eq_w = fw_out.reshape(F, T2).astype(np.float32)
+                eq_txp = np.where(new, flat, INVALID_TXP).reshape(F, T2)
+                eq_w[eq_txp == INVALID_TXP] = 0.0
+                o3 = np.argsort(
+                    np.where(eq_txp == INVALID_TXP, INVALID_TXP, eq_txp),
+                    axis=1, kind="stable")
+                eq_txp = np.take_along_axis(eq_txp, o3, axis=1)
+                eq_w = np.take_along_axis(eq_w, o3, axis=1)
 
-            has = eq_txp[:, 0] != INVALID_TXP
-            num_mapped += int(has.sum())
-            acc.add_batch(eq_txp, eq_w, None)
+                has = eq_txp[:, 0] != INVALID_TXP
+                num_mapped += int(has.sum())
+                acc.add_batch(eq_txp, eq_w, None)
 
-            # FLD observations weighted by the per-fragment alignment
-            # posterior (reference processMiniBatch: each alignment
-            # contributes its posterior mass to its fragment-length bin)
-            wsum_f = np.bincount(
-                np.repeat(np.arange(F), counts),
-                weights=np.where(valid_w, w, 0.0), minlength=F)
-            wn = np.where(valid_w, w, 0.0) / np.maximum(
-                np.repeat(wsum_f, counts), 1e-300)
-            if paired_detect:
-                good = (obs_k >= 0) & (flen_k > 0) & valid_w
-                hist = np.bincount(
-                    np.clip(flen_k[good], 0, opts.max_frag_length),
-                    weights=wn[good],
-                    minlength=opts.max_frag_length + 1).astype(np.float64)
-                fld.add_observations(hist)
+                # FLD observations weighted by the per-fragment
+                # alignment posterior (reference processMiniBatch)
+                wsum_f = np.bincount(
+                    np.repeat(np.arange(F), counts),
+                    weights=np.where(valid_w, w, 0.0), minlength=F)
+                wn = np.where(valid_w, w, 0.0) / np.maximum(
+                    np.repeat(wsum_f, counts), 1e-300)
+                if paired_detect:
+                    good = (obs_k >= 0) & (flen_k > 0) & valid_w
+                    hist = np.bincount(
+                        np.clip(flen_k[good], 0, opts.max_frag_length),
+                        weights=wn[good],
+                        minlength=opts.max_frag_length
+                        + 1).astype(np.float64)
+                    fld.add_observations(hist)
 
             # online error-model update with this batch's posterior
             # weights (reference :855-863: update sampled with
             # probability exp(logProb) until numBurninFrags)
             if (err is not None or ont is not None) \
                     and err_trained < burnin_cap:
-                # posterior per alignment, back in pre-sort subset order
-                w_upd = np.empty_like(wn)
-                w_upd[order] = wn
+                # posterior per alignment (subset order; fid was
+                # already fragment-grouped, no un-sort needed)
+                w_upd = wn
                 ksel = np.nonzero(keep)[0]
                 if ont is not None:
                     from salmon_tpu.alignment.errormodel import \
@@ -630,14 +646,17 @@ def _quantify_alignments_impl(args, opts, cmd_args) -> int:
                                            tseq_codes, tseq_off, tlens)
                         err.update(c2u, w_upd, 1)
                 err_trained += F
-            # best alignment per fragment (first max-weight entry)
-            wv = np.where(valid_w, w, -1.0)
-            frag_of = np.repeat(np.arange(F), counts)
-            mx = np.maximum.reduceat(wv, starts)
-            is_best = wv == np.repeat(mx, counts)
-            bidx = np.nonzero(is_best)[0]
-            bsel = bidx[np.unique(frag_of[bidx], return_index=True)[1]]
-            bsel = bsel[mx[frag_of[bsel]] > 0]
+            # best alignment per fragment (first max-weight entry);
+            # the native pass already returned bsel
+            if native is None:
+                wv = np.where(valid_w, w, -1.0)
+                frag_of = np.repeat(np.arange(F), counts)
+                mx = np.maximum.reduceat(wv, starts)
+                is_best = wv == np.repeat(mx, counts)
+                bidx = np.nonzero(is_best)[0]
+                bsel = bidx[np.unique(frag_of[bidx],
+                                      return_index=True)[1]]
+                bsel = bsel[mx[frag_of[bsel]] > 0]
             if paired_detect:
                 # observed-format histogram: one count per fragment
                 fmt_hist += np.bincount(np.clip(obs_k[bsel], 0, 5),
@@ -646,12 +665,12 @@ def _quantify_alignments_impl(args, opts, cmd_args) -> int:
             if bias_state is not None and paired_detect and bsel.size:
                 import jax.numpy as _jnp
                 bt = txp_k[bsel].astype(np.int32)
-                bs = pos[keep][order][bsel].astype(np.int32)
+                bs = pos[keep][bsel].astype(np.int32)
                 be = (bs + np.maximum(flen_k[bsel], 1)
                       - 1).astype(np.int32)
-                bfw = fw[keep][order][bsel]
-                rl1 = b.read_len[i1][keep][order][bsel].astype(np.int32)
-                rl2 = b.read_len[i2][keep][order][bsel].astype(np.int32)
+                bfw = fw[keep][bsel]
+                rl1 = b.read_len[i1][keep][bsel].astype(np.int32)
+                rl2 = b.read_len[i2][keep][bsel].astype(np.int32)
                 bo = bias_collect(
                     bdev, _jnp.asarray(bt), _jnp.asarray(bs),
                     _jnp.asarray(be), _jnp.asarray(bfw),
