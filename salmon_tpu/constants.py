@@ -148,7 +148,13 @@ class SalmonDefaults:
                                          # ranking — and every skipped
                                          # window cuts issue-bound seed
                                          # gathers; 6 keeps >= 4 windows
-                                         # on 50 bp reads)
+                                         # on 50 bp reads. Accuracy
+                                         # evidence for 6 (r4 advisor):
+                                         # mixed-sim TPM Spearman gate
+                                         # >= 0.999 at defaults + the
+                                         # paralog/repeat pins;
+                                         # --mismatchSeedSkip 3 restores
+                                         # the reference-parity stride)
     # batch-global compacted hit list (mapping.seed_sparse) vs the dense
     # (R,P,C) expansion. Default dense: measured 295k vs 109k frags/s at
     # R=4096 on TPU v5e (the sparse flow's global sorts dominate; it

@@ -4,7 +4,7 @@ Two pins, mirroring the reference's accuracy yardstick
 (tests/test_quant.nf:38-67 + scripts/test_sim_corr.py:18-36 — TPM
 Pearson/Spearman vs simulation truth) at CI scale:
 
-1. end-to-end TPM Spearman >= 0.995 and mapping rate >= 0.999 on a
+1. end-to-end TPM Spearman >= 0.999 and mapping rate >= 0.999 on a
    seeded mixed simulation (unique transcripts + shared-5'-block
    isoform families whose reads the EM must apportion), and
 2. the sort-routed EM engine vs the float64 numpy engine at ~1M
@@ -104,9 +104,11 @@ def test_tpm_spearman_and_mapping_rate_gate(mixed_sim):
     e_tpm = np.array([dict(zip(r.names, r.tpm)).get(nm, 0.0)
                       for nm in names])
     rho = spearmanr(t_tpm, e_tpm).statistic
-    assert rho >= 0.995, f"TPM Spearman {rho}"
+    # BASELINE's own acceptance bar (TPM Spearman >= 0.999 vs truth);
+    # measured headroom 0.99985 at the r5 gate bump
+    assert rho >= 0.999, f"TPM Spearman {rho}"
     rho_c = spearmanr(truth, e).statistic
-    assert rho_c >= 0.995, f"counts Spearman {rho_c}"
+    assert rho_c >= 0.999, f"counts Spearman {rho_c}"
     # isoform families: the EM must recover the within-family split
     fam = np.arange(280, 300)
     ft, fe = truth[fam], e[fam]
