@@ -444,7 +444,9 @@ def save_index(idx: TranscriptomeIndex, out_dir: str) -> None:
         occ_mode = "raw"
         w("occ_txp", idx.occ_txp)
         w("occ_pf", idx.occ_pf)
-    kmer_mode = diskfmt.write_keys_npy(out_dir, np.asarray(idx.kmers))
+    kmer_mode, kmer_extra = diskfmt.write_keys_npy(
+        out_dir, np.asarray(idx.kmers))
+    idx.info.update(kmer_extra)
     counts = np.asarray(idx.occ_counts)
     for name, arr in diskfmt.pack_counts(counts).items():
         w(name, arr)
@@ -535,6 +537,11 @@ def load_index(index_dir: str) -> TranscriptomeIndex:
     kmer_mode = meta.get("kmer_mode", "raw")
     if kmer_mode == "raw":
         kmers = z("kmers")
+    elif kmer_mode == "ef":
+        kmers = diskfmt.unpack_keys(
+            {"mode": "ef", "ef_low": z("kmer_ef_low"),
+             "ef_high": z("kmer_ef_high"),
+             "ef_l": meta["kmer_ef_l"], "ef_n": meta["kmer_ef_n"]})
     else:
         kmers = diskfmt.unpack_keys(
             {"mode": kmer_mode, "kmer_d32": z("kmer_d32"),

@@ -69,11 +69,125 @@ def pack_keys(kmers: np.ndarray) -> dict:
 def unpack_keys(z: dict) -> np.ndarray:
     if z["mode"] == "raw":
         return np.asarray(z["kmers"], np.uint64)
+    if z["mode"] == "ef":
+        return unpack_keys_ef(z)
     d = np.asarray(z["kmer_d32"]).astype(np.uint64)
     esc_idx = np.asarray(z["kmer_esc_idx"])
     if esc_idx.shape[0]:
         d[esc_idx] = np.asarray(z["kmer_esc_val"], np.uint64)
     return np.cumsum(d, dtype=np.uint64)
+
+
+# ---------------------------------------------------------------------------
+# Elias-Fano key plane: l low bits packed + unary-coded high gaps
+# ---------------------------------------------------------------------------
+#
+# Size n*(l + 2) bits with l = floor(log2(U / n)) — the
+# information-theoretic floor for a sorted sequence, and the encoding
+# pufferfish's SSHash dictionary uses for its key stream (reference
+# dependency wiring src/CMakeLists.txt:143-156). At genome-decoy scale
+# (3.27G keys over U = 2^62) this is ~34 bits/key vs delta32's 4.4 B —
+# keys 15.9 -> ~13.2 GB. Chunked pack/decode: chunks of a
+# multiple-of-8 keys keep every chunk's low-plane slice byte-aligned.
+
+_EF_CHUNK = 1 << 22          # keys per pack/decode chunk (mult of 8)
+
+
+def pack_keys_ef(kmers: np.ndarray) -> dict:
+    """Encode a sorted u64 array Elias-Fano. Returns {"mode": "ef",
+    "ef_low" u8, "ef_high" u8, "ef_l" int, "ef_n" int}."""
+    n = int(kmers.shape[0])
+    if n == 0:
+        return {"mode": "ef", "ef_low": np.zeros(0, np.uint8),
+                "ef_high": np.zeros(0, np.uint8),
+                "ef_l": np.int64(0), "ef_n": np.int64(0)}
+    U = int(kmers[-1]) + 1
+    l = max(int(np.floor(np.log2(max(U / n, 1.0)))), 0)
+    # --- high bitvector: bit (key >> l) + i set for the i-th key
+    n_hi_bits = n + (U - 1 >> l) + 1
+    n_hi_bytes = -(-n_hi_bits // 8)
+    high = np.zeros(n_hi_bytes, np.uint8)
+    lowmask = np.uint64((1 << l) - 1)
+    low_parts = []
+    for i in range(0, n, _EF_CHUNK):
+        j = min(i + _EF_CHUNK, n)
+        kc = np.asarray(kmers[i:j], np.uint64)
+        pos = (kc >> np.uint64(l)).astype(np.int64) \
+            + np.arange(i, j, dtype=np.int64)
+        # distinct bits per byte OR together as a weighted bincount
+        # (positions strictly increase, so each bit is set once);
+        # rebased to the chunk's first byte so the transient stays
+        # chunk-sized
+        lo_b = int(pos[0] >> 3)
+        by = np.bincount((pos >> 3) - lo_b,
+                         weights=(1 << (7 - (pos & 7))).astype(
+                             np.float64))
+        high[lo_b:lo_b + by.shape[0]] |= by.astype(np.uint8)
+        if l:
+            lowv = kc & lowmask
+            bits = ((lowv[:, None] >> np.arange(
+                l - 1, -1, -1, dtype=np.uint64)[None, :])
+                & np.uint64(1)).astype(np.uint8)
+            low_parts.append(np.packbits(bits.reshape(-1)))
+    low = (np.concatenate(low_parts) if low_parts
+           else np.zeros(0, np.uint8))
+    return {"mode": "ef", "ef_low": low, "ef_high": high,
+            "ef_l": np.int64(l), "ef_n": np.int64(n)}
+
+
+def _ef_low_chunk(low: np.ndarray, l: int, i: int, j: int) -> np.ndarray:
+    """Decode low-bit values for keys [i, j) (i*l must be a multiple of
+    8 — guaranteed for chunk starts at multiples of 8 keys)."""
+    if l == 0:
+        return np.zeros(j - i, np.uint64)
+    b0 = (i * l) >> 3
+    b1 = -(-(j * l) // 8)
+    bits = np.unpackbits(np.asarray(low[b0:b1]))[: (j - i) * l]
+    bits = bits.reshape(j - i, l).astype(np.uint64)
+    out = np.zeros(j - i, np.uint64)
+    for c in range(l):
+        out |= bits[:, c] << np.uint64(l - 1 - c)
+    return out
+
+
+def iter_keys_ef(z: dict, chunk: int = _EF_CHUNK):
+    """Yield (start, keys) chunks from an EF plane (streaming decode:
+    one sequential pass over the high bitvector)."""
+    n = int(z["ef_n"])
+    l = int(z["ef_l"])
+    if n == 0:
+        return
+    high = np.asarray(z["ef_high"])
+    low = z["ef_low"]
+    seen = 0                 # keys decoded so far
+    buf = np.zeros(0, np.int64)
+    byte_pos = 0
+    while seen < n:
+        want = min(chunk, n - seen)
+        # accumulate set-bit positions until we have `want`
+        while buf.shape[0] < want and byte_pos < high.shape[0]:
+            nb = min(1 << 24, high.shape[0] - byte_pos)
+            bits = np.unpackbits(high[byte_pos:byte_pos + nb])
+            pos = np.flatnonzero(bits).astype(np.int64) \
+                + np.int64(byte_pos * 8)
+            buf = np.concatenate([buf, pos])
+            byte_pos += nb
+        take = buf[:want]
+        buf = buf[want:]
+        hi = (take - np.arange(seen, seen + want,
+                               dtype=np.int64)).astype(np.uint64)
+        keys = (hi << np.uint64(l)) | _ef_low_chunk(
+            low, l, seen, seen + want)
+        yield seen, keys
+        seen += want
+
+
+def unpack_keys_ef(z: dict) -> np.ndarray:
+    n = int(z["ef_n"])
+    out = np.empty(n, np.uint64)
+    for start, keys in iter_keys_ef(z):
+        out[start:start + keys.shape[0]] = keys
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -317,9 +431,51 @@ def unpack_occ48(packed: np.ndarray, sep_halved: bool = True):
 _CHUNK = 1 << 27            # 128M elements per chunk
 
 
+def write_keys_ef_npy(out_dir: str, kmers: np.ndarray) -> dict:
+    """pack_keys_ef streamed into memmapped .npy planes (the low plane
+    is the big one: ~12 GB at genome scale; never materialized whole).
+    Returns {"kmer_ef_l", "kmer_ef_n"} for info.json."""
+    import os
+    from numpy.lib.format import open_memmap
+    n = int(kmers.shape[0])
+    U = int(kmers[-1]) + 1 if n else 1
+    l = max(int(np.floor(np.log2(max(U / max(n, 1), 1.0)))), 0)
+    n_low_bytes = -(-(n * l) // 8)
+    low = open_memmap(os.path.join(out_dir, "kmer_ef_low.npy"),
+                      mode="w+", dtype=np.uint8,
+                      shape=(n_low_bytes,))
+    n_hi_bits = n + ((U - 1) >> l) + 1
+    high = np.zeros(-(-n_hi_bits // 8), np.uint8)
+    lowmask = np.uint64((1 << l) - 1)
+    for i in range(0, n, _EF_CHUNK):
+        j = min(i + _EF_CHUNK, n)
+        kc = np.asarray(kmers[i:j], np.uint64)
+        pos = (kc >> np.uint64(l)).astype(np.int64) \
+            + np.arange(i, j, dtype=np.int64)
+        lo_b = int(pos[0] >> 3)
+        by = np.bincount((pos >> 3) - lo_b,
+                         weights=(1 << (7 - (pos & 7))).astype(
+                             np.float64))
+        high[lo_b:lo_b + by.shape[0]] |= by.astype(np.uint8)
+        if l:
+            lowv = kc & lowmask
+            bits = ((lowv[:, None] >> np.arange(
+                l - 1, -1, -1, dtype=np.uint64)[None, :])
+                & np.uint64(1)).astype(np.uint8)
+            b0 = (i * l) >> 3
+            packed = np.packbits(bits.reshape(-1))
+            low[b0:b0 + packed.shape[0]] = packed
+    low.flush()
+    np.save(os.path.join(out_dir, "kmer_ef_high.npy"), high)
+    return {"kmer_ef_l": int(l), "kmer_ef_n": int(n)}
+
+
 def write_keys_npy(out_dir: str, kmers: np.ndarray) -> str:
-    """pack_keys equivalent that streams d32 into a memmapped .npy
-    (no full-size u64 delta transient). Returns the kmer mode."""
+    """pack_keys equivalent that streams the chosen encoding into
+    memmapped .npy planes (no full-size transients). Picks the smaller
+    of delta32 and Elias-Fano by exact computed size; tiny/sparse key
+    sets fall back to raw u64. Returns the kmer mode ("ef" callers
+    must merge write_keys_ef_npy's info fields — save_index does)."""
     import os
     n = kmers.shape[0]
     if n == 0:
@@ -337,7 +493,14 @@ def write_keys_npy(out_dir: str, kmers: np.ndarray) -> str:
     if n_esc > KMER_DELTA_ESCAPE_FRAC * n:
         np.save(os.path.join(out_dir, "kmers.npy"),
                 np.asarray(kmers, np.uint64))
-        return "raw"
+        return "raw", {}
+    U = int(kmers[-1]) + 1
+    l = max(int(np.floor(np.log2(max(U / n, 1.0)))), 0)
+    size_ef = (n * l + n + ((U - 1) >> l) + 1) / 8
+    size_d32 = 4 * n + 16 * n_esc
+    if size_ef < size_d32:
+        extra = write_keys_ef_npy(out_dir, kmers)
+        return "ef", extra
     from numpy.lib.format import open_memmap
     d32 = open_memmap(os.path.join(out_dir, "kmer_d32.npy"), mode="w+",
                       dtype=np.uint32, shape=(n,))
@@ -358,7 +521,7 @@ def write_keys_npy(out_dir: str, kmers: np.ndarray) -> str:
     np.save(os.path.join(out_dir, "kmer_esc_val.npy"),
             (np.concatenate(esc_val) if esc_val
              else np.zeros(0)).astype(np.uint64))
-    return "delta32"
+    return "delta32", {}
 
 
 def write_occ48_npy(out_dir: str, occ_txp, occ_pf) -> None:

@@ -136,7 +136,19 @@ def _stream_keys(index_dir: str, meta: dict, chunk: int = _STREAM_CHUNK):
     transient. Reference role: PufferfishIndex deserialization
     (include/salmon/internal/index/SalmonIndex.hpp:201) — the reference
     mmaps; we stream-decode."""
-    if meta.get("kmer_mode", "raw") != "delta32":
+    mode = meta.get("kmer_mode", "raw")
+    if mode == "ef":
+        from salmon_tpu.index import diskfmt
+        z = {"ef_low": np.load(os.path.join(index_dir,
+                                            "kmer_ef_low.npy"),
+                               mmap_mode="r"),
+             "ef_high": np.load(os.path.join(index_dir,
+                                             "kmer_ef_high.npy"),
+                                mmap_mode="r"),
+             "ef_l": meta["kmer_ef_l"], "ef_n": meta["kmer_ef_n"]}
+        yield from diskfmt.iter_keys_ef(z, chunk=chunk)
+        return
+    if mode != "delta32":
         km = np.load(os.path.join(index_dir, "kmers.npy"), mmap_mode="r")
         for i in range(0, km.shape[0], chunk):
             yield i, np.asarray(km[i:i + chunk], np.uint64)

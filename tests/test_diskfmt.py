@@ -165,3 +165,42 @@ def test_pruned_save_load(tmp_path, sample_fa):
     np.testing.assert_array_equal(got.occ_true_counts,
                                   idx.occ_true_counts)
     np.testing.assert_array_equal(got.occ_offsets, idx.occ_offsets)
+
+
+def test_pack_keys_ef_roundtrip():
+    rng = np.random.default_rng(9)
+    for n, hi in ((1000, 2**40), (50000, 2**62), (8191, 2**20)):
+        keys = np.sort(rng.choice(hi, n, replace=False)
+                       .astype(np.uint64))
+        z = diskfmt.pack_keys_ef(keys)
+        np.testing.assert_array_equal(diskfmt.unpack_keys_ef(z), keys)
+        chunks = [k for _, k in diskfmt.iter_keys_ef(z, chunk=1024)]
+        np.testing.assert_array_equal(np.concatenate(chunks), keys)
+
+
+def test_save_load_ef_mode(tmp_path, sample_fa):
+    """Force the EF key plane through a full save/load/stream cycle."""
+    import json
+    from salmon_tpu.index import diskfmt as dfm
+    from salmon_tpu.index.shard import _stream_keys
+    idx = build_index(sample_fa, k=25)
+    d = str(tmp_path / "ef_idx")
+    os.makedirs(d, exist_ok=True)
+    # dense synthetic keys (EF-favorable) substituted for the real
+    # plane to exercise the ef writer path end-to-end
+    rng = np.random.default_rng(3)
+    keys = np.sort(rng.choice(2**22, idx.kmers.shape[0],
+                              replace=False).astype(np.uint64))
+    mode, extra = dfm.write_keys_npy(d, keys)
+    assert mode == "ef"
+    z = {"ef_low": np.load(os.path.join(d, "kmer_ef_low.npy"),
+                           mmap_mode="r"),
+         "ef_high": np.load(os.path.join(d, "kmer_ef_high.npy"),
+                            mmap_mode="r"),
+         "ef_l": extra["kmer_ef_l"], "ef_n": extra["kmer_ef_n"]}
+    np.testing.assert_array_equal(
+        dfm.unpack_keys({"mode": "ef", **z}), keys)
+    # streamed reader (sharded load path)
+    meta = {"kmer_mode": "ef", **extra}
+    got = np.concatenate([k for _, k in _stream_keys(d, meta)])
+    np.testing.assert_array_equal(got, keys)
