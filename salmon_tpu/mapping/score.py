@@ -228,26 +228,39 @@ def expand_occurrences(km: dict, lk, occ_oct,
     # sub-segment tagged with its key's fingerprint30; rows past a
     # separator count only for the matching query (hashtable
     # docstring). Window boundaries every C lanes reset the carry.
-    is_sep = txp == jnp.int32(-1)
-    lane0 = jnp.broadcast_to(
-        (jnp.arange(N, dtype=jnp.int32) % C == 0)[None, :], (R, N))
+    # Separators exist only for shadow-merged keys (~2.4e-4 of stored
+    # keys), so the whole scan is gated behind one any-separator
+    # reduction — the common batch pays a reduce + select instead of
+    # the carry scan (identical results: with no separator every
+    # segment is "window start", seg_ok all-true).
+    is_sep = ovalid & (txp == jnp.int32(-1))
 
-    def _combine(a, b):
-        fa, va = a
-        fb, vb = b
-        return fa | fb, jnp.where(fb, vb, va)
+    def _sep_scan(_):
+        lane0 = jnp.broadcast_to(
+            (jnp.arange(N, dtype=jnp.int32) % C == 0)[None, :], (R, N))
 
-    # carried = (last reset lane was a separator?, its tpos) — resets
-    # at window starts clear `seen` because lane0 forces fb=True with
-    # vb = (False-sep marker, 0)
-    seen, carried = jax.lax.associative_scan(
-        _combine,
-        (is_sep | lane0,
-         jnp.where(is_sep, tpos + 1, 0)),   # +1: 0 = "window start"
-        axis=1)
-    qfp30 = fingerprint30(km["hi"], km["lo"]).astype(jnp.int32)
-    qfp30_l = jnp.repeat(qfp30.reshape(R, P), C, axis=1)
-    seg_ok = (carried == 0) | (carried == qfp30_l + 1)
+        def _combine(a, b):
+            fa, va = a
+            fb, vb = b
+            return fa | fb, jnp.where(fb, vb, va)
+
+        # carried = (last reset lane was a separator?, its tpos) —
+        # resets at window starts clear `seen` because lane0 forces
+        # fb=True with vb = (False-sep marker, 0)
+        seen, carried = jax.lax.associative_scan(
+            _combine,
+            (is_sep | lane0,
+             jnp.where(is_sep, tpos + 1, 0)),  # +1: 0 = "window start"
+            axis=1)
+        qfp30 = fingerprint30(km["hi"], km["lo"]).astype(jnp.int32)
+        qfp30_l = jnp.repeat(qfp30.reshape(R, P), C, axis=1)
+        return jnp.asarray((carried == 0) | (carried == qfp30_l + 1),
+                           jnp.bool_)
+
+    # the all-true branch derives from is_sep so both branches carry
+    # the same varying-axes type under shard_map
+    seg_ok = jax.lax.cond(jnp.any(is_sep), _sep_scan,
+                          lambda _: is_sep | True, operand=None)
     ovalid = ovalid & ~is_sep & seg_ok
 
     orient_fw = jnp.repeat(km["is_fw"].reshape(R, P), C, axis=1) == tfwd
