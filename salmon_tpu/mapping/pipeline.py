@@ -288,11 +288,17 @@ def _dense_candidates(km, lk, dev, cfg: MapperConfig):
     # lax.sort costs what the skipped gathers save. Inline decode still
     # applies (records come from the lookup), which is what lets a
     # compacted CSR drop single-occurrence records entirely.
+    # per-row pooled row0 gather (expand_occurrences row_pool): only
+    # meaningful when the table inlines single-occurrence records
+    # (~75-80% of windows then skip the CSR); opt-in via env while the
+    # win is being measured on hardware
+    rp = int(os.environ.get("SALMON_TPU_ROWPOOL", "0") or 0)
     key, rpos, diag, ovalid, n_tail_over = expand_occurrences(
         km, lk, dev["occ_oct"],
         cfg.occ_cap, cfg.max_occs_per_hit, stride=cfg.kmer_stride,
         tail_frac=64 if (cfg.occ_aligned and cfg.occ_cap <= 8) else 8,
-        inline_pool=False)
+        inline_pool=False,
+        row_pool=rp if cfg.inline_singles else 0)
     # expand emits (R, N = P*C) directly — (R, P, C) minor-dim-8
     # tensors pay a 16x lane-padding tax under the default TPU tiling
     n_windows = lk[0].shape[1]

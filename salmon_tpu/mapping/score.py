@@ -68,7 +68,8 @@ def gather_occ_oct(occ_oct, start, C: int):
 def expand_occurrences(km: dict, lk, occ_oct,
                        occ_cap: int, max_occs_per_hit: int,
                        stride: int = 1, tail_frac: int = 8,
-                       inline_pool: bool = False):
+                       inline_pool: bool = False,
+                       row_pool: int = 0):
     """Gather up to C occurrences per found k-mer window.
 
     `lk` is hash_lookup's (start, count, found, inl, itxp, ipf);
@@ -124,7 +125,48 @@ def expand_occurrences(km: dict, lk, occ_oct,
     idx_bits = max(1, (F - 1).bit_length())
     n_pool_over = jnp.int32(0)
 
-    if not inline_pool:
+    if row_pool and not inline_pool:
+        # PER-ROW pool (r5): with inline singles, only ~20-25% of
+        # windows actually need the CSR row — but a batch-GLOBAL
+        # compaction pays a 17-operand un-sort over F that eats the
+        # saved gathers (the r4 inline_pool wash). Per-READ-ROW
+        # compaction uses narrow (R, P) sorts instead (~an order of
+        # magnitude cheaper than global 1-D sorts of the same area)
+        # and gathers only R*row_pool rows. Reads with more than
+        # `row_pool` needy windows degrade (leftmost windows win,
+        # counted in n_tail_over) — same budget semantics as the tail
+        # pool.
+        Pneed = min(row_pool, P)
+        need2 = (use_f & ~inl_f).reshape(R, P)
+        col = jnp.broadcast_to(
+            jnp.arange(P, dtype=jnp.uint32)[None, :], (R, P))
+        packed0 = (jnp.where(need2, jnp.uint32(0), jnp.uint32(1))
+                   << jnp.uint32(12)) | col
+        perm = (jax.lax.sort(packed0, dimension=1, is_stable=False)
+                & jnp.uint32(0xFFF)).astype(jnp.int32)
+        psel = perm[:, :Pneed]                       # (R, Pneed)
+        qsel = jnp.take_along_axis(q0.reshape(R, P), psel, axis=1)
+        rows_k = jnp.take(occ_oct,
+                          jnp.clip(qsel.reshape(-1), 0, None),
+                          axis=0, mode="clip")       # (R*Pneed, 16)
+        # un-sort within each row: 17-operand NARROW sort back to
+        # window order (padded windows carry key P >= everything real)
+        pad_k = jnp.full((R, P - Pneed), jnp.uint32(0xFFF), jnp.uint32)
+        key_back = jnp.concatenate(
+            [psel.astype(jnp.uint32), pad_k], axis=1)
+        rows_p = jnp.concatenate(
+            [rows_k.reshape(R, Pneed, 16),
+             jnp.zeros((R, P - Pneed, 16), jnp.int32)], axis=1)
+        ops = (key_back,) + tuple(rows_p[:, :, i] for i in range(16))
+        srt = jax.lax.sort(ops, dimension=1, num_keys=1,
+                           is_stable=False)
+        row0 = jnp.stack(srt[1:], axis=2).reshape(F, 16)
+        incl = jnp.cumsum(need2.astype(jnp.int32), axis=1) <= Pneed
+        got_row0 = (need2 & incl).reshape(F)
+        n_pool_over = jnp.maximum(
+            jnp.sum(need2.astype(jnp.int32)) - jnp.sum(
+                (need2 & incl).astype(jnp.int32)), 0)
+    elif not inline_pool:
         # row 0: one row-gather per window
         row0 = jnp.take(occ_oct, jnp.clip(q0, 0, None), axis=0,
                         mode="clip")                      # (F, 16)

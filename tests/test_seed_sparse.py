@@ -142,3 +142,55 @@ def test_diag_bucket_bits_never_overflow_key():
             if b > 5:
                 assert ((max_tpos + DIAG_OFFSET) >> (b - 1)) \
                     >= (1 << (32 - wb))
+
+
+def test_row_pool_expand_parity():
+    """expand_occurrences row_pool=P (budget covers every window) must
+    reproduce the unpooled expand bit-for-bit; a tight budget only
+    drops records (ovalid) and counts the overflow."""
+    import numpy as np
+    import jax.numpy as jnp
+    from salmon_tpu.mapping.score import expand_occurrences
+
+    rng = np.random.default_rng(5)
+    R, P, C = 64, 12, 8
+    F = R * P
+    n_oct = 4096
+    occ = jnp.asarray(rng.integers(0, 2**20, (n_oct, 16),
+                                   dtype=np.int64).astype(np.int32))
+    start = jnp.asarray((rng.integers(0, n_oct - 2, (R, P),
+                                      dtype=np.int64) * 8).astype(
+        np.int32))
+    count = jnp.asarray(np.minimum(
+        1 + rng.geometric(0.6, (R, P)), 8).astype(np.int32))
+    found = jnp.asarray(rng.random((R, P)) < 0.9)
+    inl = jnp.asarray(rng.random((R, P)) < 0.7) & found
+    itxp = jnp.asarray(rng.integers(0, 1000, (R, P),
+                                    dtype=np.int64).astype(np.int32))
+    ipf = jnp.asarray(rng.integers(0, 2**18, (R, P),
+                                   dtype=np.int64).astype(np.int32))
+    km = {
+        "hi": jnp.asarray(rng.integers(0, 2**32, (R, P),
+                                       dtype=np.int64).astype(
+            np.uint32)),
+        "lo": jnp.asarray(rng.integers(0, 2**32, (R, P),
+                                       dtype=np.int64).astype(
+            np.uint32)),
+        "valid": jnp.asarray(np.ones((R, P), bool)),
+        "is_fw": jnp.asarray(rng.random((R, P)) < 0.5),
+    }
+    lk = (start, count, found, inl, itxp, ipf)
+    base = expand_occurrences(km, lk, occ, C, 1000, stride=6,
+                              tail_frac=64)
+    pooled = expand_occurrences(km, lk, occ, C, 1000, stride=6,
+                                tail_frac=64, row_pool=P)
+    for a, b in zip(base[:4], pooled[:4]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(pooled[4]) == int(base[4])
+    # tight budget: valid hits shrink but never grow; overflow counted
+    tight = expand_occurrences(km, lk, occ, C, 1000, stride=6,
+                               tail_frac=64, row_pool=2)
+    ov_base = np.asarray(base[3])
+    ov_tight = np.asarray(tight[3])
+    assert not (ov_tight & ~ov_base).any()
+    assert int(tight[4]) > 0
