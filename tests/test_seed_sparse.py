@@ -194,3 +194,28 @@ def test_row_pool_expand_parity():
     ov_tight = np.asarray(tight[3])
     assert not (ov_tight & ~ov_base).any()
     assert int(tight[4]) > 0
+
+
+def test_row_pool_quant_wiring(monkeypatch, tmp_path):
+    """SALMON_TPU_ROWPOOL with a full budget quantifies bit-identically
+    (guards the pipeline wiring; the budget semantics themselves are
+    covered by test_row_pool_expand_parity)."""
+    import os
+    import numpy as np
+    from salmon_tpu.constants import SalmonDefaults
+    from salmon_tpu.index.builder import build_index
+    from salmon_tpu.quant import quantify
+
+    data = os.path.join(os.path.dirname(__file__), "data")
+    fa = os.path.join(data, "transcripts.fasta")
+    r1 = [os.path.join(data, "reads_1.fastq")]
+    r2 = [os.path.join(data, "reads_2.fastq")]
+    o = SalmonDefaults()
+    o.reads_per_batch = 4096
+    idx = build_index(fa, k=25)
+    assert idx.info.get("table_inline_singles")
+    base = quantify(idx, "IU", r1, r2, opts=o, progress=False)
+    monkeypatch.setenv("SALMON_TPU_ROWPOOL", "64")
+    pooled = quantify(idx, "IU", r1, r2, opts=o, progress=False)
+    assert base.num_mapped == pooled.num_mapped
+    np.testing.assert_array_equal(base.counts, pooled.counts)
