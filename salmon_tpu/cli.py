@@ -36,6 +36,7 @@ def _setup_logging(out_dir: str | None = None) -> None:
 
 def _add_index_parser(sub):
     p = sub.add_parser("index", help="create a salmon index")
+    p.add_argument("--no-version-check", action="store_true")
     p.add_argument("-t", "--transcripts", required=True)
     p.add_argument("-i", "--index", required=True)
     p.add_argument("-k", "--kmerLen", type=int, default=31)
@@ -230,6 +231,7 @@ def _add_quant_parser(sub):
 def _add_quantmerge_parser(sub):
     p = sub.add_parser("quantmerge",
                        help="merge multiple quantifications into a matrix")
+    p.add_argument("--no-version-check", action="store_true")
     p.add_argument("--quants", nargs="+", required=True)
     p.add_argument("--names", nargs="+", default=None)
     p.add_argument("-c", "--column", default="TPM",

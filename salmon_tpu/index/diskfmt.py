@@ -93,6 +93,33 @@ def unpack_keys(z: dict) -> np.ndarray:
 _EF_CHUNK = 1 << 22          # keys per pack/decode chunk (mult of 8)
 
 
+def _ef_add_chunk(high: np.ndarray, low_out, l: int, i: int,
+                  kc: np.ndarray) -> None:
+    """Encode one chunk of sorted keys starting at key index i (i must
+    be a multiple of 8 so the low-plane slice stays byte-aligned):
+    ORs the chunk's unary high bits into `high` and writes its packed
+    low bits into `low_out` (array or memmap). Single definition shared
+    by pack_keys_ef, write_keys_ef_npy, and the migration script —
+    bit-level encoding must never fork (r5 review)."""
+    pos = (kc >> np.uint64(l)).astype(np.int64) \
+        + np.arange(i, i + kc.shape[0], dtype=np.int64)
+    # distinct bits per byte OR together as a weighted bincount
+    # (positions strictly increase, so each bit is set once); rebased
+    # to the chunk's first byte so the transient stays chunk-sized
+    lo_b = int(pos[0] >> 3)
+    by = np.bincount((pos >> 3) - lo_b,
+                     weights=(1 << (7 - (pos & 7))).astype(np.float64))
+    high[lo_b:lo_b + by.shape[0]] |= by.astype(np.uint8)
+    if l:
+        lowv = kc & np.uint64((1 << l) - 1)
+        bits = ((lowv[:, None] >> np.arange(
+            l - 1, -1, -1, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.uint8)
+        b0 = (i * l) >> 3
+        packed = np.packbits(bits.reshape(-1))
+        low_out[b0:b0 + packed.shape[0]] = packed
+
+
 def pack_keys_ef(kmers: np.ndarray) -> dict:
     """Encode a sorted u64 array Elias-Fano. Returns {"mode": "ef",
     "ef_low" u8, "ef_high" u8, "ef_l" int, "ef_n" int}."""
@@ -104,33 +131,12 @@ def pack_keys_ef(kmers: np.ndarray) -> dict:
     U = int(kmers[-1]) + 1
     l = max(int(np.floor(np.log2(max(U / n, 1.0)))), 0)
     # --- high bitvector: bit (key >> l) + i set for the i-th key
-    n_hi_bits = n + (U - 1 >> l) + 1
-    n_hi_bytes = -(-n_hi_bits // 8)
-    high = np.zeros(n_hi_bytes, np.uint8)
-    lowmask = np.uint64((1 << l) - 1)
-    low_parts = []
+    n_hi_bits = n + ((U - 1) >> l) + 1
+    high = np.zeros(-(-n_hi_bits // 8), np.uint8)
+    low = np.zeros(-(-(n * l) // 8), np.uint8)
     for i in range(0, n, _EF_CHUNK):
         j = min(i + _EF_CHUNK, n)
-        kc = np.asarray(kmers[i:j], np.uint64)
-        pos = (kc >> np.uint64(l)).astype(np.int64) \
-            + np.arange(i, j, dtype=np.int64)
-        # distinct bits per byte OR together as a weighted bincount
-        # (positions strictly increase, so each bit is set once);
-        # rebased to the chunk's first byte so the transient stays
-        # chunk-sized
-        lo_b = int(pos[0] >> 3)
-        by = np.bincount((pos >> 3) - lo_b,
-                         weights=(1 << (7 - (pos & 7))).astype(
-                             np.float64))
-        high[lo_b:lo_b + by.shape[0]] |= by.astype(np.uint8)
-        if l:
-            lowv = kc & lowmask
-            bits = ((lowv[:, None] >> np.arange(
-                l - 1, -1, -1, dtype=np.uint64)[None, :])
-                & np.uint64(1)).astype(np.uint8)
-            low_parts.append(np.packbits(bits.reshape(-1)))
-    low = (np.concatenate(low_parts) if low_parts
-           else np.zeros(0, np.uint8))
+        _ef_add_chunk(high, low, l, i, np.asarray(kmers[i:j], np.uint64))
     return {"mode": "ef", "ef_low": low, "ef_high": high,
             "ef_l": np.int64(l), "ef_n": np.int64(n)}
 
@@ -440,31 +446,14 @@ def write_keys_ef_npy(out_dir: str, kmers: np.ndarray) -> dict:
     n = int(kmers.shape[0])
     U = int(kmers[-1]) + 1 if n else 1
     l = max(int(np.floor(np.log2(max(U / max(n, 1), 1.0)))), 0)
-    n_low_bytes = -(-(n * l) // 8)
     low = open_memmap(os.path.join(out_dir, "kmer_ef_low.npy"),
                       mode="w+", dtype=np.uint8,
-                      shape=(n_low_bytes,))
+                      shape=(-(-(n * l) // 8),))
     n_hi_bits = n + ((U - 1) >> l) + 1
     high = np.zeros(-(-n_hi_bits // 8), np.uint8)
-    lowmask = np.uint64((1 << l) - 1)
     for i in range(0, n, _EF_CHUNK):
         j = min(i + _EF_CHUNK, n)
-        kc = np.asarray(kmers[i:j], np.uint64)
-        pos = (kc >> np.uint64(l)).astype(np.int64) \
-            + np.arange(i, j, dtype=np.int64)
-        lo_b = int(pos[0] >> 3)
-        by = np.bincount((pos >> 3) - lo_b,
-                         weights=(1 << (7 - (pos & 7))).astype(
-                             np.float64))
-        high[lo_b:lo_b + by.shape[0]] |= by.astype(np.uint8)
-        if l:
-            lowv = kc & lowmask
-            bits = ((lowv[:, None] >> np.arange(
-                l - 1, -1, -1, dtype=np.uint64)[None, :])
-                & np.uint64(1)).astype(np.uint8)
-            b0 = (i * l) >> 3
-            packed = np.packbits(bits.reshape(-1))
-            low[b0:b0 + packed.shape[0]] = packed
+        _ef_add_chunk(high, low, l, i, np.asarray(kmers[i:j], np.uint64))
     low.flush()
     np.save(os.path.join(out_dir, "kmer_ef_high.npy"), high)
     return {"kmer_ef_l": int(l), "kmer_ef_n": int(n)}
@@ -481,7 +470,7 @@ def write_keys_npy(out_dir: str, kmers: np.ndarray) -> str:
     if n == 0:
         np.save(os.path.join(out_dir, "kmers.npy"),
                 np.zeros(0, np.uint64))
-        return "raw"
+        return "raw", {}
     # pass 1: escape fraction
     n_esc = 0
     for i in range(0, n, _CHUNK):

@@ -175,6 +175,12 @@ def table_place_native(keys_u64: np.ndarray, counts: np.ndarray,
     lib = _native_lib()
     if lib is None or not hasattr(lib, "table_place"):
         return None
+    if keys_u64.shape[0] >= 2**31:
+        # slot_key entries are int32 key indices; a single table past
+        # 2^31 keys would silently truncate — use more index shards
+        raise ValueError(
+            f"{keys_u64.shape[0]} keys exceed the int32 placement "
+            "range of one table; raise --indexShards")
     keys = np.ascontiguousarray(keys_u64, np.uint64)
     cnt = np.ascontiguousarray(counts, np.uint32)
     slot_key = np.empty(n_buckets * 4, np.int32)

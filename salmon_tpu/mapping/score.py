@@ -149,15 +149,15 @@ def expand_occurrences(km: dict, lk, occ_oct,
         rows_k = jnp.take(occ_oct,
                           jnp.clip(qsel.reshape(-1), 0, None),
                           axis=0, mode="clip")       # (R*Pneed, 16)
-        # un-sort within each row: 17-operand NARROW sort back to
-        # window order (padded windows carry key P >= everything real)
-        pad_k = jnp.full((R, P - Pneed), jnp.uint32(0xFFF), jnp.uint32)
-        key_back = jnp.concatenate(
-            [psel.astype(jnp.uint32), pad_k], axis=1)
+        # un-sort within each row: sort by the FULL per-row permutation
+        # (perm is a permutation of 0..P-1, so sorting (perm, payload)
+        # sends pool position p back to window column perm[p]; keying
+        # only the selected columns would compact rows to ranks
+        # 0..Pneed-1 instead — r5 review finding)
         rows_p = jnp.concatenate(
             [rows_k.reshape(R, Pneed, 16),
              jnp.zeros((R, P - Pneed, 16), jnp.int32)], axis=1)
-        ops = (key_back,) + tuple(rows_p[:, :, i] for i in range(16))
+        ops = (perm,) + tuple(rows_p[:, :, i] for i in range(16))
         srt = jax.lax.sort(ops, dimension=1, num_keys=1,
                            is_stable=False)
         row0 = jnp.stack(srt[1:], axis=2).reshape(F, 16)

@@ -53,23 +53,8 @@ def migrate(index_dir: str) -> None:
                       mode="w+", dtype=np.uint8, shape=(n_low_bytes,))
     n_hi_bits = n + ((U - 1) >> l) + 1
     high = np.zeros(-(-n_hi_bits // 8), np.uint8)
-    lowmask = np.uint64((1 << l) - 1)
     for i, kc in _stream_keys(index_dir, meta, chunk=1 << 24):
-        pos = (kc >> np.uint64(l)).astype(np.int64) \
-            + np.arange(i, i + kc.shape[0], dtype=np.int64)
-        lo_b = int(pos[0] >> 3)
-        by = np.bincount((pos >> 3) - lo_b,
-                         weights=(1 << (7 - (pos & 7))).astype(
-                             np.float64))
-        high[lo_b:lo_b + by.shape[0]] |= by.astype(np.uint8)
-        if l:
-            lowv = kc & lowmask
-            bits = ((lowv[:, None] >> np.arange(
-                l - 1, -1, -1, dtype=np.uint64)[None, :])
-                & np.uint64(1)).astype(np.uint8)
-            b0 = (i * l) >> 3
-            packed = np.packbits(bits.reshape(-1))
-            low[b0:b0 + packed.shape[0]] = packed
+        diskfmt._ef_add_chunk(high, low, l, i, kc)
     low.flush()
     np.save(os.path.join(index_dir, "kmer_ef_high.npy"), high)
 

@@ -187,13 +187,19 @@ def test_row_pool_expand_parity():
     for a, b in zip(base[:4], pooled[:4]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert int(pooled[4]) == int(base[4])
-    # tight budget: valid hits shrink but never grow; overflow counted
+    # tight budget: valid hits shrink but never grow; overflow counted;
+    # and every SERVED lane carries the exact unpooled record (guards
+    # the un-sort permutation — a rank-compacting un-sort fabricates
+    # records on the wrong windows, r5 review finding)
     tight = expand_occurrences(km, lk, occ, C, 1000, stride=6,
                                tail_frac=64, row_pool=2)
     ov_base = np.asarray(base[3])
     ov_tight = np.asarray(tight[3])
     assert not (ov_tight & ~ov_base).any()
     assert int(tight[4]) > 0
+    for a, b in zip(base[:3], tight[:3]):
+        np.testing.assert_array_equal(np.asarray(a)[ov_tight],
+                                      np.asarray(b)[ov_tight])
 
 
 def test_row_pool_quant_wiring(monkeypatch, tmp_path):
