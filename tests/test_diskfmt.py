@@ -180,7 +180,6 @@ def test_pack_keys_ef_roundtrip():
 
 def test_save_load_ef_mode(tmp_path, sample_fa):
     """Force the EF key plane through a full save/load/stream cycle."""
-    import json
     from salmon_tpu.index import diskfmt as dfm
     from salmon_tpu.index.shard import _stream_keys
     idx = build_index(sample_fa, k=25)
